@@ -1,0 +1,93 @@
+"""Penman reader/writer as DataFrame transforms.
+
+Reader: corpus table ``(repo, path, commit, lang, content)`` →
+global edge table ``(graph_id, pos, src, rel, dst)``.  The parse is a
+single ``mapInPandas`` pass (Arrow batches; pure-Python state machine per
+row inside the batch, reference semantics at data_helpers.py:25-180) — no
+shuffle, scales linearly with executors, and Catalyst prunes ``content``
+away from every downstream plan.
+
+Writer: edge table → ``(graph_id, penman)`` via ``groupBy(graph_id)``
+``applyInPandas`` (one graph always fits one group; reference semantics at
+data_helpers.py:278-398).
+
+``graph_id = sha256(content)`` — computed JVM-side (``F.sha2``) so the
+per-row content invariant required by the input hint is checkable against
+any other engine.  ``pos`` is the triple's emission index inside its
+graph: several reference passes (dereification scan order, writer DFS,
+first-``:root`` selection) are order-sensitive, and carrying the original
+order as data is the only deterministic way to reproduce them under
+arbitrary partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smatchpp_spark.functions.graphkit import parse_penman, triples_to_penman
+
+EDGES_SCHEMA = "graph_id string, pos long, src string, rel string, dst string"
+
+
+def with_graph_id(corpus: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach the sha256(content) row invariant as ``graph_id``."""
+    return corpus.withColumn(
+        "graph_id", F.sha2(F.encode(F.col(content_col), "UTF-8"), 256)
+    )
+
+
+def parse_edges(
+    corpus: DataFrame,
+    content_col: str = "content",
+    explicate_root: bool = True,
+) -> DataFrame:
+    """Parse the corpus into the global edge table.
+
+    Only ``(graph_id, content)`` enter the Python worker; all other corpus
+    columns are pruned at the scan.
+    """
+    slim = with_graph_id(corpus, content_col).select(
+        "graph_id", F.col(content_col).alias("content")
+    )
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gids: list[str] = []
+            poss: list[int] = []
+            srcs: list[str] = []
+            rels: list[str] = []
+            dsts: list[str] = []
+            for gid, content in zip(pdf["graph_id"], pdf["content"]):
+                for pos, (s, r, t) in enumerate(parse_penman(content, explicate_root)):
+                    gids.append(gid)
+                    poss.append(pos)
+                    srcs.append(s)
+                    rels.append(r)
+                    dsts.append(t)
+            yield pd.DataFrame(
+                {"graph_id": gids, "pos": poss, "src": srcs, "rel": rels, "dst": dsts}
+            )
+
+    return slim.mapInPandas(parse_batches, EDGES_SCHEMA)
+
+
+def write_penman(edges: DataFrame, hide_root: bool = True) -> DataFrame:
+    """Serialize each graph back to one Penman string per row."""
+
+    def serialize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        triples = list(zip(pdf["src"], pdf["rel"], pdf["dst"]))
+        gid = pdf["graph_id"].iloc[0]
+        try:
+            text = triples_to_penman(triples, hide_root=hide_root)
+        except (StopIteration, KeyError, IndexError):
+            text = None  # salvage-parsed graph without a usable root
+        return pd.DataFrame({"graph_id": [gid], "penman": [text]})
+
+    return edges.groupBy("graph_id").applyInPandas(
+        serialize, "graph_id string, penman string"
+    )
