@@ -1,0 +1,105 @@
+"""Synchronous label propagation (community detection) over the
+undirected edge view.
+
+Each superstep every vertex adopts the most frequent label among its
+neighbors, ties broken by the smallest label — the distributed analog of
+the reference's majority-Counter pattern (smatchpp/align.py:22-41), made
+deterministic so two runs (and two cluster sizes) produce identical
+labels.
+
+Physical shape: messages = labels ⋈ undirected edges (one shuffle),
+then ``groupBy(vertex, label).count`` (partial-agg absorbs hub fan-in)
+and a ``max_by(struct(count, -label))`` pick — no window, no sort, one
+more shuffle.  Synchronous LPA can oscillate on bipartite structures, so
+the loop stops at no-change OR the superstep cap, whichever first; the
+cap is part of the operator contract (oracle runs the same).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smatchpp_spark.operators.supersteps import SuperstepRunner, changed_count_delta
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (vertex, label)
+    supersteps: int
+    converged: bool
+    metrics: list
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_supersteps: int = 20,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    input_lineage: str = "",
+) -> LabelPropResult:
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    undirected = (
+        edges.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("dst").alias("vertex"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+        .repartition(num_partitions, "nbr")
+        .persist()
+    )
+    n_msgs = undirected.count()
+    vertices = undirected.select("vertex").distinct()
+    init = vertices.select("vertex", F.col("vertex").alias("label"))
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        msgs = (
+            state.withColumnRenamed("vertex", "nbr")
+            .join(undirected, "nbr")
+            .select("vertex", "label")
+        )
+        counted = msgs.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("votes")
+        )
+        # most votes wins; ties -> smallest label (deterministic):
+        # max_by over (votes, -label) needs label order inverted, which a
+        # struct comparison gives us via (votes asc, label desc) maximum.
+        picked = counted.groupBy("vertex").agg(
+            F.max_by("label", F.struct(F.col("votes"), -F.col("label"))).alias(
+                "label"
+            )
+        )
+        # isolated vertices (no messages) keep their label
+        return state.join(picked, "vertex", "left").select(
+            "vertex",
+            F.coalesce(picked["label"], state["label"]).alias("label"),
+        )
+
+    runner = SuperstepRunner(
+        spark,
+        op="label_propagation",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_supersteps,
+        tol=0.0,
+        input_lineage=input_lineage,
+    )
+    result = runner.run(
+        init,
+        step,
+        changed_count_delta("label"),
+        edges_processed_per_step=n_msgs,
+        resume=resume,
+    )
+    undirected.unpersist()
+    return LabelPropResult(
+        labels=result.state,
+        supersteps=result.supersteps,
+        converged=result.converged,
+        metrics=result.metrics,
+    )

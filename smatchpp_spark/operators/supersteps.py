@@ -1,0 +1,198 @@
+"""Shared driver for iterative (superstep) link-graph operators.
+
+Spark has no fixpoint operator, so iteration lives in the driver — the
+same loop discipline as the reference's hill-climber
+(smatchpp/solvers.py:333-351: iterate, measure gain, stop at fixpoint) —
+with three scale-critical mechanics layered on:
+
+1. **Lineage truncation.** Each superstep's state is materialized
+   (parquet write+read when a checkpoint dir is configured, else
+   ``localCheckpoint``) so plan depth stays O(1) instead of O(steps²).
+2. **Resumability.** With a checkpoint dir every superstep commits
+   ``<dir>/<op>/state/superstep=K/`` plus a metrics row; ``resume()``
+   finds the max committed superstep and the loop continues
+   mid-iteration after a crash, producing identical converged output.
+3. **Metrics + per-partition lineage.** Each superstep logs
+   (superstep, op, delta, rows, edges_processed, wall_ms) and a
+   per-partition row-count/lineage breakdown to ``metrics.jsonl``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    supersteps: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+class SuperstepRunner:
+    """Runs ``state = step_fn(state, k)`` until ``delta <= tol`` or the
+    iteration cap, materializing state each step.
+
+    ``step_fn(state, k) -> (new_state, delta)``: delta is the operator's
+    own convergence measure (max |Δrank| for PageRank, changed-label
+    count for CC/LPA).  Computing delta forces the new state, so each
+    superstep is exactly one job.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        op: str,
+        checkpoint_dir: str | None = None,
+        max_supersteps: int = 100,
+        tol: float = 0.0,
+        input_lineage: str = "",
+    ):
+        self.spark = spark
+        self.op = op
+        self.checkpoint_dir = checkpoint_dir
+        self.max_supersteps = max_supersteps
+        self.tol = tol
+        self.input_lineage = input_lineage
+        self.metrics: list[dict] = []
+
+    # -- checkpoint layout -------------------------------------------------
+    def _state_path(self, k: int) -> str:
+        return f"{self.checkpoint_dir}/{self.op}/state/superstep={k}"
+
+    def _metrics_path(self) -> str:
+        return f"{self.checkpoint_dir}/{self.op}/metrics.jsonl"
+
+    def _materialize(self, df: DataFrame, k: int) -> DataFrame:
+        if self.checkpoint_dir:
+            path = self._state_path(k)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    def _partition_lineage(self, df: DataFrame) -> list[dict]:
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        return [
+            {"partition_id": r["partition_id"], "rows": r["rows"],
+             "input_lineage": self.input_lineage}
+            for r in rows
+        ]
+
+    def _log_metrics(self, record: dict) -> None:
+        self.metrics.append(record)
+        if self.checkpoint_dir:
+            os.makedirs(os.path.dirname(self._metrics_path()), exist_ok=True)
+            with open(self._metrics_path(), "a") as fh:
+                fh.write(json.dumps(record) + "\n")
+
+    # -- resume ------------------------------------------------------------
+    def last_committed_superstep(self) -> int | None:
+        """Max superstep K whose parquet commit marker exists."""
+        if not self.checkpoint_dir:
+            return None
+        base = f"{self.checkpoint_dir}/{self.op}/state"
+        if not os.path.isdir(base):
+            return None
+        done = []
+        for name in os.listdir(base):
+            if name.startswith("superstep=") and os.path.exists(
+                os.path.join(base, name, "_SUCCESS")
+            ):
+                done.append(int(name.split("=", 1)[1]))
+        return max(done) if done else None
+
+    def resume_state(self) -> tuple[DataFrame, int] | None:
+        k = self.last_committed_superstep()
+        if k is None:
+            return None
+        return self.spark.read.parquet(self._state_path(k)), k
+
+    # -- main loop ----------------------------------------------------------
+    def run(
+        self,
+        init_state: DataFrame,
+        step_fn: Callable[[DataFrame, int], DataFrame],
+        delta_fn: Callable[[DataFrame, DataFrame], float],
+        edges_processed_per_step: int = 0,
+        resume: bool = False,
+    ) -> SuperstepResult:
+        """Iterate ``new = step_fn(state, k)``; stop when
+        ``delta_fn(old, new) <= tol``.
+
+        The step plan is computed exactly once per superstep (at
+        materialization); ``delta_fn`` then compares two *materialized*
+        states, so convergence checking never re-runs the step.
+        """
+        start_k = 0
+        state = init_state
+        if resume:
+            resumed = self.resume_state()
+            if resumed is not None:
+                state, last_k = resumed
+                start_k = last_k + 1
+        if start_k == 0:
+            state = self._materialize(init_state, 0)
+            start_k = 1
+
+        converged = False
+        k = start_k - 1
+        for k in range(start_k, self.max_supersteps + 1):
+            t0 = time.monotonic()
+            new_state = self._materialize(step_fn(state, k), k)
+            delta = float(delta_fn(state, new_state))
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            record = {
+                "superstep": k,
+                "op": self.op,
+                "delta": delta,
+                "edges_processed": edges_processed_per_step,
+                "wall_ms": wall_ms,
+                "partitions": self._partition_lineage(new_state),
+            }
+            self._log_metrics(record)
+            if not self.checkpoint_dir:
+                state.unpersist()
+            state = new_state
+            if delta <= self.tol:
+                converged = True
+                break
+        return SuperstepResult(
+            state=state, supersteps=k, converged=converged, metrics=self.metrics
+        )
+
+
+def max_abs_delta(col: str) -> Callable[[DataFrame, DataFrame], float]:
+    """max |new.col - old.col| over the vertex key — PageRank convergence."""
+
+    def fn(old: DataFrame, new: DataFrame) -> float:
+        joined = old.select("vertex", F.col(col).alias("_old")).join(
+            new.select("vertex", F.col(col).alias("_new")), "vertex"
+        )
+        row = joined.agg(F.max(F.abs(F.col("_new") - F.col("_old")))).collect()[0]
+        return row[0] if row[0] is not None else 0.0
+
+    return fn
+
+
+def changed_count_delta(col: str) -> Callable[[DataFrame, DataFrame], float]:
+    """Number of vertices whose label changed — CC/LPA convergence."""
+
+    def fn(old: DataFrame, new: DataFrame) -> float:
+        joined = old.select("vertex", F.col(col).alias("_old")).join(
+            new.select("vertex", F.col(col).alias("_new")), "vertex"
+        )
+        return joined.filter(F.col("_new") != F.col("_old")).count()
+
+    return fn

@@ -1,0 +1,94 @@
+"""Degree-ordered triangle counting.
+
+Classic two-join plan with the degree-orientation trick: orient every
+undirected edge from the lower-(degree, id) endpoint to the higher one,
+so each triangle is generated from exactly one wedge and the wedge count
+is bounded by Σ d_out², with d_out ≤ √(2m) after orientation — the skew
+killer for hub vertices (a 10^8-degree hub becomes the *target* of its
+edges, never the wedge pivot).
+
+Degree semantics anchor to the reference's degree filters
+(smatchpp/util.py:107-138, subgraph_extraction.py:60-74); counts are
+exact vs a brute-force oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TriangleResult:
+    total: int
+    per_vertex: DataFrame  # (vertex, triangles)
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Dedup to canonical undirected pairs (a < b); self-loops dropped."""
+    a = F.least("src", "dst").alias("a")
+    b = F.greatest("src", "dst").alias("b")
+    return (
+        edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    )
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Orient canonical pairs from low (degree, id) to high (degree, id)."""
+    und = _canonical_undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> TriangleResult:
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    canonical = _canonical_undirected(edges).persist()
+    oriented = (
+        oriented_edges(edges).repartition(num_partitions, "lo").persist()
+    )
+
+    e1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("v"))
+    e2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("w"))
+    # each unordered wedge exactly once via strict id order on the endpoints
+    wedges = e1.join(e2, "pivot").filter(F.col("v") < F.col("w"))
+    # closing edge lookup stays a plain equi-join because both the wedge
+    # endpoints (v < w) and the canonical edge table (a < b) share the
+    # same id ordering
+    tri = wedges.join(
+        canonical,
+        (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")),
+        "inner",
+    )
+
+    per_corner = (
+        tri.select(F.col("pivot").alias("vertex"))
+        .unionByName(tri.select(F.col("v").alias("vertex")))
+        .unionByName(tri.select(F.col("w").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    total = tri.count()
+    per_vertex = per_corner
+    oriented.unpersist()
+    canonical.unpersist()
+    return TriangleResult(total=total, per_vertex=per_vertex)

@@ -1,0 +1,296 @@
+"""Link-graph operator tests: hand-computable fixtures (ring, star,
+cliques) plus a seeded power-law graph checked against local numpy /
+pure-python oracles — PageRank allclose 1e-6, CC/LPA/triangles exact.
+Also covers checkpoint/resume identity."""
+
+from __future__ import annotations
+
+import math
+import random
+import tempfile
+
+import numpy as np
+import pytest
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def ring(n):
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def star(n):
+    return [(0, i) for i in range(1, n + 1)]
+
+
+def two_cliques(k):
+    e = []
+    for base in (0, 100):
+        for i in range(k):
+            for j in range(i + 1, k):
+                e.append((base + i, base + j))
+    return e
+
+
+def powerlaw_graph(n=800, m=3200, seed=42):
+    """Chung-Lu-ish: endpoint picks weighted ~ k^-0.8 rank weights."""
+    rng = random.Random(seed)
+    weights = [1.0 / ((i + 1) ** 0.8) for i in range(n)]
+    total = sum(weights)
+    cum = []
+    acc = 0.0
+    for w in weights:
+        acc += w / total
+        cum.append(acc)
+
+    def pick():
+        r = rng.random()
+        lo, hi = 0, n - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cum[mid] < r:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    edges = set()
+    while len(edges) < m:
+        a, b = pick(), pick()
+        if a != b:
+            edges.add((a, b))
+    return sorted(edges)
+
+
+# ---------------------------------------------------------------- oracles
+def pagerank_oracle(pairs, alpha=0.85, tol=1e-12, max_iter=500):
+    verts = sorted({v for e in pairs for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out_deg = np.zeros(n)
+    for a, b in pairs:
+        out_deg[idx[a]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        for a, b in pairs:
+            contrib[idx[b]] += rank[idx[a]] / out_deg[idx[a]]
+        dangling = rank[out_deg == 0].sum()
+        new = (1 - alpha) / n + alpha * (contrib + dangling / n)
+        if np.abs(new - rank).max() < tol:
+            rank = new
+            break
+        rank = new
+    return {v: rank[idx[v]] for v in verts}
+
+
+def cc_oracle(pairs):
+    verts = {v for e in pairs for v in e}
+    parent = {v: v for v in verts}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # compress to min id per component
+    comp = {}
+    for v in verts:
+        comp[v] = find(v)
+    changed = True
+    while changed:
+        changed = False
+        for v in verts:
+            if comp[v] != comp[comp[v]]:
+                comp[v] = comp[comp[v]]
+                changed = True
+    return comp
+
+
+def triangles_oracle(pairs):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # count each triangle once: corners ordered v < w < u
+    total = 0
+    for v in adj:
+        for w in adj[v]:
+            if w <= v:
+                continue
+            for u in adj[v] & adj[w]:
+                if u > w:
+                    total += 1
+    return total
+
+
+def lpa_oracle(pairs, max_steps=20):
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(max_steps):
+        new = {}
+        for v in nbrs:
+            votes = {}
+            for u in nbrs[v]:
+                votes[labels[u]] = votes.get(labels[u], 0) + 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+# ------------------------------------------------------------------ tests
+def test_pagerank_ring_uniform(spark):
+    from smatchpp_spark.operators.pagerank import pagerank
+
+    res = pagerank(_edges_df(spark, ring(40)), tol=1e-12)
+    ranks = {r.vertex: r.rank for r in res.ranks.collect()}
+    assert res.converged
+    assert all(math.isclose(v, 1 / 40, rel_tol=1e-9) for v in ranks.values())
+
+
+def test_pagerank_star_and_dangling(spark):
+    from smatchpp_spark.operators.pagerank import pagerank
+
+    pairs = star(20)  # leaves are dangling vertices
+    res = pagerank(_edges_df(spark, pairs), tol=1e-12)
+    got = {r.vertex: r.rank for r in res.ranks.collect()}
+    exp = pagerank_oracle(pairs)
+    assert res.converged
+    for v, r in exp.items():
+        assert math.isclose(got[v], r, abs_tol=1e-6), v
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_powerlaw_vs_numpy(spark):
+    from smatchpp_spark.operators.pagerank import pagerank
+
+    pairs = powerlaw_graph()
+    res = pagerank(_edges_df(spark, pairs), tol=1e-10, max_supersteps=200)
+    got = {r.vertex: r.rank for r in res.ranks.collect()}
+    exp = pagerank_oracle(pairs)
+    assert res.converged
+    diffs = [abs(got[v] - exp[v]) for v in exp]
+    assert max(diffs) < 1e-6
+
+
+def test_connected_components_exact(spark):
+    from smatchpp_spark.operators.components import connected_components
+
+    pairs = two_cliques(5) + ring(10) + [(500, 501)]
+    # shift ring ids to avoid clique overlap
+    pairs = two_cliques(5) + [(a + 300, b + 300) for a, b in ring(10)] + [(500, 501)]
+    res = connected_components(_edges_df(spark, pairs))
+    got = {r.vertex: r.component for r in res.components.collect()}
+    assert res.converged
+    assert got == cc_oracle(pairs)
+
+
+def test_connected_components_powerlaw(spark):
+    from smatchpp_spark.operators.components import connected_components
+
+    pairs = powerlaw_graph(n=500, m=900, seed=7)
+    res = connected_components(_edges_df(spark, pairs))
+    got = {r.vertex: r.component for r in res.components.collect()}
+    assert got == cc_oracle(pairs)
+
+
+def test_label_propagation_vs_oracle(spark):
+    from smatchpp_spark.operators.labelprop import label_propagation
+
+    pairs = two_cliques(5)
+    res = label_propagation(_edges_df(spark, pairs), max_supersteps=20)
+    got = {r.vertex: r.label for r in res.labels.collect()}
+    exp = lpa_oracle(pairs, max_steps=20)
+    assert got == exp
+    # two cliques -> two communities
+    assert len(set(got.values())) == 2
+
+
+def test_triangles_exact(spark):
+    from smatchpp_spark.operators.triangles import triangle_count
+
+    assert triangle_count(_edges_df(spark, two_cliques(5))).total == 20
+    assert triangle_count(_edges_df(spark, ring(30))).total == 0
+    assert triangle_count(_edges_df(spark, star(30))).total == 0
+    # duplicate + reversed edges must not change the count
+    noisy = two_cliques(4) + [(b, a) for a, b in two_cliques(4)] + two_cliques(4)
+    assert triangle_count(_edges_df(spark, noisy)).total == 8
+
+
+def test_triangles_powerlaw_vs_bruteforce(spark):
+    from smatchpp_spark.operators.triangles import triangle_count
+
+    pairs = powerlaw_graph(n=300, m=1500, seed=11)
+    got = triangle_count(_edges_df(spark, pairs))
+    assert got.total == triangles_oracle(pairs)
+    # per-vertex counts sum to 3x total (each triangle has 3 corners)
+    s = got.per_vertex.groupBy().sum("triangles").collect()[0][0]
+    assert s == 3 * got.total
+
+
+def test_pagerank_checkpoint_resume_identical(spark):
+    from smatchpp_spark.operators.pagerank import pagerank
+
+    pairs = powerlaw_graph(n=300, m=1200, seed=3)
+    edges = _edges_df(spark, pairs)
+    full = pagerank(edges, tol=1e-10, max_supersteps=100)
+    assert full.converged
+
+    with tempfile.TemporaryDirectory() as d:
+        # phase 1: stop mid-iteration after 5 supersteps
+        part = pagerank(edges, tol=1e-10, max_supersteps=5, checkpoint_dir=d)
+        assert not part.converged
+        # phase 2: resume from the committed checkpoint
+        res = pagerank(
+            edges, tol=1e-10, max_supersteps=100, checkpoint_dir=d, resume=True
+        )
+        assert res.converged
+        # resumed run skips the first 5 supersteps
+        assert res.metrics[0]["superstep"] == 6
+        # collect while the checkpoint backing the state still exists
+        got_res = {r.vertex: r.rank for r in res.ranks.collect()}
+
+    got_full = {r.vertex: r.rank for r in full.ranks.collect()}
+    assert max(abs(got_full[v] - got_res[v]) for v in got_full) < 1e-9
+
+
+def test_metrics_and_lineage_recorded(spark):
+    import json
+    import os
+
+    from smatchpp_spark.operators.components import connected_components
+
+    with tempfile.TemporaryDirectory() as d:
+        res = connected_components(
+            _edges_df(spark, ring(12)), checkpoint_dir=d, input_lineage="ring12"
+        )
+        path = os.path.join(d, "connected_components", "metrics.jsonl")
+        with open(path) as fh:
+            records = [json.loads(line) for line in fh]
+    assert len(records) == res.supersteps
+    for rec in records:
+        assert rec["op"] == "connected_components"
+        assert rec["edges_processed"] > 0
+        assert rec["partitions"] and all(
+            p["input_lineage"] == "ring12" for p in rec["partitions"]
+        )
+    assert records[-1]["delta"] == 0.0
