@@ -1,0 +1,154 @@
+"""Corpus score aggregation — micro / macro / pairwise F1-P-R.
+
+Reference semantics (smatchpp/eval_statistics.py):
+  * a match statistic is a 4-vector ``(matchsum_x, matchsum_y, xlen, ylen)``
+    per graph pair (score.py:181-197);
+  * ``precision = a/c``, ``recall = b/d``, ``f1 = 2PR/(P+R)``; if the whole
+    4-vector sums to 0 the score is 1.0 (both graphs empty, possible for
+    fine-grained dims — eval_statistics.py:28-33); denominators below 1e-8
+    yield 0.0 (eval_statistics.py:30-33, :55-60, :85-89);
+  * micro: sum the 4-vectors over the corpus, then take ratios
+    (eval_statistics.py:132-138, :172-174);
+  * macro: per-pair F/P/R, then the corpus mean (eval_statistics.py:140-142,
+    :176-178);
+  * final scores are multiplied by 100 and rounded to 2 decimals
+    (eval_statistics.py:209-211).
+
+All of this is Catalyst-native column arithmetic: the micro aggregation is a
+partial+final ``sum`` (map-side combined — one tiny shuffle regardless of
+corpus size), the macro aggregation is per-row expressions plus ``avg``.
+No Python executes on the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPS = 1e-8
+
+STAT_COLS = ("matchsum_x", "matchsum_y", "xlen", "ylen")
+
+
+def _ratio(num: Column, denom: Column, allzero: Column) -> Column:
+    """num/denom with the reference zero guards (sumzerothenone + eps)."""
+    return (
+        F.when(allzero, F.lit(1.0))
+        .when(denom < _EPS, F.lit(0.0))
+        .otherwise(num / denom)
+    )
+
+
+def fpr_columns(
+    a: Column, b: Column, c: Column, d: Column
+) -> tuple[Column, Column, Column]:
+    """(f1, precision, recall) expressions for one match 4-vector."""
+    allzero = (a + b + c + d) == 0.0
+    p = _ratio(a, c, allzero)
+    r = _ratio(b, d, allzero)
+    f1 = (
+        F.when(allzero, F.lit(1.0))
+        .when((p + r) < _EPS, F.lit(0.0))
+        .otherwise(2.0 * p * r / (p + r))
+    )
+    return f1, p, r
+
+
+def _final(col: Column) -> Column:
+    """×100, round 2 (eval_statistics.py:209-211)."""
+    return F.round(col * 100.0, 2)
+
+
+def micro_scores(stats: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Micro aggregation: sum 4-vectors (optionally per group), then ratios."""
+    group_cols = group_cols or []
+    agg = stats.groupBy(*group_cols).agg(
+        *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
+    )
+    f1, p, r = fpr_columns(*[F.col(c) for c in STAT_COLS])
+    return agg.select(
+        *group_cols,
+        _final(f1).alias("f1"),
+        _final(p).alias("p"),
+        _final(r).alias("r"),
+    )
+
+
+def macro_scores(stats: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Macro aggregation: per-pair F/P/R, then the mean (optionally per group)."""
+    group_cols = group_cols or []
+    f1, p, r = fpr_columns(
+        *[F.col(c).cast("double") for c in STAT_COLS]
+    )
+    per_pair = stats.select(
+        *group_cols, f1.alias("f1"), p.alias("p"), r.alias("r")
+    )
+    return per_pair.groupBy(*group_cols).agg(
+        _final(F.avg("f1")).alias("f1"),
+        _final(F.avg("p")).alias("p"),
+        _final(F.avg("r")).alias("r"),
+    )
+
+
+def pairwise_scores(stats: DataFrame, pair_col: str = "pair_id") -> DataFrame:
+    """Per-pair F/P/R rows (score_type='pairwise', bindings.py:152-159)."""
+    f1, p, r = fpr_columns(*[F.col(c).cast("double") for c in STAT_COLS])
+    return stats.select(
+        pair_col, _final(f1).alias("f1"), _final(p).alias("p"), _final(r).alias("r")
+    )
+
+
+def drop_empty_pairs(stats: DataFrame) -> DataFrame:
+    """For fine-grained dims the reference keeps only rows whose 4-vector
+    sum is > 0 (eval_statistics.py:164-169)."""
+    total = sum(F.col(c) for c in STAT_COLS)
+    return stats.filter(total > 0)
+
+
+def bootstrap_micro(
+    stats: DataFrame,
+    n_resamples: int = 200,
+    seed: int = 42,
+    ci: float = 0.95,
+) -> DataFrame:
+    """Percentile-bootstrap CI for the micro F1 (eval_statistics.py:183-197
+    semantics, deterministic re-expression).
+
+    scipy draws pair-resamples; here each replicate r resamples pairs via a
+    deterministic hash draw: pair i contributes to replicate r with
+    multiplicity = count of j in [0, n) with hash(r, j) % n == i.  That is
+    a fixed multinomial resample expressed as a join — ``explode(sequence)``
+    on a small replicate spine × pair ids, no Python on executors, one
+    shuffle into the replicate aggregation.
+    """
+    spark = stats.sparkSession
+    n = stats.count()
+    if n == 0:
+        return spark.createDataFrame([], "lo double, hi double")
+    pairs = stats.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
+    )
+    draws = (
+        spark.range(n_resamples)
+        .withColumnRenamed("id", "rep")
+        .select(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("j")
+        )
+        .select(
+            "rep",
+            (
+                F.abs(F.xxhash64(F.col("rep"), F.col("j"), F.lit(seed))) % n
+            ).alias("i"),
+        )
+    )
+    rep_stats = draws.join(pairs, "i").groupBy("rep").agg(
+        *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
+    )
+    f1, _, _ = fpr_columns(*[F.col(c) for c in STAT_COLS])
+    per_rep = rep_stats.select("rep", _final(f1).alias("f1"))
+    alpha = (1.0 - ci) / 2.0
+    return per_rep.agg(
+        F.percentile_approx("f1", alpha, 10000).alias("lo"),
+        F.percentile_approx("f1", 1.0 - alpha, 10000).alias("hi"),
+    )

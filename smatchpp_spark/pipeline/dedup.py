@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the part that matters at 100 TB):
+
+* **exact** — one hash-groupBy; map-side partial aggregation absorbs hot
+  duplicates, the shuffle carries one row per (partition, hash).
+* **minhash/LSH** — signatures are a pure map pass (no shuffle); the
+  candidate-pair join shuffles on ``(band_idx, band_hash)`` which is
+  uniform by construction (hash keys), so no skew handling is needed; a
+  guard drops degenerate mega-buckets (e.g. the empty-text bucket) before
+  the self-join can go quadratic.
+* **simhash** — map pass + one groupBy on doc id (already unique → Spark
+  rewrites it into a partial-only aggregation).
+* **jaccard verify** — only runs on LSH candidates, never all pairs.
+
+All hashes route through ``functions.hashing`` — ``portable=True`` makes
+every signature bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from smatchpp_spark.functions.hashing import hash64
+from smatchpp_spark.pipeline.text import tokens
+
+
+def exact_dedup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(content_hash, keep_id, n_copies): one row per distinct content;
+    ``keep_id`` = min id is the canonical survivor."""
+    return (
+        docs.select(hash64(F.col(text_col), portable).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (the min-id one) per distinct text.
+
+    row_number over the hash partition (one shuffle) rather than a
+    groupBy+semi-join: the join would keep BOTH copies when duplicate
+    rows share the same id."""
+    w_hash = docs.withColumn("_h", hash64(F.col(text_col)))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    return (
+        w_hash.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams of the lowercased text; docs shorter than k
+    words use the whole (normalized) text as their single shingle."""
+    t = F.transform(tokens(text_col), F.lower)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(k)]
+        ),
+    )
+    whole = F.array(F.concat_ws(" ", t))
+    return F.array_distinct(F.when(n < k, whole).otherwise(grams))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, sig array<long> of length num_hashes).
+
+    sig[i] = min over shingles of hash(shingle || '#i') — the classic
+    per-seed min, computed inside one array expression (no explode, no
+    shuffle)."""
+    sh = shingles(text_col, shingle_k)
+
+    def _min_hash(i: int) -> Column:
+        return F.array_min(
+            F.transform(sh, lambda s: hash64(F.concat(s, F.lit(f"#{i}")), portable))
+        )
+
+    sig = F.array(*[_min_hash(i) for i in range(num_hashes)])
+    return docs.select(id_col, sig.alias("sig"))
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    band_size: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Split each signature into bands; band key = hash of the joined band
+    values.  Output (id, band_idx, band_hash) — the LSH bucket table."""
+    sig_len_row = signatures.select(F.size("sig").alias("n")).first()
+    n = sig_len_row["n"] if sig_len_row else 0
+    bands = []
+    for b in range(0, n, band_size):
+        vals = [F.element_at("sig", i + 1).cast("string") for i in range(b, min(b + band_size, n))]
+        bands.append(
+            F.struct(
+                F.lit(b // band_size).alias("band_idx"),
+                hash64(F.concat_ws(",", *vals), portable).alias("band_hash"),
+            )
+        )
+    return signatures.select(
+        id_col, F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def neardup_pairs_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+
+    Output (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.  Buckets
+    larger than ``max_bucket`` are dropped before the self-join — the
+    standard guard against degenerate buckets going quadratic at scale.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k, portable)
+    bands = lsh_bands(sigs, id_col, band_size, portable)
+    sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("sz"))
+    bands = bands.join(
+        sizes.filter(F.col("sz") <= max_bucket).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+    a = bands.select("band_idx", "band_hash", F.col(id_col).alias("doc_a"))
+    b = bands.select("band_idx", "band_hash", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for the given candidate (doc_a, doc_b) pairs."""
+    sh = docs.select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(inter.cast("double") / union)
+            .alias("jaccard"),
+        )
+    )
+
+
+def neardup_pairs_jaccard(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard ≥ threshold —
+    the standard two-stage near-dup pipeline."""
+    cands = neardup_pairs_minhash(docs, text_col, id_col, **minhash_kwargs)
+    jac = jaccard_pairs(docs, cands.select("doc_a", "doc_b"), text_col, id_col)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, simhash): per-bit majority vote over token hashes.
+
+    Computed entirely inside array expressions (one map pass): for bit i,
+    sum over tokens of ±1 by the token-hash bit, then assemble the sign
+    bits into one integer.
+    """
+    t = tokens(text_col)
+    th = F.transform(t, lambda x: hash64(x, portable))
+    def _vote(i: int) -> Column:
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    bit_votes = [_vote(i) for i in range(bits)]
+    code = None
+    for i, v in enumerate(bit_votes):
+        term = F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        code = term if code is None else code + term
+    return docs.select(id_col, code.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit codes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

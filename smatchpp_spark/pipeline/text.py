@@ -1,0 +1,159 @@
+"""Text analysis over the documents table — token counting, quality
+scoring, language ID, fingerprinting.
+
+All operators are pure column expressions (whole-stage codegen; zero
+Python on executors) and scale as a single map pass — no shuffle at all:
+at 100 TB these run at scan speed with full column pruning (only ``text``
+plus the id column leave the parquet reader).
+
+Every numeric is guarded for ANSI mode (Spark 4 default): no division by
+zero, no overflow (rolling-hash arithmetic stays < 2^61).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smatchpp_spark.functions.hashing import hash64
+
+# deliberately tiny, deterministic stopword sets — enough signal for a
+# heuristic language id / stopword-ratio feature without external data
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des", "pas", "pour", "que"],
+}
+
+_MOD = 2147483647  # 2^31 - 1: keeps the rolling-hash fold ANSI-overflow-safe
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text; empty text → empty array."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def _count_class(c: Column, pattern: str) -> Column:
+    """Number of characters matching a regex class, via length delta."""
+    return F.length(c) - F.length(F.regexp_replace(c, pattern, ""))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, n_lines, avg_token_len)."""
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    total_token_len = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (F.size(F.split(F.col(text_col), "\n")) ).alias("n_lines"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(total_token_len.cast("double") / n_tokens)
+        .alias("avg_token_len"),
+    )
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Length/punctuation/digit/stopword features + a combined quality score.
+
+    The combined score is a fixed, documented heuristic (not learned):
+    starts at 1.0 and is docked for short docs, digit/punct-heavy text and
+    stopword-free text (a proxy for non-natural-language content).
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    safe_n = F.when(n == 0, F.lit(1)).otherwise(n)
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    safe_tok = F.when(n_tok == 0, F.lit(1)).otherwise(n_tok)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = F.size(F.filter(F.transform(t, F.lower), lambda w: w.isin(*all_stop)))
+
+    punct_ratio = _count_class(c, r"[\.,;:!\?'\"()\[\]{}]").cast("double") / safe_n
+    digit_ratio = _count_class(c, "[0-9]").cast("double") / safe_n
+    upper_ratio = _count_class(c, "[A-Z]").cast("double") / safe_n
+    space_ratio = _count_class(c, r"\s").cast("double") / safe_n
+    stop_ratio = n_stop.cast("double") / safe_tok
+
+    score = (
+        F.lit(1.0)
+        - F.when(n < 50, F.lit(0.3)).otherwise(F.lit(0.0))
+        - F.least(digit_ratio * 2.0, F.lit(0.3))
+        - F.least(punct_ratio * 2.0, F.lit(0.2))
+        - F.when(stop_ratio < 0.05, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        id_col,
+        n.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(space_ratio, 6).alias("space_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.greatest(score, F.lit(0.0)), 6).alias("quality"),
+    )
+
+
+def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits, ties
+    broken en > de > fr (fixed order, same CASE chain as the SQL oracle)."""
+    t = F.transform(tokens(text_col), F.lower)
+
+    def _hits(ws: list[str]) -> Column:
+        return F.size(F.filter(t, lambda w: w.isin(*ws)))
+
+    hits = {lang: _hits(ws) for lang, ws in STOPWORDS.items()}
+    lang = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), F.lit("en"))
+        .when(hits["de"] >= hits["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        id_col,
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        F.when(
+            (hits["en"] + hits["de"] + hits["fr"]) == 0, F.lit("unknown")
+        ).otherwise(lang).alias("lang_pred"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Document fingerprints:
+
+    * ``content_hash`` — raw 64-bit content hash;
+    * ``norm_hash`` — hash of the whitespace/case-normalized text (catches
+      trivially re-formatted copies);
+    * ``rolling_hash`` — order-sensitive polynomial (Karp-Rabin style)
+      fold over token hashes, mod 2^31-1 so the fold never overflows
+      ANSI int64 arithmetic.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    t = tokens(text_col)
+    rolling = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.pmod(hash64(x, portable), F.lit(_MOD))) % _MOD,
+    )
+    return docs.select(
+        id_col,
+        hash64(F.col(text_col), portable).alias("content_hash"),
+        hash64(norm, portable).alias("norm_hash"),
+        rolling.alias("rolling_hash"),
+    )

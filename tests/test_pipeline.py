@@ -1,0 +1,259 @@
+"""Tests for the training-data pipeline operators (text analysis, dedup,
+similarity, multimodal plumbing) against local pure-Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from smatchpp_spark.functions.scores import macro_scores, micro_scores, pairwise_scores
+from smatchpp_spark.pipeline import dedup, multimodal, similarity, text
+
+DOCS = [
+    (0, "The cat and the dog sat in the sun. It was warm and the day was long."),
+    (1, "Der Hund und die Katze sind nicht mit der Maus zu sehen, das ist gut."),
+    (2, "Le chat est une bête et la maison est pour les chats, pas pour que."),
+    (3, "short"),
+    (4, ""),
+    (5, "12345 67890 11 22 33 44 5.5: numbers, numbers; numbers!"),
+    (6, "The cat and the dog sat in the sun. It was warm and the day was long."),  # dup of 0
+    (7, "The cat and the dog sat in the sun. It was warm and the day was short."),  # near-dup of 0
+    (8, "completely different content about spark and distributed processing at scale"),
+]
+
+
+def oracle_hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    for doc_id, t in DOCS:
+        toks = t.split()
+        assert rows[doc_id]["n_chars"] == len(t)
+        assert rows[doc_id]["n_tokens"] == len(toks)
+        if toks:
+            assert rows[doc_id]["avg_token_len"] == pytest.approx(
+                sum(len(x) for x in toks) / len(toks)
+            )
+
+
+def test_quality_features(docs):
+    rows = {r["doc_id"]: r for r in text.quality_features(docs).collect()}
+    t = DOCS[5][1]
+    digits = sum(c.isdigit() for c in t)
+    assert rows[5]["digit_ratio"] == pytest.approx(digits / len(t), abs=1e-6)
+    assert rows[5]["quality"] < rows[0]["quality"]  # numbery doc scores worse
+    assert rows[4]["n_tokens"] == 0  # empty doc doesn't crash
+
+
+def test_langid(docs):
+    rows = {r["doc_id"]: r["lang_pred"] for r in text.langid(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "de"
+    assert rows[2] == "fr"
+    assert rows[4] == "unknown"
+
+
+def test_fingerprints_match_oracle(docs):
+    rows = {r["doc_id"]: r for r in text.fingerprints(docs, portable=True).collect()}
+    mod = 2147483647
+    for doc_id, t in DOCS:
+        assert rows[doc_id]["content_hash"] == oracle_hash64(t)
+        acc = 0
+        for tok in t.split():
+            acc = (acc * 31 + oracle_hash64(tok) % mod) % mod
+        assert rows[doc_id]["rolling_hash"] == acc
+    # exact duplicates share all fingerprints
+    assert rows[0]["content_hash"] == rows[6]["content_hash"]
+    assert rows[0]["rolling_hash"] == rows[6]["rolling_hash"]
+
+
+def test_exact_dedup(docs):
+    groups = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup.exact_dedup_groups(docs).collect()
+    }
+    assert groups[0] == 2  # doc 6 collapsed into doc 0
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == len(DOCS) - 1
+    assert kept.filter(F.col("doc_id") == 6).count() == 0
+    # duplicate rows with the SAME id also collapse
+    doubled = docs.unionAll(docs)
+    assert dedup.exact_dedup(doubled).count() == len(DOCS) - 1
+
+
+def test_minhash_oracle_and_neardups(docs):
+    k = 8
+    sigs = {r["doc_id"]: list(r["sig"]) for r in
+            dedup.minhash_signatures(docs, num_hashes=k, portable=True).collect()}
+
+    def oracle_shingles(t: str) -> set[str]:
+        toks = [w.lower() for w in t.split()]
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for doc_id, t in DOCS:
+        sh = oracle_shingles(t)
+        expect = [min(oracle_hash64(f"{s}#{i}") for s in sh) for i in range(k)]
+        assert sigs[doc_id] == expect, doc_id
+
+    pairs = dedup.neardup_pairs_minhash(docs, num_hashes=8, band_size=2, portable=True)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 6) in got  # exact dup always collides on every band
+    jac = dedup.neardup_pairs_jaccard(
+        docs, threshold=0.5, num_hashes=8, band_size=2, portable=True
+    )
+    jrows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jac.collect()}
+    assert jrows.get((0, 6)) == 1.0
+
+
+def test_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(0, 7)], "doc_a long, doc_b long")
+    row = dedup.jaccard_pairs(docs, pairs).collect()[0]
+    a = {" ".join(DOCS[0][1].lower().split()[i : i + 3]) for i in range(len(DOCS[0][1].split()) - 2)}
+    b = {" ".join(DOCS[7][1].lower().split()[i : i + 3]) for i in range(len(DOCS[7][1].split()) - 2)}
+    assert row["jaccard"] == pytest.approx(len(a & b) / len(a | b))
+
+
+def test_simhash_oracle(docs):
+    bits = 16
+    rows = {r["doc_id"]: r["simhash"] for r in
+            dedup.simhash(docs, bits=bits, portable=True).collect()}
+    for doc_id, t in DOCS:
+        code = 0
+        for i in range(bits):
+            vote = sum(
+                1 if (oracle_hash64(w) >> i) % 2 == 1 else -1 for w in t.split()
+            )
+            if vote > 0:
+                code |= 1 << i
+        assert rows[doc_id] == code, doc_id
+    # near-dups are close in hamming space, unrelated docs are not
+    d07 = bin(rows[0] ^ rows[7]).count("1")
+    d08 = bin(rows[0] ^ rows[8]).count("1")
+    assert d07 < d08
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = similarity.cosine_topk(emb, queries, k=4).collect()
+    v64 = vecs.astype(np.float64)
+    sims = v64 @ v64.T / (
+        np.linalg.norm(v64, axis=1)[:, None] * np.linalg.norm(v64, axis=1)[None, :]
+    )
+    for q in range(3):
+        order = [j for j in np.argsort(-sims[q]) if j != q][:4]
+        mine = [r["neighbor_id"] for r in got if r["query_id"] == q]
+        assert mine == order
+        top_sim = [r["cosine_sim"] for r in got if r["query_id"] == q]
+        assert top_sim == pytest.approx([sims[q][j] for j in order], abs=1e-6)
+
+
+def test_bucketed_topk_subset_of_bucket(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.bucketed_topk(emb, queries, k=3, bits=2)
+    # every reported neighbor must share the query's bucket
+    def bucket(v):
+        return sum((1 << i) for i in range(2) if v[i] >= 0)
+    buckets = {i: bucket(v) for i, v in enumerate(vecs)}
+    for r in got.collect():
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+
+
+def test_multimodal_features(spark, docs):
+    assets = multimodal.synth_assets(spark, docs)
+    feats = multimodal.extract_features(assets)
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    assert len(rows) == len(DOCS)
+    for doc_id, t in DOCS:
+        h = hashlib.sha256(t.encode()).digest()
+        expect = [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(8)]
+        assert list(rows[doc_id]["feature"]) == pytest.approx(expect)
+        assert rows[doc_id]["n_bytes"] == len(t.encode())
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx")
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(assets, fake=False)
+    frames = multimodal.sample_frames(assets, every_ms=1000)
+    vid = assets.filter(F.col("kind") == "video").collect()
+    expect_frames = sum(len(range(0, max(a["duration_ms"] - 1, 0) + 1, 1000)) for a in vid)
+    assert frames.count() == expect_frames
+
+
+def test_micro_macro_scores(spark):
+    # reference README example IV semantics: stats (2,2,4,6) -> F1 40, P 50, R 33.33
+    stats = spark.createDataFrame(
+        [(2.0, 2.0, 4.0, 6.0)], "matchsum_x double, matchsum_y double, xlen double, ylen double"
+    )
+    row = micro_scores(stats).collect()[0]
+    assert (row["f1"], row["p"], row["r"]) == (40.0, 50.0, 33.33)
+    # sumzerothenone: all-zero 4-vector scores 1.0 (100.0 after scaling)
+    zero = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "matchsum_x double, matchsum_y double, xlen double, ylen double"
+    )
+    zrow = micro_scores(zero).collect()[0]
+    assert (zrow["f1"], zrow["p"], zrow["r"]) == (100.0, 100.0, 100.0)
+    # micro vs macro on two pairs
+    two = spark.createDataFrame(
+        [(2.0, 2.0, 4.0, 6.0), (3.0, 3.0, 3.0, 3.0)],
+        "matchsum_x double, matchsum_y double, xlen double, ylen double",
+    )
+    m = micro_scores(two).collect()[0]
+    assert m["p"] == pytest.approx(round(100 * 5 / 7, 2))
+    assert m["r"] == pytest.approx(round(100 * 5 / 9, 2))
+    ma = macro_scores(two).collect()[0]
+    assert ma["p"] == pytest.approx(round(100 * (0.5 + 1.0) / 2, 2))
+    pw = pairwise_scores(two.withColumn("pair_id", F.monotonically_increasing_id()))
+    assert pw.count() == 2
+
+
+def test_scores_match_reference_eval_statistics(spark):
+    """Differential: our column formulas vs the reference's numpy functions."""
+    try:
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from smatchpp import eval_statistics  # noqa
+    except ImportError:
+        pytest.skip("reference eval_statistics needs scipy (unavailable)")
+    cases = [
+        (2.0, 2.0, 4.0, 6.0),
+        (0.0, 0.0, 0.0, 0.0),
+        (3.0, 3.0, 3.0, 3.0),
+        (0.0, 0.0, 2.0, 3.0),
+        (1.0, 2.0, 5.0, 4.0),
+    ]
+    stats = spark.createDataFrame(
+        cases, "matchsum_x double, matchsum_y double, xlen double, ylen double"
+    )
+    pw = pairwise_scores(stats.withColumn("pair_id", F.lit(0))).collect()
+    got = {(r["f1"], r["p"], r["r"]) for r in pw}
+    expect = {
+        tuple(round(x * 100, 2) for x in eval_statistics.get_fpr(list(c)))
+        for c in cases
+    }
+    assert got == expect
