@@ -1,0 +1,136 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pagerank_edges_per_sec": ..., "pagerank_supersteps_per_hour": ...,
+   "cpus": ...}
+
+The PageRank numbers are the north-rule throughput metrics: a fixed
+10-superstep power iteration over the order→part edge table, with
+edges/sec = supersteps × |E| / wall.  Run with SPARK_GRAFT_CPUS=8 and
+=32 on the same input for the two-cluster-size scaling evidence
+(BASELINE.md §sandbox adaptation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+PR_SUPERSTEPS = 10
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from smatchpp_spark import get_spark
+
+    spark = get_spark(
+        app_name="smatchpp-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    import __spark_entry__ as em
+    from smatchpp_spark.corpus import corpus_dataframe
+    from smatchpp_spark.operators.components import connected_components
+    from smatchpp_spark.operators.degrees import degrees
+    from smatchpp_spark.operators.labelprop import label_propagation
+    from smatchpp_spark.operators.pagerank import pagerank
+    from smatchpp_spark.operators.standardize import amr_standardize
+    from smatchpp_spark.operators.triangles import triangle_count
+    from smatchpp_spark.pipeline import dedup, similarity
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.monotonic()
+            out = fn()
+            timings[name] = round(time.monotonic() - t0, 3)
+            return out
+
+        return deco
+
+    e_op = em._e_op(spark, sf_dir).persist()
+    n_edges = e_op.count()
+
+    @timed("pagerank_10steps")
+    def _pr():
+        r = pagerank(e_op, alpha=0.85, tol=-1.0, max_supersteps=PR_SUPERSTEPS)
+        return r.ranks.agg(F.sum("rank")).collect()
+
+    pr_sec = timings["pagerank_10steps"]
+    extras["pagerank_edges_per_sec"] = round(PR_SUPERSTEPS * n_edges / pr_sec, 1)
+    extras["pagerank_supersteps_per_hour"] = round(PR_SUPERSTEPS / pr_sec * 3600, 1)
+    extras["n_edges"] = n_edges
+
+    @timed("degrees")
+    def _deg():
+        return degrees(e_op).count()
+
+    @timed("connected_components")
+    def _cc():
+        return connected_components(em._e_cust(spark, sf_dir)).components.count()
+
+    @timed("label_propagation_5steps")
+    def _lpa():
+        return label_propagation(e_op, max_supersteps=5).labels.count()
+
+    @timed("triangle_counts")
+    def _tri():
+        return triangle_count(em._e_co(spark, sf_dir)).total
+
+    @timed("parse_standardize_2k")
+    def _amr():
+        from smatchpp_spark.sources.penman import parse_edges
+
+        corpus = corpus_dataframe(spark, 2000, seed=42)
+        return amr_standardize(parse_edges(corpus)).count()
+
+    @timed("doc_neardup")
+    def _nd():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.neardup_pairs_jaccard(
+            docs, threshold=0.5, num_hashes=8, band_size=2
+        ).count()
+
+    @timed("emb_topk")
+    def _topk():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
+        ).count()
+
+    e_op.unpersist()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,8 +9,9 @@ labels.
 
 Physical shape: messages = labels ⋈ undirected edges (one shuffle),
 then ``groupBy(vertex, label).count`` (partial-agg absorbs hub fan-in)
-and a ``max_by(struct(count, -label))`` pick — no window, no sort, one
-more shuffle.  Synchronous LPA can oscillate on bipartite structures, so
+and a max-votes/min-label pick via two more partial-aggregable groupBys
+joined on the already-shuffled vertex key — no window, no per-vertex
+sort.  Synchronous LPA can oscillate on bipartite structures, so
 the loop stops at no-change OR the superstep cap, whichever first; the
 cap is part of the operator contract (oracle runs the same).
 """
@@ -67,13 +68,16 @@ def label_propagation(
         counted = msgs.groupBy("vertex", "label").agg(
             F.count(F.lit(1)).alias("votes")
         )
-        # most votes wins; ties -> smallest label (deterministic):
-        # max_by over (votes, -label) needs label order inverted, which a
-        # struct comparison gives us via (votes asc, label desc) maximum.
-        picked = counted.groupBy("vertex").agg(
-            F.max_by("label", F.struct(F.col("votes"), -F.col("label"))).alias(
-                "label"
-            )
+        # most votes wins; ties -> smallest label (deterministic).  Two
+        # partial-aggregable groupBys + a co-partitioned join instead of a
+        # window or a negate-the-label max_by trick: works for any label
+        # type (strings included) and stays map-side-combinable, so a hub
+        # vertex with 10^8 neighbors never concentrates rows in one task.
+        mx = counted.groupBy("vertex").agg(F.max("votes").alias("votes"))
+        picked = (
+            counted.join(mx, ["vertex", "votes"])
+            .groupBy("vertex")
+            .agg(F.min("label").alias("label"))
         )
         # isolated vertices (no messages) keep their label
         return state.join(picked, "vertex", "left").select(

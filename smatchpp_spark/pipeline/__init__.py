@@ -9,4 +9,10 @@ JVM-side column arithmetic (codegen) except the clearly-marked multimodal
 decode stubs, which are Arrow-batched ``mapInPandas`` kernels.
 """
 
-from smatchpp_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401
+from smatchpp_spark.pipeline import (  # noqa: F401
+    dedup,
+    events,
+    multimodal,
+    similarity,
+    text,
+)
