@@ -1,0 +1,118 @@
+"""Corpus-level engine facade — the DataFrame equivalent of the
+reference's ``Smatchpp`` bindings (bindings.py:8-159) and CLI
+(__main__.py:4-214).
+
+Pipeline: corpus table(s) → parse → standardize → pairwise align+score →
+micro / macro / pairwise aggregation.  Every stage is a DataFrame
+transform; the only Python kernels are the Penman parser batches and the
+per-pair alignment kernel.
+
+Pairing: the reference pairs two files positionally (__main__.py:112-115).
+Positional row pairing is undefined in a distributed table, so pairs are
+keyed explicitly by a ``pair_id`` column; ``pair_by_position`` attaches
+one to small corpora for reference-parity workflows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from smatchpp_spark.functions.scores import (
+    bootstrap_micro,
+    macro_scores,
+    micro_scores,
+    pairwise_scores,
+)
+from smatchpp_spark.operators.align import AlignConfig, align_and_score
+from smatchpp_spark.operators.standardize import (
+    amr_standardize,
+    generic_standardize,
+)
+from smatchpp_spark.sources.penman import parse_edges
+
+STANDARDIZERS = {
+    "amr": amr_standardize,
+    "generic": generic_standardize,
+    "none": lambda df: df,
+}
+
+
+@dataclass
+class EngineConfig:
+    standardizer: str = "generic"  # amr | generic | none
+    score_type: str = "micromacro"  # micro | macro | micromacro | pairwise
+    align: AlignConfig = field(default_factory=AlignConfig)
+    bootstrap: bool = False
+    n_resamples: int = 200
+
+
+def pair_by_position(corpus: DataFrame, order_col: str) -> DataFrame:
+    """Attach ``pair_id`` = 0-based position under ``order_col`` — the
+    reference's file-line pairing, for corpora small enough that a global
+    window is acceptable (it collapses to one partition; use explicit
+    pair keys at scale)."""
+    w = Window.orderBy(order_col)
+    return corpus.withColumn("pair_id", F.row_number().over(w) - 1)
+
+
+class SmatchppSpark:
+    """process_corpus/score_corpus over DataFrames (bindings.py:118-159)."""
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        std = STANDARDIZERS.get(self.config.standardizer)
+        if std is None:
+            raise ValueError(f"unknown standardizer {self.config.standardizer!r}")
+        self._standardize = std
+
+    def edges(self, corpus: DataFrame, content_col: str = "content") -> DataFrame:
+        """corpus → standardized global edge table."""
+        return self._standardize(parse_edges(corpus, content_col))
+
+    def match_stats(
+        self,
+        corpus_a: DataFrame,
+        corpus_b: DataFrame,
+        pair_col: str = "pair_id",
+        content_col: str = "content",
+    ) -> DataFrame:
+        """Per-pair match 4-vectors (process_corpus, bindings.py:118-130).
+
+        Both corpora must carry ``pair_col``; the column survives the
+        parse by being folded into the graph key and restored after.
+        """
+        ea = self._keyed_edges(corpus_a, pair_col, content_col)
+        eb = self._keyed_edges(corpus_b, pair_col, content_col)
+        # the keyed edge tables carry the pair id as their graph_id
+        return align_and_score(ea, eb, pair_col="graph_id", cfg=self.config.align)
+
+    def _keyed_edges(
+        self, corpus: DataFrame, pair_col: str, content_col: str
+    ) -> DataFrame:
+        """Parse + standardize keyed directly by the pair id (one graph
+        per pair side, so the pair id IS the graph key; sha256 keying
+        would collapse identical content across different pairs)."""
+        edges = parse_edges(corpus, content_col, id_col=pair_col)
+        return self._standardize(edges)
+
+    def score_corpus(
+        self,
+        corpus_a: DataFrame,
+        corpus_b: DataFrame,
+        pair_col: str = "pair_id",
+        content_col: str = "content",
+    ) -> dict[str, DataFrame]:
+        stats = self.match_stats(corpus_a, corpus_b, pair_col, content_col)
+        out: dict[str, DataFrame] = {"pairs": stats}
+        if self.config.score_type in ("micro", "micromacro"):
+            out["micro"] = micro_scores(stats)
+        if self.config.score_type in ("macro", "micromacro"):
+            out["macro"] = macro_scores(stats)
+        if self.config.score_type == "pairwise":
+            out["pairwise"] = pairwise_scores(stats)
+        if self.config.bootstrap:
+            out["micro_ci"] = bootstrap_micro(stats, self.config.n_resamples)
+        return out

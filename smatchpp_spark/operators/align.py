@@ -1,0 +1,410 @@
+"""Pairwise graph alignment + Smatch scoring.
+
+The corpus-level operator is embarrassingly parallel across graph pairs:
+``cogroup(pair_id).applyInPandas`` ships each pair's triples into an
+Arrow-batched Python kernel (numpy/dicts inside, vectorized across the
+batch's pairs), replacing the reference's sequential corpus loop
+(bindings.py:118-130).  Everything per-pair reimplements the reference
+semantics from scratch:
+
+  * pair preparation / variable affixing  — preprocess.py:27-87
+  * lossless graph compression            — preprocess.py:89-172
+  * unary/binary match dictionaries       — align.py:20-71
+  * variable index (sorted, overlapping)  — align.py:107-111
+  * solvers                               — solvers.py:50-356 (hillclimber)
+  * scoring given alignment               — score.py:81-197
+
+Solver differences (documented, deliberate):
+  * ``exhaustive`` enumerates all alignments for small V — a certified
+    global optimum the reference only gets from its (offline-unavailable)
+    ILP.  Default for V ≤ 7.
+  * ``hillclimber`` is a seeded steepest-ascent with random restarts:
+    same objective, same search move (transposition of two alignment
+    entries), deterministic via a per-(pair, restart) seed instead of
+    the reference's global RNG (solvers.py:285).  It applies the single
+    best switch per iteration (the reference batches extra non-conflicting
+    switches — an optimization of trajectory, not of the objective).
+
+Scores are exact-equality matches (IDTripleMatcher, score.py:9-15);
+``concept_weight`` > 1 reproduces ConceptFocusMatcher (score.py:18-28).
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+import zlib
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INSTANCE = ":instance"
+
+Triple = tuple[str, str, str]
+
+
+# --------------------------------------------------------------------------
+# pure per-pair kernel (no Spark)
+# --------------------------------------------------------------------------
+
+def var_concept_dict(triples: list[Triple]) -> dict[str, str]:
+    """var → concept from :instance triples (reference util.py:13-19)."""
+    return {s: t for s, r, t in triples if r == INSTANCE}
+
+
+def affix_vars(
+    triples: list[Triple], variables: set[str], affix: str
+) -> tuple[list[Triple], set[str]]:
+    """Prefix variables to namespace the two graphs (preprocess.py:67-87);
+    :instance targets are concepts and stay untouched."""
+    out = []
+    for s, r, t in triples:
+        ns = affix + s if s in variables else s
+        nt = affix + t if (t in variables and r != INSTANCE) else t
+        out.append((ns, r, nt))
+    return out, {affix + v for v in variables}
+
+
+def lossless_compress(
+    triples1: list[Triple], triples2: list[Triple]
+) -> tuple[list[Triple], list[Triple], set[str], set[str]]:
+    """Contract variables whose concept is mentioned at most once in each
+    graph: variable := concept, drop its :instance triple
+    (preprocess.py:89-172).  Shrinks the alignment search space."""
+    vc1, vc2 = var_concept_dict(triples1), var_concept_dict(triples2)
+    cnt1 = Counter(vc1.values())
+    cnt2 = Counter(vc2.values())
+    single = set()
+    for c in set(cnt1) | set(cnt2):
+        if cnt1[c] == len(triples1) or cnt2[c] == len(triples2):
+            continue  # would empty a graph
+        if cnt1[c] + cnt2[c] == 1 or cnt1[c] == cnt2[c] == 1:
+            single.add(c)
+
+    def reduce(triples: list[Triple], vc: dict[str, str]) -> list[Triple]:
+        out = []
+        for s, r, t in triples:
+            c = vc.get(s)
+            if c in single:
+                if r == INSTANCE:
+                    continue  # drop the instance edge of a contracted var
+                s = c
+            if r != INSTANCE and vc.get(t) in single:
+                t = vc[t]
+            out.append((s, r, t))
+        return out
+
+    r1, r2 = reduce(triples1, vc1), reduce(triples2, vc2)
+    return r1, r2, set(var_concept_dict(r1)), set(var_concept_dict(r2))
+
+
+def prepare_pair(
+    triples1: list[Triple],
+    triples2: list[Triple],
+    compress: bool = False,
+) -> tuple[list[Triple], list[Triple], set[str], set[str]]:
+    """Reference _prepare_get_vars (preprocess.py:27-65): optional
+    compression, then affix ``aa_`` / ``bb_``."""
+    if compress:
+        triples1, triples2, v1, v2 = lossless_compress(triples1, triples2)
+    else:
+        v1 = set(var_concept_dict(triples1))
+        v2 = set(var_concept_dict(triples2))
+    triples1, v1 = affix_vars(triples1, v1, "aa_")
+    triples2, v2 = affix_vars(triples2, v2, "bb_")
+    return triples1, triples2, v1, v2
+
+
+def build_var_index(var1: set[str], var2: set[str]) -> dict[str, int]:
+    """Overlapping index spaces: each graph's sorted vars get 0..n-1
+    (reference align.py:107-111 — the two ranges deliberately share ids)."""
+    index: dict[str, int] = {}
+    for i, v in enumerate(sorted(var1)):
+        index[v] = i
+    for i, v in enumerate(sorted(var2)):
+        index[v] = i
+    return index
+
+
+def build_match_dicts(
+    triples1: list[Triple],
+    triples2: list[Triple],
+    var1: set[str],
+    var2: set[str],
+    var_index: dict[str, int],
+    concept_weight: float = 1.0,
+) -> tuple[dict, dict]:
+    """Unary and binary candidate-match score dictionaries
+    (reference align.py:20-71, exact-equality matcher).
+
+    unary[(i, i')]          — attribute/instance triples with one variable
+                              endpoint: rel + constant side must be equal.
+    binary[(i, i', j, j')]  — relation triples (both endpoints variables):
+                              rel equality, duplicate-capped, split into
+                              symmetric halves.
+    """
+    unary: Counter = Counter()
+    attrs1 = [tr for tr in triples1 if (tr[0] in var1) != (tr[2] in var1)]
+    attrs2 = [tr for tr in triples2 if (tr[0] in var2) != (tr[2] in var2)]
+    for s, r, t in attrs1:
+        i_src = var_index.get(s) if s in var1 else None
+        i_tgt = var_index.get(t) if t in var1 else None
+        for s2, r2, t2 in attrs2:
+            if i_src is not None and s2 in var2:
+                if r == r2 and t == t2:
+                    w = concept_weight if r == INSTANCE else 1.0
+                    unary[(i_src, var_index[s2])] += w
+                continue
+            if i_tgt is not None and t2 in var2 and s2 not in var2:
+                if r == r2 and s == s2:
+                    unary[(i_tgt, var_index[t2])] += 1.0
+
+    binary: Counter = Counter()
+    rels1 = Counter(tr for tr in triples1 if tr[0] in var1 and tr[2] in var1)
+    rels2 = Counter(tr for tr in triples2 if tr[0] in var2 and tr[2] in var2)
+    for (s, r, t), n1 in rels1.items():
+        i, j = var_index[s], var_index[t]
+        for (s2, r2, t2), n2 in rels2.items():
+            if r != r2:
+                continue
+            i2, j2 = var_index[s2], var_index[t2]
+            w = min(n1, n2)
+            binary[(i, i2, j, j2)] += w / 2
+            binary[(j, j2, i, i2)] += w / 2
+    return dict(unary), dict(binary)
+
+
+def _group_binary(binary: dict) -> dict:
+    """binary[(i,i',j,j')] → by_pair[(i,i')][(j,j')] (solvers.py:263-271)."""
+    grouped: dict = {}
+    for (a, b, c, d), w in binary.items():
+        grouped.setdefault((a, b), {})[(c, d)] = w
+    return grouped
+
+
+def alignment_score(align: np.ndarray, unary: dict, grouped: dict) -> float:
+    """Objective value of an alignment (solvers.py:62-89)."""
+    sc = 0.0
+    for i in range(align.shape[0]):
+        sc += unary.get((i, int(align[i])), 0.0)
+    for i in range(align.shape[0]):
+        pair = grouped.get((i, int(align[i])))
+        if not pair:
+            continue
+        for (k, l), w in pair.items():
+            if int(align[k]) == l:
+                sc += w
+    return sc
+
+
+def solve_exhaustive(unary: dict, binary: dict, V: int) -> tuple[np.ndarray, float, float]:
+    """Certified global optimum by enumerating all V! alignments — only
+    for small V (the optimum the reference gets from ILP)."""
+    grouped = _group_binary(binary)
+    best = None
+    best_score = -1.0
+    for perm in itertools.permutations(range(V)):
+        a = np.array(perm, dtype=int)
+        sc = alignment_score(a, unary, grouped)
+        if sc > best_score:
+            best_score = sc
+            best = a
+    if best is None:
+        best = np.arange(V, dtype=int)
+        best_score = 0.0
+    return best, best_score, best_score
+
+
+def solve_hillclimb(
+    unary: dict,
+    binary: dict,
+    V: int,
+    seed: int = 0,
+    restarts: int = 4,
+    max_iters: int = 1000,
+) -> tuple[np.ndarray, float, float]:
+    """Seeded steepest-ascent over transpositions with random restarts
+    (objective and move set of solvers.py:50-356; deterministic seeding
+    replaces the reference's global-RNG shuffle)."""
+    grouped = _group_binary(binary)
+
+    def climb(align: np.ndarray) -> tuple[np.ndarray, float]:
+        score = alignment_score(align, unary, grouped)
+        for _ in range(max_iters):
+            best_gain = 0.0
+            best_swap = None
+            for i in range(V):
+                for k in range(i):
+                    cand = align.copy()
+                    cand[i], cand[k] = align[k], align[i]
+                    gain = alignment_score(cand, unary, grouped) - score
+                    if gain > best_gain:
+                        best_gain = gain
+                        best_swap = (i, k)
+            if best_swap is None:
+                break
+            i, k = best_swap
+            align[i], align[k] = align[k], align[i]
+            score += best_gain
+        return align, score
+
+    best = None
+    best_score = -1.0
+    for init in range(restarts):
+        rng = random.Random((seed * 1000003 + init) & 0x7FFFFFFF)
+        perm = list(range(V))
+        rng.shuffle(perm)
+        align, score = climb(np.array(perm, dtype=int))
+        if score > best_score:
+            best_score = score
+            best = align
+    return best, best_score, float(10**7)
+
+
+def map_triples(
+    triples: list[Triple], align: np.ndarray, var_index: dict[str, int]
+) -> list[Triple]:
+    """Substitute graph-1 variables by their aligned graph-2 variable
+    names (score.py:81-141); unaligned vars keep their name."""
+    index_var2 = {i: v for v, i in var_index.items() if v.startswith("bb_")}
+    sub: dict[str, str] = {}
+    for s, r, t in triples:
+        for node in (s, t):
+            i = var_index.get(node)
+            if i is not None and node.startswith("aa_"):
+                partner = index_var2.get(int(align[i]))
+                sub[node] = partner if partner else node
+    return [(sub.get(s, s), r, sub.get(t, t)) for s, r, t in triples]
+
+
+def score_given_alignment(
+    triples1: list[Triple],
+    triples2: list[Triple],
+    align: np.ndarray,
+    var_index: dict[str, int],
+) -> tuple[float, float, int, int]:
+    """The match 4-vector (score.py:181-197): substitute, multiset-match
+    with duplicate caps, both directions."""
+    mapped = map_triples(triples1, align, var_index)
+    c1, c2 = Counter(mapped), Counter(triples2)
+    msum_x = sum(min(n, c2[tr]) for tr, n in c1.items() if tr in c2)
+    msum_y = sum(min(n, c1[tr]) for tr, n in c2.items() if tr in c1)
+    return float(msum_x), float(msum_y), len(mapped), len(triples2)
+
+
+def stable_pair_seed(pair_id: str) -> int:
+    """Process-independent seed (builtin ``hash`` is randomized per
+    Python process — an executor would disagree with the driver)."""
+    return zlib.crc32(str(pair_id).encode()) & 0xFFFF
+
+
+@dataclass
+class AlignConfig:
+    solver: str = "auto"  # auto | exhaustive | hillclimber | dummy
+    exhaustive_max_v: int = 7
+    restarts: int = 4
+    seed: int = 42
+    compress: bool = False
+    concept_weight: float = 1.0
+
+
+def process_pair(
+    triples1: list[Triple],
+    triples2: list[Triple],
+    cfg: AlignConfig | None = None,
+    pair_seed: int = 0,
+) -> dict:
+    """Full per-pair pipeline: prepare → match dicts → solve → score
+    (reference bindings.py:66-115)."""
+    cfg = cfg or AlignConfig()
+    t1, t2, v1, v2 = prepare_pair(triples1, triples2, cfg.compress)
+    if not v1 or not v2:
+        # no alignable variables: score directly on equality
+        msum_x, msum_y, xlen, ylen = score_given_alignment(
+            t1, t2, np.array([], dtype=int), {}
+        )
+        return dict(
+            matchsum_x=msum_x, matchsum_y=msum_y, xlen=xlen, ylen=ylen,
+            lower_bound=0.0, upper_bound=0.0, n_vars_a=len(v1), n_vars_b=len(v2),
+        )
+    var_index = build_var_index(v1, v2)
+    unary, binary = build_match_dicts(t1, t2, v1, v2, var_index, cfg.concept_weight)
+    V = max(len(v1), len(v2))
+    solver = cfg.solver
+    if solver == "auto":
+        solver = "exhaustive" if V <= cfg.exhaustive_max_v else "hillclimber"
+    if solver == "exhaustive":
+        align, lb, ub = solve_exhaustive(unary, binary, V)
+    elif solver == "hillclimber":
+        align, lb, ub = solve_hillclimb(
+            unary, binary, V, seed=cfg.seed * 7919 + pair_seed, restarts=cfg.restarts
+        )
+    elif solver == "dummy":
+        align, lb, ub = np.arange(V, dtype=int), 0.0, 0.0
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+    msum_x, msum_y, xlen, ylen = score_given_alignment(t1, t2, align, var_index)
+    return dict(
+        matchsum_x=msum_x, matchsum_y=msum_y, xlen=xlen, ylen=ylen,
+        lower_bound=float(lb), upper_bound=float(ub),
+        n_vars_a=len(v1), n_vars_b=len(v2),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark operator
+# --------------------------------------------------------------------------
+
+PAIR_STATS_SCHEMA = (
+    "pair_id string, matchsum_x double, matchsum_y double, xlen long, "
+    "ylen long, lower_bound double, upper_bound double, "
+    "n_vars_a int, n_vars_b int"
+)
+
+
+def align_and_score(
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    pair_col: str = "graph_id",
+    cfg: AlignConfig | None = None,
+) -> DataFrame:
+    """Corpus-scale pairwise alignment: one row of match statistics per
+    pair.
+
+    Physical shape: the two edge tables are tagged with a side column and
+    unioned, then ONE ``groupBy(pair_id).applyInPandas`` shuffles each
+    pair's triples into an Arrow batch and runs the numpy kernel — a
+    single exchange (a cogroup would shuffle both sides separately, and
+    trips Spark's ambiguous-self-join check when both sides derive from
+    the same table, the common case).  The embarrassingly parallel axis
+    is pairs, exactly where the reference loops sequentially
+    (bindings.py:118-130).  Skew note: one pair = one task at minimum
+    granularity; a pathologically giant pair dominates its own task but
+    never a whole executor's queue (AQE rebalances the rest).
+    """
+    cfg = cfg or AlignConfig()
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            F.col(pair_col).cast("string").alias("pair_id"),
+            "pos", "src", "rel", "dst",
+            F.lit(tag).alias("side"),
+        )
+
+    tagged = side(edges_a, 0).unionByName(side(edges_b, 1))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pair_id = pdf["pair_id"].iloc[0]
+        pdf_a = pdf[pdf["side"] == 0].sort_values("pos")
+        pdf_b = pdf[pdf["side"] == 1].sort_values("pos")
+        t1 = list(zip(pdf_a["src"], pdf_a["rel"], pdf_a["dst"]))
+        t2 = list(zip(pdf_b["src"], pdf_b["rel"], pdf_b["dst"]))
+        row = process_pair(t1, t2, cfg, pair_seed=stable_pair_seed(pair_id))
+        row["pair_id"] = pair_id
+        return pd.DataFrame([row])
+
+    return tagged.groupBy("pair_id").applyInPandas(kernel, PAIR_STATS_SCHEMA)

@@ -44,15 +44,25 @@ def parse_edges(
     corpus: DataFrame,
     content_col: str = "content",
     explicate_root: bool = True,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Parse the corpus into the global edge table.
 
     Only ``(graph_id, content)`` enter the Python worker; all other corpus
-    columns are pruned at the scan.
+    columns are pruned at the scan.  ``graph_id`` defaults to the
+    sha256(content) row invariant; pass ``id_col`` to key the edge table
+    by an existing column instead (e.g. a pair id, where identical
+    content in different pairs must not collapse).
     """
-    slim = with_graph_id(corpus, content_col).select(
-        "graph_id", F.col(content_col).alias("content")
-    )
+    if id_col is None:
+        slim = with_graph_id(corpus, content_col).select(
+            "graph_id", F.col(content_col).alias("content")
+        )
+    else:
+        slim = corpus.select(
+            F.col(id_col).cast("string").alias("graph_id"),
+            F.col(content_col).alias("content"),
+        )
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

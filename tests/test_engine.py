@@ -1,0 +1,135 @@
+"""End-to-end engine facade tests: corpus → parse → standardize → align →
+aggregate, cross-checked against the reference driven the same way."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from smatchpp_spark.corpus import generate_penman
+from smatchpp_spark.engine import EngineConfig, SmatchppSpark
+from smatchpp_spark.operators.align import AlignConfig
+
+ref = pytest.importorskip("smatchpp.data_helpers", reason="reference not importable")
+from smatchpp import data_helpers, preprocess, score, solvers  # noqa: E402
+from smatchpp import align as ref_align  # noqa: E402
+from smatchpp.formalism.generic import tools as generic_tools  # noqa: E402
+
+
+def _corpus_pairs(n: int):
+    pairs = []
+    for i in range(n):
+        rng = random.Random(f"engine:{i}")
+        pairs.append(
+            (
+                generate_penman(rng, max_nodes=5, max_depth=3),
+                generate_penman(rng, max_nodes=5, max_depth=3),
+            )
+        )
+    return pairs
+
+
+def ref_micro_macro(pairs):
+    reader = data_helpers.PenmanReader()
+    std = generic_tools.GenericStandardizer()
+    prep = preprocess.BasicGraphPairPreparer()
+    aligner = ref_align.GraphAligner(
+        score.IDTripleMatcher(), solvers.HillClimber(rand_inits=8)
+    )
+    scorer = score.TripleScorer()
+    stats = []
+    for s1, s2 in pairs:
+        g1 = std.standardize(reader.string2graph(s1))
+        g2 = std.standardize(reader.string2graph(s2))
+        random.seed(0)
+        t1, t2, v1, v2 = prep.prepare_get_vars(list(g1), list(g2))
+        am, vi, _ = aligner.align(t1, t2, v1, v2)
+        stats.append(list(scorer.score(list(t1), list(t2), am, vi)))
+    sums = [sum(col) for col in zip(*stats)]
+    micro_p = sums[0] / sums[2]
+    micro_r = sums[1] / sums[3]
+    micro_f1 = 2 * micro_p * micro_r / (micro_p + micro_r)
+    return (
+        round(100 * micro_f1, 2),
+        round(100 * micro_p, 2),
+        round(100 * micro_r, 2),
+        stats,
+    )
+
+
+def test_score_corpus_matches_reference(spark):
+    pairs = _corpus_pairs(12)
+    ca = spark.createDataFrame(
+        [(i, a) for i, (a, _) in enumerate(pairs)], "pair_id long, content string"
+    )
+    cb = spark.createDataFrame(
+        [(i, b) for i, (_, b) in enumerate(pairs)], "pair_id long, content string"
+    )
+    engine = SmatchppSpark(
+        EngineConfig(
+            standardizer="generic",
+            align=AlignConfig(solver="exhaustive", exhaustive_max_v=6),
+        )
+    )
+    results = engine.score_corpus(ca, cb)
+    micro = results["micro"].collect()[0]
+    ref_f1, ref_p, ref_r, ref_stats = ref_micro_macro(pairs)
+    assert (micro["f1"], micro["p"], micro["r"]) == (ref_f1, ref_p, ref_r)
+
+    got_pairs = {
+        int(r["pair_id"]): [r["matchsum_x"], r["matchsum_y"], r["xlen"], r["ylen"]]
+        for r in results["pairs"].collect()
+    }
+    for i, expect in enumerate(ref_stats):
+        assert got_pairs[i] == expect, i
+
+
+def test_identical_corpora_score_100(spark):
+    pairs = _corpus_pairs(6)
+    ca = spark.createDataFrame(
+        [(i, a) for i, (a, _) in enumerate(pairs)], "pair_id long, content string"
+    )
+    engine = SmatchppSpark(
+        EngineConfig(standardizer="generic", align=AlignConfig(solver="exhaustive"))
+    )
+    results = engine.score_corpus(ca, ca)
+    micro = results["micro"].collect()[0]
+    assert (micro["f1"], micro["p"], micro["r"]) == (100.0, 100.0, 100.0)
+
+
+def test_duplicate_content_across_pairs_does_not_collapse(spark):
+    g = "(m / man :arg0 (c / cat))"
+    other = "(d / dog)"
+    ca = spark.createDataFrame(
+        [(0, g), (1, g)], "pair_id long, content string"
+    )
+    cb = spark.createDataFrame(
+        [(0, g), (1, other)], "pair_id long, content string"
+    )
+    engine = SmatchppSpark(EngineConfig(standardizer="none"))
+    stats = engine.score_corpus(ca, cb)["pairs"].collect()
+    assert len(stats) == 2
+    by_pair = {int(r["pair_id"]): r for r in stats}
+    assert by_pair[0]["matchsum_x"] == by_pair[0]["xlen"]  # perfect match
+    assert by_pair[1]["matchsum_x"] < by_pair[1]["xlen"]
+
+
+def test_bootstrap_ci_bounds(spark):
+    pairs = _corpus_pairs(8)
+    ca = spark.createDataFrame(
+        [(i, a) for i, (a, _) in enumerate(pairs)], "pair_id long, content string"
+    )
+    cb = spark.createDataFrame(
+        [(i, b) for i, (_, b) in enumerate(pairs)], "pair_id long, content string"
+    )
+    engine = SmatchppSpark(
+        EngineConfig(standardizer="generic", bootstrap=True, n_resamples=50)
+    )
+    results = engine.score_corpus(ca, cb)
+    ci = results["micro_ci"].collect()[0]
+    micro = results["micro"].collect()[0]
+    assert 0.0 <= ci["lo"] <= ci["hi"] <= 100.0
+    assert ci["lo"] <= micro["f1"] + 1e-9
+    assert micro["f1"] <= ci["hi"] + 1e-9
