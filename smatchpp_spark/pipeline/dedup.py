@@ -63,15 +63,23 @@ def exact_dedup(
 
 def shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct word k-grams of the lowercased text; docs shorter than k
-    words use the whole (normalized) text as their single shingle."""
+    words use the whole (normalized) text as their single shingle.
+
+    Built as zip_with over k shifted slices of the token array — each
+    slice references the token expression once (constant per row).  The
+    per-gram element_at(i..i+k) formulation re-evaluates the whole
+    tokenize expression per element under projection collapse (O(n·k)
+    regex splits per document)."""
     t = F.transform(tokens(text_col), F.lower)
     n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(k)]
-        ),
-    )
+    m = F.greatest(n - (k - 1), F.lit(0))  # gram count (slice needs len >= 0)
+    grams = F.slice(t, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(t, j + 1, m),
+            lambda acc, w: F.concat(acc, F.lit(" "), w),
+        )
     whole = F.array(F.concat_ws(" ", t))
     return F.array_distinct(F.when(n < k, whole).otherwise(grams))
 
@@ -86,30 +94,42 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long> of length num_hashes).
 
-    sig[i] = min over shingles of hash(shingle || '#i') — the classic
-    per-seed min, computed inside one array expression (no explode, no
-    shuffle)."""
-    sh = shingles(text_col, shingle_k)
-
-    def _min_hash(i: int) -> Column:
-        return F.array_min(
-            F.transform(sh, lambda s: hash64(F.concat(s, F.lit(f"#{i}")), portable))
-        )
-
-    sig = F.array(*[_min_hash(i) for i in range(num_hashes)])
-    return docs.select(id_col, sig.alias("sig"))
+    sig[i] = min over shingles of hash(shingle || '#i'), computed
+    explode-style: one row per (doc, shingle) hashed k ways, then a
+    map-side-combined min aggregation.  An all-array formulation
+    (array_min over transform per seed) looks shuffle-free but Catalyst's
+    projection collapse inlines the whole tokenize+shingle expression
+    into every element access — measured ~50x slower.  The explode pass
+    evaluates shingling exactly once per document, and the min-agg
+    shuffle carries k longs per (partition, doc)."""
+    sh_rows = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
+    hashed = sh_rows.select(
+        id_col,
+        *[
+            hash64(F.concat(F.col("shingle"), F.lit(f"#{i}")), portable).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_bands(
     signatures: DataFrame,
+    num_hashes: int,
     id_col: str = "doc_id",
     band_size: int = 2,
     portable: bool = False,
 ) -> DataFrame:
     """Split each signature into bands; band key = hash of the joined band
     values.  Output (id, band_idx, band_hash) — the LSH bucket table."""
-    sig_len_row = signatures.select(F.size("sig").alias("n")).first()
-    n = sig_len_row["n"] if sig_len_row else 0
+    n = num_hashes
     bands = []
     for b in range(0, n, band_size):
         vals = [F.element_at("sig", i + 1).cast("string") for i in range(b, min(b + band_size, n))]
@@ -140,8 +160,17 @@ def neardup_pairs_minhash(
     larger than ``max_bucket`` are dropped before the self-join — the
     standard guard against degenerate buckets going quadratic at scale.
     """
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k, portable)
-    bands = lsh_bands(sigs, id_col, band_size, portable)
+    # materialize the signature table once: Catalyst's projection
+    # collapse would otherwise inline the full shingle+minhash expression
+    # tree into EVERY element_at() of the band projection (k× recompute,
+    # measured 25x slower end-to-end), and every downstream branch
+    # (bucket sizing, guard semi-join, both self-join sides) multiplies
+    # it again.  At scale this is the "write the signature table once"
+    # step of a production near-dup pipeline.
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_k, portable
+    ).localCheckpoint(eager=False)
+    bands = lsh_bands(sigs, num_hashes, id_col, band_size, portable)
     sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("sz"))
     bands = bands.join(
         sizes.filter(F.col("sz") <= max_bucket).select("band_idx", "band_hash"),
