@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from smatchpp_spark.functions.scores import (
     bootstrap_micro,
+    drop_empty_pairs,
     macro_scores,
     micro_scores,
     pairwise_scores,
@@ -116,3 +117,72 @@ class SmatchppSpark:
         if self.config.bootstrap:
             out["micro_ci"] = bootstrap_micro(stats, self.config.n_resamples)
         return out
+
+    def score_dimensions(
+        self,
+        corpus_a: DataFrame,
+        corpus_b: DataFrame,
+        pair_col: str = "pair_id",
+        content_col: str = "content",
+        dimension: str = "all-onealign",
+    ) -> dict[str, DataFrame]:
+        """Fine-grained per-aspect scoring (bindings.py:81-110).
+
+        ``all-onealign``: one whole-graph alignment per pair, every
+        aspect subgraph scored under it (plus the ``main`` dim).
+        ``all-multialign``: each aspect subgraph pair is prepared and
+        aligned independently — expressed by re-keying the aspect-tagged
+        edge tables on ``pair#aspect`` and running the same pairwise
+        kernel, so the aspect axis rides the same shuffle as the pair
+        axis.  Non-``main`` dims drop pairs whose 4-vector is all zero
+        before aggregation (eval_statistics.py:164-169).
+        """
+        from smatchpp_spark.operators.align import align_and_score
+        from smatchpp_spark.operators.aspect_scoring import (
+            alignment_table,
+            score_aspects_onealign,
+        )
+        from smatchpp_spark.operators.subgraphs import extract_all_aspects
+
+        ea = self._keyed_edges(corpus_a, pair_col, content_col)
+        eb = self._keyed_edges(corpus_b, pair_col, content_col)
+
+        if dimension == "all-onealign":
+            main = align_and_score(
+                ea, eb, pair_col="graph_id", cfg=self.config.align,
+                return_alignment=True,
+            ).localCheckpoint(eager=False)
+            alignment = alignment_table(main)
+            dims = score_aspects_onealign(ea, eb, alignment)
+            stats = dims.unionByName(
+                main.select(
+                    "pair_id",
+                    F.lit("main").alias("score_dim"),
+                    "matchsum_x", "matchsum_y", "xlen", "ylen",
+                )
+            )
+        elif dimension == "all-multialign":
+            asp_a = extract_all_aspects(ea).withColumn(
+                "pk", F.concat("graph_id", F.lit("#"), "aspect")
+            )
+            asp_b = extract_all_aspects(eb).withColumn(
+                "pk", F.concat("graph_id", F.lit("#"), "aspect")
+            )
+            raw = align_and_score(asp_a, asp_b, pair_col="pk", cfg=self.config.align)
+            stats = raw.select(
+                F.split("pair_id", "#").getItem(0).alias("pair_id"),
+                F.split("pair_id", "#").getItem(1).alias("score_dim"),
+                "matchsum_x", "matchsum_y", "xlen", "ylen",
+            )
+        else:
+            raise ValueError(f"unknown dimension {dimension!r}")
+
+        stats = stats.localCheckpoint(eager=False)
+        nonzero = drop_empty_pairs(stats.filter(F.col("score_dim") != "main")).unionByName(
+            stats.filter(F.col("score_dim") == "main")
+        )
+        return {
+            "pairs": stats,
+            "micro": micro_scores(nonzero, ["score_dim"]),
+            "macro": macro_scores(nonzero, ["score_dim"]),
+        }

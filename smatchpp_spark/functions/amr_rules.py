@@ -51,3 +51,414 @@ REIFY_RULES: dict[str, tuple[str, str, str]] = {
 DEREIFY_RULES: dict[str, tuple[str, str, str]] = {
     concept: (rel, a1, a2) for rel, (concept, a1, a2) in REIFY_RULES.items()
 }
+
+
+# 18 graph aspects (reference resource/graph_aspects.json, loaded at
+# formalism/amr/tools.py:36-44); dict layout mirrors the JSON resource.
+GRAPH_ASPECTS: dict[str, dict] = {
+    "AGENT": {
+        "associated_rel": [
+            ":arg0"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "CAUSE": {
+        "associated_rel": [
+            ":cause"
+        ],
+        "associated_concept_group": "cause",
+        "search_in_frame_descr": {
+            " cause ": ":cause"
+        },
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "CONCEPT": {
+        "associated_rel": [
+            ":instance"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 0,
+        "add_parent": 0,
+        "add_predicates": 0
+    },
+    "FOCUS": {
+        "associated_rel": [
+            ":root"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "INSTRUMENT": {
+        "associated_rel": [
+            ":instrument"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {
+            " instrument ": ":instrument",
+            " tool ": ":instrument",
+            "instrumental": ":instrument"
+        },
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "LOCATION (spatial)": {
+        "associated_rel": [
+            ":location",
+            ":path",
+            ":destination",
+            ":direction"
+        ],
+        "associated_concept_group": "locations",
+        "search_in_frame_descr": {
+            " location ": ":location",
+            " path ": ":path",
+            " destination ": ":destination",
+            " direction ": ":direction"
+        },
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "MATHS": {
+        "associated_rel": [],
+        "associated_concept_group": "math",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "NER": {
+        "associated_rel": [
+            ":name"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "PATIENT": {
+        "associated_rel": [
+            ":arg1",
+            ":arg2",
+            ":arg3",
+            ":arg4",
+            ":arg5",
+            ":arg6",
+            ":arg7",
+            ":arg8",
+            ":arg9"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "POLARITY": {
+        "associated_rel": [
+            ":polarity"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "POSSESSION": {
+        "associated_rel": [
+            ":poss"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {
+            " owner ": ":poss",
+            " possession ": ":poss-of"
+        },
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "PURPOSE": {
+        "associated_rel": [
+            ":purpose"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {
+            " purpose ": ":purpose"
+        },
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "QUANTIFIER": {
+        "associated_rel": [
+            ":quant"
+        ],
+        "associated_concept_group": "quantities",
+        "search_in_frame_descr": {
+            " quantity ": ":quant",
+            " amount ": ":quant"
+        },
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "QUESTION": {
+        "associated_rel": [],
+        "associated_concept_group": "questions",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 0,
+        "add_parent": 1,
+        "add_predicates": 1
+    },
+    "SRL-core": {
+        "associated_rel": [
+            ":arg0",
+            ":arg1",
+            ":arg2",
+            ":arg3",
+            ":arg4",
+            ":arg5",
+            ":arg6",
+            ":arg7",
+            ":arg8",
+            ":arg9"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "TIME (temporal)": {
+        "associated_rel": [
+            ":time",
+            ":duration",
+            ":frequency"
+        ],
+        "associated_concept_group": "dates",
+        "search_in_frame_descr": {
+            " time ": ":time",
+            " duration ": ":duration",
+            " frequency ": ":frequency"
+        },
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "TOPIC": {
+        "associated_rel": [
+            ":topic"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {
+            " topic ": ":topic"
+        },
+        "subgraph_extraction_range": 2,
+        "add_parent": 0,
+        "add_predicates": 1
+    },
+    "WIKI": {
+        "associated_rel": [
+            ":wiki"
+        ],
+        "associated_concept_group": "",
+        "search_in_frame_descr": {},
+        "subgraph_extraction_range": 0,
+        "add_parent": 0,
+        "add_predicates": 0
+    }
+}
+
+# concept groups (resource/concept_groups.json, tools.py:47-55)
+CONCEPT_GROUPS: dict[str, list[str]] = {
+    "animate": [
+        "person",
+        "family",
+        "animal",
+        "language",
+        "nationality",
+        "ethnic-group",
+        "regional-group",
+        "religious-group",
+        "political-movement"
+    ],
+    "cause": [
+        "cause-01"
+    ],
+    "dates": [
+        "date-entity",
+        "date-interval"
+    ],
+    "event": [
+        "incident",
+        "natural-disaster",
+        "earthquake",
+        "war",
+        "conference",
+        "game",
+        "festival"
+    ],
+    "facility": [
+        "airport",
+        "station",
+        "port",
+        "tunnel",
+        "bridge",
+        "road",
+        "railway-line",
+        "canal",
+        "building",
+        "theater",
+        "museum",
+        "palace",
+        "hotel",
+        "worship-place",
+        "market",
+        "sports-facility",
+        "park",
+        "zoo",
+        "amusement-park"
+    ],
+    "locations": [
+        "city",
+        "city-district",
+        "county",
+        "state",
+        "province",
+        "territory",
+        "country",
+        "local-region",
+        "country-region",
+        "world-region",
+        "continent",
+        "ocean",
+        "sea",
+        "lake",
+        "river",
+        "gulf",
+        "bay",
+        "strait",
+        "canal",
+        "peninsula",
+        "mountain",
+        "volcano",
+        "valley",
+        "canyon",
+        "island",
+        "desert",
+        "forest moon",
+        "planet",
+        "star",
+        "constellation"
+    ],
+    "math": [
+        "sum-of",
+        "product-of"
+    ],
+    "molecular-physical-entity": [
+        "small-molecule",
+        "protein",
+        "protein-family",
+        "protein-segment",
+        "amino-acid",
+        "macro-molecular-complex",
+        "enzyme",
+        "nucleic-acid",
+        "pathway",
+        "gene",
+        "dna-sequence",
+        "cell",
+        "cell-line",
+        "species",
+        "taxon",
+        "disease",
+        "medical-condition"
+    ],
+    "organization": [
+        "company",
+        "government-organization",
+        "military",
+        "criminal-organization",
+        "political-party",
+        "market-sector",
+        "school",
+        "university",
+        "research-institute",
+        "team",
+        "league"
+    ],
+    "product": [
+        "vehicle",
+        "ship",
+        "aircraft",
+        "aircraft-type",
+        "spaceship",
+        "car-make",
+        "work-of-art",
+        "picture",
+        "music",
+        "show",
+        "broadcast-program"
+    ],
+    "publication": [
+        "book",
+        "newspaper",
+        "magazine",
+        "journal"
+    ],
+    "quantities": [
+        "monetary-quantity",
+        "distance-quantity",
+        "area-quantity",
+        "volume-quantity",
+        "temporal-quantity",
+        "frequency-quantity",
+        "speed-quantity",
+        "acceleration-quantity",
+        "mass-quantity",
+        "force-quantity",
+        "pressure-quantity",
+        "energy-quantity",
+        "power-quantity",
+        "voltage-quantity (zap!)",
+        "charge-quantity",
+        "potential-quantity",
+        "resistance-quantity",
+        "inductance-quantity",
+        "magnetic-field-quantity",
+        "magnetic-flux-quantity",
+        "radiation-quantity",
+        "concentration-quantity",
+        "temperature-quantity",
+        "score-quantity",
+        "fuel-consumption-quantity",
+        "seismic-quantity"
+    ],
+    "questions": [
+        "amr-unknown"
+    ],
+    "technical": [
+        "award",
+        "law",
+        "court-decision",
+        "treaty",
+        "music-key",
+        "musical-note",
+        "food-dish",
+        "writing-script",
+        "variable",
+        "program"
+    ]
+}

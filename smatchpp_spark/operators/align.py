@@ -32,6 +32,7 @@ Scores are exact-equality matches (IDTripleMatcher, score.py:9-15);
 from __future__ import annotations
 
 import itertools
+import json
 import random
 import zlib
 from collections import Counter
@@ -312,6 +313,20 @@ class AlignConfig:
     concept_weight: float = 1.0
 
 
+def alignment_var_map(align: np.ndarray, var_index: dict[str, int]) -> dict[str, str]:
+    """Aligned variable pairs with affixes stripped: raw g1 var → raw g2
+    var (reference _get_var_map, align.py:78-89)."""
+    index_var2 = {i: v for v, i in var_index.items() if v.startswith("bb_")}
+    out = {}
+    for v, i in var_index.items():
+        if not v.startswith("aa_"):
+            continue
+        partner = index_var2.get(int(align[i]))
+        if partner is not None:
+            out[v[3:]] = partner[3:]
+    return out
+
+
 def process_pair(
     triples1: list[Triple],
     triples2: list[Triple],
@@ -330,6 +345,7 @@ def process_pair(
         return dict(
             matchsum_x=msum_x, matchsum_y=msum_y, xlen=xlen, ylen=ylen,
             lower_bound=0.0, upper_bound=0.0, n_vars_a=len(v1), n_vars_b=len(v2),
+            alignment="{}",
         )
     var_index = build_var_index(v1, v2)
     unary, binary = build_match_dicts(t1, t2, v1, v2, var_index, cfg.concept_weight)
@@ -352,6 +368,7 @@ def process_pair(
         matchsum_x=msum_x, matchsum_y=msum_y, xlen=xlen, ylen=ylen,
         lower_bound=float(lb), upper_bound=float(ub),
         n_vars_a=len(v1), n_vars_b=len(v2),
+        alignment=json.dumps(alignment_var_map(align, var_index), sort_keys=True),
     )
 
 
@@ -364,6 +381,7 @@ PAIR_STATS_SCHEMA = (
     "ylen long, lower_bound double, upper_bound double, "
     "n_vars_a int, n_vars_b int"
 )
+PAIR_STATS_ALIGN_SCHEMA = PAIR_STATS_SCHEMA + ", alignment string"
 
 
 def align_and_score(
@@ -371,6 +389,7 @@ def align_and_score(
     edges_b: DataFrame,
     pair_col: str = "graph_id",
     cfg: AlignConfig | None = None,
+    return_alignment: bool = False,
 ) -> DataFrame:
     """Corpus-scale pairwise alignment: one row of match statistics per
     pair.
@@ -405,6 +424,9 @@ def align_and_score(
         t2 = list(zip(pdf_b["src"], pdf_b["rel"], pdf_b["dst"]))
         row = process_pair(t1, t2, cfg, pair_seed=stable_pair_seed(pair_id))
         row["pair_id"] = pair_id
+        if not return_alignment:
+            row.pop("alignment", None)
         return pd.DataFrame([row])
 
-    return tagged.groupBy("pair_id").applyInPandas(kernel, PAIR_STATS_SCHEMA)
+    schema = PAIR_STATS_ALIGN_SCHEMA if return_alignment else PAIR_STATS_SCHEMA
+    return tagged.groupBy("pair_id").applyInPandas(kernel, schema)
