@@ -29,7 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smatchpp_spark.operators.supersteps import SuperstepRunner, max_abs_delta
+from smatchpp_spark.operators.supersteps import SuperstepRunner
 
 
 @dataclass
@@ -62,7 +62,20 @@ def pagerank(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    vertices = _vertices(edges).repartition(num_partitions, "vertex").persist()
+    out_deg = edges.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    # vertex table carries the dangling flag so the per-step dangling
+    # mass is a plain column aggregation over the state — a semi-join
+    # against a dangling table would rebuild its broadcast hash table on
+    # the driver EVERY superstep, a serial cost that caps scaling
+    vertices = (
+        _vertices(edges)
+        .join(out_deg, "vertex", "left")
+        .select("vertex", F.col("out_deg").isNull().alias("dangling"))
+        .repartition(num_partitions, "vertex")
+        .persist()
+    )
     n = vertices.count()
     if n == 0:
         return PageRankResult(
@@ -72,9 +85,6 @@ def pagerank(
             metrics=[],
         )
 
-    out_deg = edges.groupBy(F.col("src").alias("vertex")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
     # static per-superstep join side: one row per edge with 1/out_deg(src),
     # hash-partitioned by src once and persisted for reuse across steps
     contrib_edges = (
@@ -86,31 +96,48 @@ def pagerank(
     )
     n_edges = contrib_edges.count()  # also forces the persist
 
-    dangling = vertices.join(
-        out_deg, "vertex", "left_anti"
-    ).persist()  # vertices with no outgoing edges
-
-    init = vertices.select("vertex", F.lit(1.0 / n).alias("rank"))
+    init = vertices.select(
+        "vertex", "dangling", F.lit(1.0 / n).alias("rank"),
+        F.lit(float("nan")).alias("prev_rank"),
+    )
 
     def step(state: DataFrame, k: int) -> DataFrame:
-        dangling_mass = (
-            state.join(dangling, "vertex", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # one action per superstep: dangling mass is a scan-aggregation
+        # of the (checkpointed) state broadcast as a 1-row scalar, and
+        # the previous rank rides along in the output so convergence is
+        # a scan of the new state, not a separate old⋈new join job
+        base_df = (
+            state.filter("dangling")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .select(
+                (
+                    F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.col("dm") / F.lit(float(n))
+                ).alias("base")
+            )
         )
         contribs = (
-            state.withColumnRenamed("vertex", "src")
+            state.select(F.col("vertex").alias("src"), "rank")
             .join(contrib_edges, "src")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
         )
-        base = (1.0 - alpha) / n + alpha * dangling_mass / n
-        return vertices.join(contribs, "vertex", "left").select(
-            "vertex",
-            (F.lit(base) + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))).alias(
-                "rank"
-            ),
+        return (
+            state.select("vertex", "dangling", F.col("rank").alias("old_rank"))
+            .join(contribs, "vertex", "left")
+            .crossJoin(F.broadcast(base_df))
+            .select(
+                "vertex",
+                "dangling",
+                (
+                    F.col("base") + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+                F.col("old_rank").alias("prev_rank"),
+            )
         )
+
+    def delta_fn(old: DataFrame, new: DataFrame) -> float:
+        row = new.agg(F.max(F.abs(F.col("rank") - F.col("prev_rank")))).collect()[0]
+        return row[0] if row[0] is not None else float("inf")
 
     runner = SuperstepRunner(
         spark,
@@ -123,15 +150,14 @@ def pagerank(
     result = runner.run(
         init,
         step,
-        max_abs_delta("rank"),
+        delta_fn,
         edges_processed_per_step=n_edges,
         resume=resume,
     )
     vertices.unpersist()
     contrib_edges.unpersist()
-    dangling.unpersist()
     return PageRankResult(
-        ranks=result.state,
+        ranks=result.state.select("vertex", "rank"),
         supersteps=result.supersteps,
         converged=result.converged,
         metrics=result.metrics,

@@ -159,7 +159,12 @@ class SuperstepRunner:
                 "delta": delta,
                 "edges_processed": edges_processed_per_step,
                 "wall_ms": wall_ms,
-                "partitions": self._partition_lineage(new_state),
+                # the per-partition breakdown costs one extra job per
+                # superstep; record it only on checkpointed (resumable)
+                # runs, where the lineage contract applies
+                "partitions": self._partition_lineage(new_state)
+                if self.checkpoint_dir
+                else [],
             }
             self._log_metrics(record)
             if not self.checkpoint_dir:
