@@ -131,6 +131,17 @@ def build_var_index(var1: set[str], var2: set[str]) -> dict[str, int]:
     return index
 
 
+def _sim_lookup(
+    concept_sim: dict[tuple[str, str], float] | None, a: str, b: str
+) -> float:
+    """Graded concept similarity, symmetric, equality always 1.0."""
+    if a == b:
+        return 1.0
+    if not concept_sim:
+        return 0.0
+    return concept_sim.get((a, b), concept_sim.get((b, a), 0.0))
+
+
 def build_match_dicts(
     triples1: list[Triple],
     triples2: list[Triple],
@@ -138,6 +149,7 @@ def build_match_dicts(
     var2: set[str],
     var_index: dict[str, int],
     concept_weight: float = 1.0,
+    concept_sim: dict[tuple[str, str], float] | None = None,
 ) -> tuple[dict, dict]:
     """Unary and binary candidate-match score dictionaries
     (reference align.py:20-71, exact-equality matcher).
@@ -159,6 +171,12 @@ def build_match_dicts(
                 if r == r2 and t == t2:
                     w = concept_weight if r == INSTANCE else 1.0
                     unary[(i_src, var_index[s2])] += w
+                elif concept_sim and r == r2 == INSTANCE:
+                    # graded concept match (EmbeddingConceptMatcher,
+                    # score.py:50-64: same masked source, both :instance)
+                    sim = _sim_lookup(concept_sim, t, t2)
+                    if sim > 0.0:
+                        unary[(i_src, var_index[s2])] += sim
                 continue
             if i_tgt is not None and t2 in var2 and s2 not in var2:
                 if r == r2 and s == s2:
@@ -287,14 +305,46 @@ def score_given_alignment(
     triples2: list[Triple],
     align: np.ndarray,
     var_index: dict[str, int],
+    concept_sim: dict[tuple[str, str], float] | None = None,
 ) -> tuple[float, float, int, int]:
     """The match 4-vector (score.py:181-197): substitute, multiset-match
-    with duplicate caps, both directions."""
+    with duplicate caps, both directions.  With a graded matcher the
+    matchsum is the reference's greedy max over candidates
+    (score.py:143-179); with the exact matcher that reduces to the fast
+    multiset-intersection path."""
     mapped = map_triples(triples1, align, var_index)
     c1, c2 = Counter(mapped), Counter(triples2)
-    msum_x = sum(min(n, c2[tr]) for tr, n in c1.items() if tr in c2)
-    msum_y = sum(min(n, c1[tr]) for tr, n in c2.items() if tr in c1)
-    return float(msum_x), float(msum_y), len(mapped), len(triples2)
+    if not concept_sim:
+        msum_x = sum(min(n, c2[tr]) for tr, n in c1.items() if tr in c2)
+        msum_y = sum(min(n, c1[tr]) for tr, n in c2.items() if tr in c1)
+        return float(msum_x), float(msum_y), len(mapped), len(triples2)
+
+    def graded(tr_a: Triple, tr_b: Triple) -> float:
+        if tr_a == tr_b:
+            return 1.0
+        if tr_a[0] != tr_b[0]:
+            return 0.0
+        if tr_a[1] == tr_b[1] == INSTANCE:
+            return _sim_lookup(concept_sim, tr_a[2], tr_b[2])
+        return 0.0
+
+    def greedy_matchsum(ca: Counter, cb: Counter) -> float:
+        total = 0.0
+        for tr_a, na in ca.items():
+            best = 0.0
+            for tr_b, nb in cb.items():
+                m = graded(tr_a, tr_b) * min(na, nb)
+                if m > best:
+                    best = m
+            total += best
+        return total
+
+    return (
+        greedy_matchsum(c1, c2),
+        greedy_matchsum(c2, c1),
+        len(mapped),
+        len(triples2),
+    )
 
 
 def stable_pair_seed(pair_id: str) -> int:
@@ -311,6 +361,11 @@ class AlignConfig:
     seed: int = 42
     compress: bool = False
     concept_weight: float = 1.0
+    # graded concept similarity (EmbeddingConceptMatcher analog,
+    # score.py:31-65): symmetric dict (concept_a, concept_b) -> [0, 1];
+    # exact equality still scores 1.0.  Ships to executors inside the
+    # kernel closure (keep it small, e.g. a top-k-neighbors table).
+    concept_sim: dict[tuple[str, str], float] | None = None
 
 
 def alignment_var_map(align: np.ndarray, var_index: dict[str, int]) -> dict[str, str]:
@@ -348,7 +403,9 @@ def process_pair(
             alignment="{}",
         )
     var_index = build_var_index(v1, v2)
-    unary, binary = build_match_dicts(t1, t2, v1, v2, var_index, cfg.concept_weight)
+    unary, binary = build_match_dicts(
+        t1, t2, v1, v2, var_index, cfg.concept_weight, cfg.concept_sim
+    )
     V = max(len(v1), len(v2))
     solver = cfg.solver
     if solver == "auto":
@@ -363,7 +420,9 @@ def process_pair(
         align, lb, ub = np.arange(V, dtype=int), 0.0, 0.0
     else:
         raise ValueError(f"unknown solver {solver!r}")
-    msum_x, msum_y, xlen, ylen = score_given_alignment(t1, t2, align, var_index)
+    msum_x, msum_y, xlen, ylen = score_given_alignment(
+        t1, t2, align, var_index, cfg.concept_sim
+    )
     return dict(
         matchsum_x=msum_x, matchsum_y=msum_y, xlen=xlen, ylen=ylen,
         lower_bound=float(lb), upper_bound=float(ub),

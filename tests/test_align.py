@@ -190,3 +190,30 @@ def test_spark_operator_matches_kernel(spark):
         assert got[str(i)] == (
             row["matchsum_x"], row["matchsum_y"], row["xlen"], row["ylen"]
         ), i
+
+
+def test_graded_concept_matcher():
+    """EmbeddingConceptMatcher analog (score.py:31-65): graded similarity
+    applies to :instance triples with matching (masked) sources, in both
+    the alignment objective and the matchsum."""
+    sim = {("cat", "kitten"): 0.8, ("dog", "wolf"): 0.5}
+    cfg = myalign.AlignConfig(solver="exhaustive", concept_sim=sim)
+    g1 = READER.string2graph("(x / cat)")
+    g2 = READER.string2graph("(y / kitten)")
+    row = myalign.process_pair(list(g1), list(g2), cfg)
+    # root triple matches exactly (1.0) + instance graded 0.8
+    assert row["matchsum_x"] == pytest.approx(1.8)
+    assert row["matchsum_y"] == pytest.approx(1.8)
+    assert (row["xlen"], row["ylen"]) == (2, 2)
+    # without the graded matcher only the root survives
+    plain = myalign.process_pair(
+        list(g1), list(g2), myalign.AlignConfig(solver="exhaustive")
+    )
+    assert plain["matchsum_x"] == 1.0
+    # graded alignment steers the solver: dog aligns to wolf, not to an
+    # unrelated node
+    g3 = READER.string2graph("(a / dog :arg0 (b / bird))")
+    g4 = READER.string2graph("(c / wolf :arg0 (d / fish))")
+    row2 = myalign.process_pair(list(g3), list(g4), cfg)
+    # matches: root 1.0 + dog~wolf 0.8? no: 0.5 + :arg0 edge exact 1.0
+    assert row2["matchsum_x"] == pytest.approx(1.0 + 0.5 + 1.0)
