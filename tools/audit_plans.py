@@ -1,0 +1,96 @@
+"""Capture physical plans of headline queries into PLANS.md — evidence
+that scans prune/push down, small sides broadcast, joins stay JVM-side,
+and whole-stage codegen covers the hot paths."""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+CHECKS = {
+    "degrees": [
+        ("ReadSchema: struct<l_orderkey:bigint>",
+         "column pruning per union branch: each endpoint scan reads ONE of "
+         "11 lineitem columns"),
+        ("codegen id", "hot path inside whole-stage codegen"),
+    ],
+    "emb_cosine_topk": [
+        ("BroadcastExchange", "query side broadcast — no shuffle of the corpus side"),
+        ("PushedFilters: [IsNotNull(vec_id)]",
+         "predicate pushdown reaches the parquet scan"),
+    ],
+    "reentrancies": [
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int>",
+         "triple-table derivation prunes to the 4-5 source columns it needs"),
+        ("codegen id", "joins + conditional projections stay in codegen"),
+    ],
+    "doc_exact_dedup": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "2 of 5 document columns scanned"),
+        ("HashAggregate", "map-side partial aggregation absorbs duplicates"),
+    ],
+}
+
+
+def main() -> None:
+    import __spark_entry__ as em
+    from smatchpp_spark import get_spark
+
+    # AQE off for the audit only: adaptive plans print as unresolved
+    # AdaptiveSparkPlan wrappers, hiding codegen annotations; the static
+    # plan shows the same operators plus [codegen id] spans
+    spark = get_spark(
+        master="local[8]", shuffle_partitions=8,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    qs = em.queries()
+    out = [
+        "# PLANS — physical-plan audit of headline queries",
+        "",
+        "Captured from `.explain('formatted')` at sf0.01 "
+        "(`python tools/audit_plans.py`). What to look for in each:",
+        "",
+    ]
+    for name, checks in CHECKS.items():
+        df = qs[name](spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # keep the tree + scan/exchange detail lines, drop the node dump noise
+        tree = plan.split("\n\n")[0]
+        details = "\n".join(
+            line
+            for line in plan.splitlines()
+            if re.search(r"ReadSchema|PushedFilters|Batched|codegen id", line)
+        )
+        out.append(f"## {name}")
+        out.append("")
+        for needle, why in checks:
+            status = "✓" if needle in plan else "✗"
+            out.append(f"- {status} `{needle}` — {why}")
+        out.append("")
+        out.append("```")
+        out.append(tree.strip())
+        if details:
+            out.append("-- scan details --")
+            out.append(details)
+        out.append("```")
+        out.append("")
+    with open("/root/repo/PLANS.md", "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
