@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smatchpp_spark.functions.hashing import duckdb_hash64_sql
+from smatchpp_spark.sources.tables import TPCH_EDGES_SQL as _TPCH_EDGES_SQL
 from smatchpp_spark.functions.scores import macro_scores, micro_scores
 from smatchpp_spark.operators.components import connected_components
 from smatchpp_spark.operators.degrees import degrees, graph_degrees, reentrancies
@@ -205,9 +206,9 @@ def _h(expr: str) -> str:
     return duckdb_hash64_sql(expr)
 
 
-def _pagerank_sql(iters: int, alpha: float = ALPHA) -> str:
+def _pagerank_sql(iters: int, alpha: float = ALPHA, edge_sql: str | None = None) -> str:
     parts = [
-        f"WITH e AS ({SQL_E_OP}),",
+        f"WITH e AS ({edge_sql or SQL_E_OP}),",
         "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
         "outd AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),",
@@ -360,6 +361,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_fixed"] = _pr
 
+    def _pr_hetero(spark, sf):
+        from smatchpp_spark.sources.tables import tpch_edges
+
+        r = pagerank(
+            tpch_edges(spark, sf), alpha=ALPHA, tol=-1.0, max_supersteps=PR_STEPS
+        )
+        return r.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_hetero"] = _pr_hetero
+
     def _cc(spark, sf):
         return connected_components(_e_cust(spark, sf)).components
 
@@ -461,6 +472,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["amr_standardize_sizes"] = _amr
 
+    # ---- rows-only: full smatch pipeline (parse → standardize → align →
+    # micro/macro) on a deterministic synthetic pair corpus
+    def _smatch(spark, sf):
+        from smatchpp_spark.corpus import generate_corpus_rows
+        from smatchpp_spark.engine import EngineConfig, SmatchppSpark
+        from smatchpp_spark.operators.align import AlignConfig
+
+        rows_a = generate_corpus_rows(60, seed=11)
+        rows_b = generate_corpus_rows(60, seed=12)
+        ca = spark.createDataFrame(
+            [(i, r[4]) for i, r in enumerate(rows_a)], "pair_id long, content string"
+        )
+        cb = spark.createDataFrame(
+            [(i, r[4]) for i, r in enumerate(rows_b)], "pair_id long, content string"
+        )
+        eng = SmatchppSpark(
+            EngineConfig(standardizer="generic", align=AlignConfig(solver="auto"))
+        )
+        res = eng.score_corpus(ca, cb)
+        micro = res["micro"].select(F.lit("micro").alias("score_type"), "f1", "p", "r")
+        macro = res["macro"].select(F.lit("macro").alias("score_type"), "f1", "p", "r")
+        return micro.unionByName(macro)
+
+    q["smatch_micro_macro"] = _smatch
+
     return q
 
 
@@ -489,6 +525,7 @@ SELECT vertex, CAST(SUM(i) AS BIGINT) AS in_deg, CAST(SUM(o) AS BIGINT) AS out_d
 FROM ends GROUP BY vertex
 """,
         "pagerank_fixed": _pagerank_sql(PR_STEPS),
+        "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),
 und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

@@ -17,4 +17,13 @@ from smatchpp_spark.session import get_spark
 
 EDGE_COLUMNS = ("graph_id", "src", "rel", "dst")
 
-__all__ = ["get_spark", "EDGE_COLUMNS"]
+__all__ = ["get_spark", "EDGE_COLUMNS", "SmatchppSpark", "EngineConfig"]
+
+
+def __getattr__(name):
+    # lazy so `import smatchpp_spark` stays light for spark-submit workers
+    if name in ("SmatchppSpark", "EngineConfig"):
+        from smatchpp_spark import engine
+
+        return getattr(engine, name)
+    raise AttributeError(name)

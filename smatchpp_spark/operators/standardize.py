@@ -107,14 +107,18 @@ def constants(edges: DataFrame) -> DataFrame:
     return non_var_ends.unionByName(concepts).distinct()
 
 
-def relabel_vars(edges: DataFrame, max_collision_rounds: int = 8) -> DataFrame:
+def relabel_vars(edges: DataFrame) -> DataFrame:
     """Rename variables to ``<first-concept-char><n>`` (graph_transforms.py:32-73).
 
     Naming order is the first-occurrence order of each variable's
     :instance triple (= the reference's dict iteration order), expressed
     as a row_number window per (graph, first-char).  Collisions with the
-    constant set get 'x' appended, iterated to a fixpoint: each round is
-    one join + one column rewrite, and real graphs settle in ≤2 rounds.
+    constant set get 'x' appended until free (reference loop); resolved
+    here in closed form with ONE join: a constant c blocks candidate
+    ``name + 'x'*k`` iff ``rtrim_x(c) == rtrim_x(name)`` and
+    ``len(c) >= len(name)`` (k = len difference), so the final suffix
+    length is the smallest non-negative integer missing from the blocked
+    set — a sorted-array gap fold, no driver-side fixpoint probing.
     """
     var_tbl = variables(edges)
     base = F.substring("concept", 1, 1)
@@ -131,22 +135,42 @@ def relabel_vars(edges: DataFrame, max_collision_rounds: int = 8) -> DataFrame:
         .select("graph_id", "var", "new_var")
     )
 
-    const_tbl = constants(edges).withColumnRenamed("name", "new_var")
-    for _ in range(max_collision_rounds):
-        collisions = named.join(const_tbl, ["graph_id", "new_var"], "left_semi")
-        if collisions.isEmpty():
-            break
-        named = named.join(
-            const_tbl.withColumn("clash", F.lit(True)),
-            ["graph_id", "new_var"],
-            "left",
-        ).select(
+    rtrim_x = lambda c: F.regexp_replace(c, "x+$", "")  # noqa: E731
+    const_tbl = constants(edges).select(
+        "graph_id",
+        rtrim_x(F.col("name")).alias("stem"),
+        F.length("name").alias("clen"),
+    )
+    blocked = (
+        named.withColumn("stem", rtrim_x(F.col("new_var")))
+        .join(const_tbl, ["graph_id", "stem"])
+        .filter(F.col("clen") >= F.length("new_var"))
+        .groupBy("graph_id", "var")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.col("clen") - F.length("new_var"))
+            ).alias("ks")
+        )
+        .withColumn(
+            "n_x",
+            F.aggregate(
+                "ks",
+                F.lit(0),
+                lambda acc, k: F.when(k == acc, acc + 1).otherwise(acc),
+            ),
+        )
+        .select("graph_id", "var", "n_x")
+    )
+    named = (
+        named.join(blocked, ["graph_id", "var"], "left")
+        .select(
             "graph_id",
             "var",
-            F.when(F.col("clash"), F.concat("new_var", F.lit("x")))
-            .otherwise(F.col("new_var"))
-            .alias("new_var"),
+            F.concat(
+                "new_var", F.repeat(F.lit("x"), F.coalesce("n_x", F.lit(0)))
+            ).alias("new_var"),
         )
+    )
 
     src_map = named.withColumnRenamed("var", "src").withColumnRenamed(
         "new_var", "new_src"
