@@ -115,3 +115,65 @@ def test_alignment_table_roundtrip(spark):
     rows = alignment_table(stats).collect()
     got = {(r["var_a"], r["var_b"]) for r in rows}
     assert got == {("m", "m"), ("c", "c")}
+
+
+def test_multialign_aspect_scores_match_reference(spark):
+    """all-multialign: each aspect pair prepared + aligned independently
+    (bindings.py:96-110); our re-keyed pairwise kernel must reproduce the
+    reference per-dim 4-vectors (small aspect subgraphs -> exhaustive
+    optimum == reference hill-climber optimum)."""
+    from smatchpp_spark.engine import EngineConfig, SmatchppSpark
+    from smatchpp_spark.operators.align import AlignConfig
+
+    n_pairs = 8
+    pairs = []
+    for i in range(n_pairs):
+        rng = random.Random(f"multi:{i}")
+        pairs.append(
+            (
+                generate_penman(rng, max_nodes=7, max_depth=3),
+                generate_penman(rng, max_nodes=7, max_depth=3),
+            )
+        )
+
+    prep = preprocess.BasicGraphPairPreparer()
+    aligner = ref_align.GraphAligner(
+        score.IDTripleMatcher(), solvers.HillClimber(rand_inits=8)
+    )
+    scorer = score.TripleScorer()
+    extractor = _ref_extractor()
+
+    expected: dict[tuple[str, str], list[float]] = {}
+    for i, (s1, s2) in enumerate(pairs):
+        g1 = READER.string2graph(s1)
+        g2 = READER.string2graph(s2)
+        sub1 = extractor.all_subgraphs_by_name(list(g1))
+        sub2 = extractor.all_subgraphs_by_name(list(g2))
+        for name in sub1:
+            random.seed(0)
+            t1, t2, v1, v2 = prep.prepare_get_vars(list(sub1[name]), list(sub2[name]))
+            am, vi, _ = aligner.align(t1, t2, v1, v2)
+            expected[(str(i), name)] = list(scorer.score(list(t1), list(t2), am, vi))
+
+    ca = spark.createDataFrame(
+        [(str(i), a) for i, (a, _) in enumerate(pairs)], "pair_id string, content string"
+    )
+    cb = spark.createDataFrame(
+        [(str(i), b) for i, (_, b) in enumerate(pairs)], "pair_id string, content string"
+    )
+    eng = SmatchppSpark(
+        EngineConfig(standardizer="none", align=AlignConfig(solver="exhaustive"))
+    )
+    res = eng.score_dimensions(ca, cb, dimension="all-multialign")
+    got = {
+        (r["pair_id"], r["score_dim"]): [
+            r["matchsum_x"], r["matchsum_y"], float(r["xlen"]), float(r["ylen"])
+        ]
+        for r in res["pairs"].collect()
+    }
+    mismatches = []
+    for key, exp in expected.items():
+        mine = got.get(key, [0.0, 0.0, 0.0, 0.0])
+        if mine != exp:
+            mismatches.append((key, mine, exp))
+    assert not mismatches, mismatches[:5]
