@@ -238,6 +238,52 @@ def solve_exhaustive(unary: dict, binary: dict, V: int) -> tuple[np.ndarray, flo
     return best, best_score, best_score
 
 
+def swap_gain(
+    align: np.ndarray, unary: dict, grouped: dict, i: int, k: int
+) -> float:
+    """Exact objective delta of transposing alignments i and k, in
+    O(row-size) instead of re-scoring O(V²) (the move evaluation the
+    reference computes at solvers.py:91-144; this version is the true
+    delta, validated against full re-scoring by a property test).
+
+    Derivation: every binary term involving position p appears once in
+    row p and (by the symmetric half-weight construction) once mirrored
+    in its partner's row, so the delta of rows i and k doubles — except
+    cross terms between i and k (each mirror is itself a changed row)
+    and self-loop terms (both halves live in one key), which the two
+    corrections below de-duplicate.
+    """
+    j, l = int(align[i]), int(align[k])
+
+    def row(p: int, ap: int, a: np.ndarray) -> float:
+        entries = grouped.get((p, ap))
+        if not entries:
+            return 0.0
+        return sum(w for (q, aq), w in entries.items() if int(a[q]) == aq)
+
+    def cross(p1: int, a1: int, p2: int, a2: int) -> float:
+        return grouped.get((p1, a1), {}).get((p2, a2), 0.0) + grouped.get(
+            (p2, a2), {}
+        ).get((p1, a1), 0.0)
+
+    def self_term(p: int, ap: int) -> float:
+        return grouped.get((p, ap), {}).get((p, ap), 0.0)
+
+    unary_delta = (
+        unary.get((i, l), 0.0)
+        + unary.get((k, j), 0.0)
+        - unary.get((i, j), 0.0)
+        - unary.get((k, l), 0.0)
+    )
+    old_rows = row(i, j, align) + row(k, l, align)
+    old_fix = cross(i, j, k, l) + self_term(i, j) + self_term(k, l)
+    align[i], align[k] = l, j
+    new_rows = row(i, l, align) + row(k, j, align)
+    new_fix = cross(i, l, k, j) + self_term(i, l) + self_term(k, j)
+    align[i], align[k] = j, l
+    return unary_delta + 2.0 * (new_rows - old_rows) - (new_fix - old_fix)
+
+
 def solve_hillclimb(
     unary: dict,
     binary: dict,
@@ -254,13 +300,11 @@ def solve_hillclimb(
     def climb(align: np.ndarray) -> tuple[np.ndarray, float]:
         score = alignment_score(align, unary, grouped)
         for _ in range(max_iters):
-            best_gain = 0.0
+            best_gain = 1e-12  # float-noise floor: only strictly positive moves
             best_swap = None
             for i in range(V):
                 for k in range(i):
-                    cand = align.copy()
-                    cand[i], cand[k] = align[k], align[i]
-                    gain = alignment_score(cand, unary, grouped) - score
+                    gain = swap_gain(align, unary, grouped, i, k)
                     if gain > best_gain:
                         best_gain = gain
                         best_swap = (i, k)
@@ -269,7 +313,7 @@ def solve_hillclimb(
             i, k = best_swap
             align[i], align[k] = align[k], align[i]
             score += best_gain
-        return align, score
+        return align, alignment_score(align, unary, grouped)
 
     best = None
     best_score = -1.0

@@ -217,3 +217,30 @@ def test_graded_concept_matcher():
     row2 = myalign.process_pair(list(g3), list(g4), cfg)
     # matches: root 1.0 + dog~wolf 0.8? no: 0.5 + :arg0 edge exact 1.0
     assert row2["matchsum_x"] == pytest.approx(1.0 + 0.5 + 1.0)
+
+
+def test_swap_gain_equals_full_rescore():
+    """Property: incremental swap_gain == full objective re-scoring delta
+    on random match dicts (includes self-loops and i-k cross terms)."""
+    rng = random.Random(99)
+    for trial in range(200):
+        V = rng.randint(2, 7)
+        unary = {
+            (rng.randrange(V), rng.randrange(V)): rng.randint(1, 3) * 0.5
+            for _ in range(rng.randint(0, 8))
+        }
+        binary = {}
+        for _ in range(rng.randint(0, 10)):
+            a, b, c, d = (rng.randrange(V) for _ in range(4))
+            binary[(a, b, c, d)] = binary.get((a, b, c, d), 0.0) + 0.5
+            binary[(c, d, a, b)] = binary.get((c, d, a, b), 0.0) + 0.5
+        grouped = myalign._group_binary(binary)
+        align = np.array(rng.sample(range(V), V), dtype=int)
+        i = rng.randrange(1, V)
+        k = rng.randrange(0, i)
+        before = myalign.alignment_score(align, unary, grouped)
+        inc = myalign.swap_gain(align, unary, grouped, i, k)
+        swapped = align.copy()
+        swapped[i], swapped[k] = align[k], align[i]
+        full = myalign.alignment_score(swapped, unary, grouped) - before
+        assert inc == pytest.approx(full), (trial, V, align, i, k, unary, binary)
