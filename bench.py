@@ -64,6 +64,14 @@ def main() -> None:
 
         return deco
 
+    # warm the Python-worker pool + Arrow path once, untimed: the first
+    # mapInPandas stage of a session pays worker spawn + import costs
+    # that would otherwise land on whichever query runs it first
+    from smatchpp_spark.corpus import corpus_dataframe
+    from smatchpp_spark.sources.penman import parse_edges as _pe
+
+    _pe(corpus_dataframe(spark, 32, seed=1)).count()
+
     e_op = em._e_op(spark, sf_dir).persist()
     n_edges = e_op.count()
 
