@@ -462,3 +462,104 @@ CONCEPT_GROUPS: dict[str, list[str]] = {
         "program"
     ]
 }
+
+
+# ---------------------------------------------------------------------------
+# PropBank frame table → frame-conditioned edge-relabeling rules
+# ---------------------------------------------------------------------------
+#
+# The reference enhances fine-grained scoring by translating core roles to
+# explicit non-core roles using PropBank frame argument descriptions
+# (formalism/amr/tools.py:58-124): ``read_frame_table`` parses
+# ``propbank-amr-frames-arg-descr.txt`` (downloaded at runtime — tools.py:58-82,
+# unavailable offline) and ``invert_frame_table`` (tools.py:118-128) scans each
+# role description for the aspect table's ``search_in_frame_descr`` strings,
+# yielding rules like ``{"control-01": {":arg2": ":instrument"}}`` consumed by
+# ``SyntacticEdgeRelabelingTransformer`` (graph_transforms.py:192-222).
+#
+# Offline the reference falls back to an empty dict (tools.py:88-93).  We ship
+# the same parse + inversion functions plus a small bundled frame table —
+# hand-written from public PropBank/AMR frame knowledge, in the exact file
+# format the reference downloads — so the relabeling path is exercised by
+# default and a user with the full file can load it via ``parse_frame_table``.
+
+FRAME_TABLE_TEXT = """\
+control-01  ARG0: controller  ARG1: thing controlled  ARG2: instrument
+cut-01  ARG0: intentional cutter  ARG1: thing cut  ARG2: medium, instrument  ARG3: pieces, cuttings
+hit-01  ARG0: hitter, agent  ARG1: thing hit, target  ARG2: instrument of hitting
+stab-01  ARG0: stabber  ARG1: entity stabbed  ARG2: instrument, tool used
+write-01  ARG0: writer  ARG1: thing written  ARG2: benefactive  ARG3: medium, instrument
+go-02  ARG0: entity in motion, goer  ARG1: extent  ARG2: start point  ARG3: end point, destination  ARG4: direction or path
+put-01  ARG0: putter  ARG1: thing put  ARG2: where put, location
+move-01  ARG0: mover  ARG1: moved entity  ARG2: destination
+travel-01  ARG0: traveler  ARG1: path or location traveled  ARG2: destination
+pay-01  ARG0: payer, buyer  ARG1: money or attention  ARG2: being paid, destination of attention  ARG3: commodity, paid for what, purpose
+own-01  ARG0: owner  ARG1: possession, thing owned
+have-03  ARG0: owner  ARG1: possession
+cause-01  ARG0: cause, agent  ARG1: effect, thing caused
+last-01  ARG1: thing lasting  ARG2: duration
+wait-01  ARG0: waiter  ARG1: entity or event waited for  ARG2: duration of waiting
+measure-01  ARG0: measurer  ARG1: thing measured  ARG2: size, quantity measured  ARG3: basis of comparison
+talk-01  ARG0: talker  ARG1: topic of talk  ARG2: hearer
+teach-01  ARG0: teacher  ARG1: subject, topic taught  ARG2: student
+aim-01  ARG0: aimer  ARG1: purpose, goal aimed at  ARG2: instrument aimed
+schedule-01  ARG0: scheduler  ARG1: event scheduled  ARG2: scheduled time
+"""
+
+
+def parse_frame_table(text: str, lower: bool = True) -> dict[str, dict[str, str]]:
+    """Parse the PropBank frame file format into
+    ``{pred: {":argN": " description "}}`` — exact mirror of the reference's
+    ``read_frame_table`` line handling (formalism/amr/tools.py:85-115):
+    lines split on two-spaces+``arg``, role descriptions get ``", "``/``". "``
+    collapsed to spaces, whitespace normalized, and a single leading/trailing
+    space added so word-boundary search strings like ``" instrument "`` match.
+    """
+    frame_table: dict[str, dict[str, str]] = {}
+    for line in text.split("\n"):
+        if not line:
+            continue
+        if lower:
+            line = line.lower()
+        spl = line.split("  arg")
+        pred = spl[0]
+        frame_table[pred] = {}
+        for elm in spl[1:]:
+            elm = elm.replace(", ", " ").replace(". ", " ")
+            role_descr = elm.split(": ")
+            frame_table[pred][":arg" + role_descr[0]] = (
+                " " + " ".join(role_descr[1].split()) + " "
+            )
+    return frame_table
+
+
+def invert_frame_table(
+    frame_table: dict[str, dict[str, str]], aspects: dict[str, dict]
+) -> dict[str, dict[str, str]]:
+    """Turn frame argument descriptions into per-predicate edge-relabel rules
+    ``{pred: {":argN": ":newrel"}}`` by scanning each description for every
+    aspect's ``search_in_frame_descr`` strings — exact mirror of the
+    reference's ``invert_frame_table`` (formalism/amr/tools.py:118-128),
+    including its last-aspect-wins overwrite order.
+    """
+    pred_role_map: dict[str, dict[str, str]] = {}
+    for aspect in aspects:
+        strings = aspects[aspect]["search_in_frame_descr"].keys()
+        for pred in frame_table:
+            for role in frame_table[pred]:
+                for string in strings:
+                    if string in frame_table[pred][role]:
+                        pred_role_map.setdefault(pred, {})[role] = aspects[aspect][
+                            "search_in_frame_descr"
+                        ][string]
+    return pred_role_map
+
+
+FRAME_TABLE: dict[str, dict[str, str]] = parse_frame_table(FRAME_TABLE_TEXT)
+
+
+def semantic_edge_rules() -> dict[str, dict[str, str]]:
+    """Default PropBank relabel rules from the bundled frame table — the
+    analog of AMRSubgraphExtractor's init (formalism/amr/tools.py:215-221)
+    when the frame file is present."""
+    return invert_frame_table(FRAME_TABLE, GRAPH_ASPECTS)

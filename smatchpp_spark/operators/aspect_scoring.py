@@ -140,6 +140,7 @@ def score_aspects_onealign(
     edges_b: DataFrame,
     alignment: DataFrame,
     pair_col: str = "graph_id",
+    edge_rules: dict | None = None,
 ) -> DataFrame:
     """Per-(pair, aspect) match 4-vectors under one whole-graph alignment
     (the ``all-onealign`` score dimension, bindings.py:81-94).
@@ -155,8 +156,12 @@ def score_aspects_onealign(
     eb = edges_b.withColumnRenamed(pair_col, "pair_id")
     fa = affix_edges(ea, graph_vars(ea), "aa_", extra_cols=["pos"])
     fb = affix_edges(eb, graph_vars(eb), "bb_", extra_cols=["pos"])
-    asp_a = extract_all_aspects(fa.withColumnRenamed("pair_id", "graph_id"))
-    asp_b = extract_all_aspects(fb.withColumnRenamed("pair_id", "graph_id"))
+    asp_a = extract_all_aspects(
+        fa.withColumnRenamed("pair_id", "graph_id"), edge_rules=edge_rules
+    )
+    asp_b = extract_all_aspects(
+        fb.withColumnRenamed("pair_id", "graph_id"), edge_rules=edge_rules
+    )
     sa = apply_alignment(
         asp_a.withColumnRenamed("graph_id", "pair_id"),
         alignment,

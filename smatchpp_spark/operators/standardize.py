@@ -194,6 +194,51 @@ def relabel_vars(edges: DataFrame) -> DataFrame:
     )
 
 
+def relabel_edges_by_concept(
+    edges: DataFrame, rules: dict[str, dict[str, str]] | None
+) -> DataFrame:
+    """Node-label-conditioned edge relabeling
+    (reference SyntacticEdgeRelabelingTransformer, graph_transforms.py:192-222):
+    ``(x, r, y)`` becomes ``(x, rules[concept(x)][r], y)`` when the source's
+    concept has a rule for ``r``, else the triple is unchanged.
+
+    The reference builds ``rules`` from PropBank frame argument descriptions
+    (``invert_frame_table``, formalism/amr/tools.py:118-128) and applies the
+    pass before aspect subgraph extraction (tools.py:226-232) so core roles
+    like ``control-01 :arg2`` surface as explicit roles (``:instrument``).
+
+    Spark shape: the rule table is a tiny broadcast dim (concept, rel →
+    new_rel); the var→concept lookup is the same per-graph equi-join every
+    other pass uses.  One broadcast hash join + one shuffle-free projection —
+    no Python on executors.
+    """
+    if not rules:
+        return edges
+    spark = edges.sparkSession
+    rule_rows = [
+        (concept, rel, new_rel)
+        for concept, rel_map in rules.items()
+        for rel, new_rel in rel_map.items()
+    ]
+    rules_df = F.broadcast(
+        spark.createDataFrame(rule_rows, "concept string, rel string, new_rel string")
+    )
+    var_tbl = variables(edges).select(
+        "graph_id", F.col("var").alias("src"), "concept"
+    )
+    return (
+        edges.join(var_tbl, ["graph_id", "src"], "left")
+        .join(rules_df, ["concept", "rel"], "left")
+        .select(
+            "graph_id",
+            "pos",
+            "src",
+            F.coalesce("new_rel", "rel").alias("rel"),
+            "dst",
+        )
+    )
+
+
 def domain2mod(edges: DataFrame) -> DataFrame:
     """:domain ↔ :mod-of relabel (graph_transforms.py:101-111)."""
     return edges.withColumn(

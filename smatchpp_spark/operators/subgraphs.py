@@ -141,11 +141,20 @@ def extract_aspect(
     aspects: dict | None = None,
     concept_groups: dict | None = None,
     add_instance: bool = True,
+    edge_rules: dict | None = None,
 ) -> DataFrame:
     """One aspect subgraph for every graph at once
     (clean_extend_subgraph, subgraph_extraction.py:200-226):
     seeds → parents (if add_parent) → k-hop context → predicates (if
-    add_predicates) → :instance re-attachment → dedup."""
+    add_predicates) → :instance re-attachment → dedup.
+
+    ``edge_rules`` (optional) applies the PropBank frame-conditioned edge
+    relabel before extraction, mirroring AMRSubgraphExtractor's semantic
+    standardizer prelude (formalism/amr/tools.py:226-232)."""
+    if edge_rules:
+        from smatchpp_spark.operators.standardize import relabel_edges_by_concept
+
+        edges = relabel_edges_by_concept(edges, edge_rules)
     aspects = aspects or GRAPH_ASPECTS
     rules = aspects[aspect]
     seeds = aspect_seeds(edges, aspect, aspects, concept_groups)
@@ -168,6 +177,7 @@ def extract_all_aspects(
     concept_groups: dict | None = None,
     add_instance: bool = True,
     include_reentrancies: bool = True,
+    edge_rules: dict | None = None,
 ) -> DataFrame:
     """All aspect subgraphs with an ``aspect`` tag column
     (_all_subgraphs_by_name, subgraph_extraction.py:162-185).
@@ -177,9 +187,18 @@ def extract_all_aspects(
     all 18 aspects flow through ONE seeds → k-hop → parents → predicates
     → instances chain keyed by (graph_id, aspect) — ~10 shuffles total,
     vs ~6 per aspect for the per-aspect loop (measured 10x faster, and
-    at corpus scale it is the difference between 1 and 19 scans)."""
+    at corpus scale it is the difference between 1 and 19 scans).
+
+    ``edge_rules`` (optional) applies the PropBank frame-conditioned edge
+    relabel first — AMRSubgraphExtractor's semantic standardizer prelude
+    (formalism/amr/tools.py:226-232; rules from invert_frame_table,
+    tools.py:118-128)."""
     from smatchpp_spark.operators.degrees import reentrancies
 
+    if edge_rules:
+        from smatchpp_spark.operators.standardize import relabel_edges_by_concept
+
+        edges = relabel_edges_by_concept(edges, edge_rules)
     aspects = aspects or GRAPH_ASPECTS
     concept_groups = concept_groups or CONCEPT_GROUPS
     spark = edges.sparkSession
