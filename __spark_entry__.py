@@ -39,9 +39,13 @@ from smatchpp_spark.operators.degrees import degrees, graph_degrees, reentrancie
 from smatchpp_spark.operators.labelprop import label_propagation
 from smatchpp_spark.operators.pagerank import pagerank
 from smatchpp_spark.operators.standardize import (
+    concept_as_root,
     deinvert_edges,
+    dereify,
     domain2mod,
     lower_all_labels,
+    relabel_edges_by_concept,
+    relabel_vars,
     remove_duplicates,
     remove_quotes,
     unlabel_edges,
@@ -142,9 +146,95 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PropBank-style frame-conditioned relabel rules for the edge_relabel
+# contract query (concepts/rels from the TRIPLES derivation)
+RELABEL_RULES = {
+    "Concept-0": {":ARG2": ":instrument"},
+    "Concept-3": {":domain": ":topic"},
+    "Concept-5": {":ARG1": ":quant"},
+}
+
+
+def _root_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLES with the ':mod-of-of' class rewritten to first-class
+    (ROOT, :root, var) rows so concept_as_root has work."""
+    t = _triples(spark, sf_dir)
+    is_r = F.col("rel") == ":mod-of-of"
+    return t.select(
+        "graph_id",
+        "pos",
+        F.when(is_r, F.lit("ROOT")).otherwise(F.col("src")).alias("src"),
+        F.when(is_r, F.lit(":root")).otherwise(F.col("rel")).alias("rel"),
+        F.when(is_r, F.concat(F.lit("V"), (F.col("pos") % 25).cast("string")))
+        .otherwise(F.col("dst"))
+        .alias("dst"),
+    )
+
+
+def _collision_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLES plus per-graph constant rows 'C' (every graph) and 'Cx'
+    (2-char graph ids) so relabel_vars' x-suffix collision logic is
+    oracle-exercised (all TRIPLES concepts start with 'C')."""
+    t = _triples(spark, sf_dir)
+    g = t.select("graph_id").distinct()
+    e1 = g.select(
+        "graph_id", F.lit(1).cast("long").alias("pos"),
+        F.lit("V0").alias("src"), F.lit(":extra").alias("rel"),
+        F.lit("C").alias("dst"),
+    )
+    e2 = g.filter(F.length("graph_id") == 2).select(
+        "graph_id", F.lit(2).cast("long").alias("pos"),
+        F.lit("V1").alias("src"), F.lit(":extra2").alias("rel"),
+        F.lit("Cx").alias("dst"),
+    )
+    return t.unionByName(e1).unionByName(e2)
+
+
+def _der_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dereification workbench derived from orders: each o_orderkey emits a
+    reified pattern (z,:instance,C),(z,:arg1,x),(z,:arg2,y) with instance
+    rows for x/y; k%4 picks the rule concept (k%4==3 → non-rule), k%5==0
+    adds an extra out-edge (→ ineligible), k%7==0 adds an incoming edge
+    (→ ineligible)."""
+    o = _read(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    k = F.col("k")
+    g = F.concat(F.lit("d"), (k % 53).cast("string"))
+    z = F.concat(F.lit("z"), k.cast("string"))
+    x = F.concat(F.lit("x"), k.cast("string"))
+    y = F.concat(F.lit("y"), k.cast("string"))
+    concept = (
+        F.when(k % 4 == 0, F.lit("age-01"))
+        .when(k % 4 == 1, F.lit("have-degree-91"))
+        .when(k % 4 == 2, F.lit("last-01"))
+        .otherwise(F.lit("nonrule-00"))
+    )
+
+    def row(m, src, rel, dst, cond=None):
+        d = o.filter(cond) if cond is not None else o
+        return d.select(
+            g.alias("graph_id"), (k * 10 + m).alias("pos"),
+            src.alias("src"), F.lit(rel).alias("rel"), dst.alias("dst"),
+        )
+
+    parts = [
+        row(1, z, ":instance", concept),
+        row(2, z, ":arg1", x),
+        row(3, z, ":arg2", y),
+        row(4, x, ":instance", F.lit("person")),
+        row(5, y, ":instance", F.lit("city")),
+        row(6, z, ":mod", F.lit("M"), k % 5 == 0),
+        row(7, x, ":time", z, k % 7 == 0),
+    ]
+    out = parts[0]
+    for piece in parts[1:]:
+        out = out.unionByName(piece)
+    return out
+
+
 def _match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _read(spark, sf_dir, "orders")
     return o.select(
+        F.col("o_orderkey").cast("long").alias("pair_id"),
         (F.col("o_orderkey") % 4).cast("double").alias("matchsum_x"),
         (F.col("o_orderkey") % 4).cast("double").alias("matchsum_y"),
         (F.col("o_orderkey") % 6).cast("double").alias("xlen"),
@@ -396,6 +486,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_triples"] = lambda spark, sf: remove_duplicates(_triples(spark, sf))
     q["deinvert"] = lambda spark, sf: deinvert_edges(domain2mod(_triples(spark, sf)))
     q["unlabel"] = lambda spark, sf: unlabel_nodes(unlabel_edges(_triples(spark, sf)))
+    q["edge_relabel"] = lambda spark, sf: relabel_edges_by_concept(
+        _triples(spark, sf), RELABEL_RULES
+    )
+    q["relabel_vars"] = lambda spark, sf: relabel_vars(_collision_triples(spark, sf))
+    q["concept_as_root"] = lambda spark, sf: concept_as_root(_root_triples(spark, sf))
+    q["dereify_triples"] = lambda spark, sf: dereify(_der_triples(spark, sf))
 
     def _scores(spark, sf):
         stats = _match_stats(spark, sf)
@@ -404,6 +500,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return micro.unionByName(macro)
 
     q["micro_macro_scores"] = _scores
+
+    def _bootstrap(spark, sf):
+        from smatchpp_spark.functions.scores import bootstrap_micro
+
+        return bootstrap_micro(
+            _match_stats(spark, sf), n_resamples=100, seed=42, portable=True
+        )
+
+    q["bootstrap_ci"] = _bootstrap
 
     # ---- documents: text analysis + dedup --------------------------------
     def _docs(spark, sf):
@@ -600,6 +705,125 @@ SELECT graph_id, pos, src,
        CASE WHEN rel = ':instance' THEN 'concept' ELSE dst END AS dst
 FROM t
 """,
+        "edge_relabel": f"""
+WITH t AS ({SQL_TRIPLES}),
+vc AS (SELECT graph_id, src AS var, arg_max(dst, pos) AS concept
+       FROM t WHERE rel = ':instance' GROUP BY graph_id, src),
+rules(concept, rel, new_rel) AS (VALUES
+  ('Concept-0', ':ARG2', ':instrument'),
+  ('Concept-3', ':domain', ':topic'),
+  ('Concept-5', ':ARG1', ':quant'))
+SELECT t.graph_id, t.pos, t.src, COALESCE(r.new_rel, t.rel) AS rel, t.dst
+FROM t
+LEFT JOIN vc ON vc.graph_id = t.graph_id AND vc.var = t.src
+LEFT JOIN rules r ON r.concept = vc.concept AND r.rel = t.rel
+""",
+        "relabel_vars": f"""
+WITH t0 AS ({SQL_TRIPLES}),
+g AS (SELECT DISTINCT graph_id FROM t0),
+t AS (
+  SELECT * FROM t0
+  UNION ALL SELECT graph_id, 1, 'V0', ':extra', 'C' FROM g
+  UNION ALL SELECT graph_id, 2, 'V1', ':extra2', 'Cx' FROM g WHERE length(graph_id) = 2
+),
+vars AS (SELECT graph_id, src AS var, MIN(pos) AS first_pos,
+                arg_max(dst, pos) AS concept
+         FROM t WHERE rel = ':instance' GROUP BY graph_id, src),
+named AS (SELECT graph_id, var,
+    CASE WHEN rnk = 0 THEN base ELSE base || rnk END AS new_var
+  FROM (SELECT graph_id, var, substr(concept, 1, 1) AS base,
+          row_number() OVER (PARTITION BY graph_id, substr(concept, 1, 1)
+                             ORDER BY first_pos) - 1 AS rnk
+        FROM vars)),
+consts AS (
+  SELECT DISTINCT graph_id, name FROM (
+    SELECT u.graph_id, u.name FROM (
+      SELECT graph_id, src AS name FROM t WHERE rel <> ':instance'
+      UNION ALL SELECT graph_id, dst FROM t WHERE rel <> ':instance'
+    ) u ANTI JOIN vars v ON v.graph_id = u.graph_id AND v.var = u.name
+    UNION ALL
+    SELECT graph_id, dst AS name FROM t WHERE rel = ':instance'
+  )
+),
+blocked AS (
+  SELECT n.graph_id, n.var,
+         list_sort(list(DISTINCT length(c.name) - length(n.new_var))) AS ks
+  FROM named n JOIN consts c
+    ON c.graph_id = n.graph_id
+   AND regexp_replace(c.name, 'x+$', '') = regexp_replace(n.new_var, 'x+$', '')
+   AND length(c.name) >= length(n.new_var)
+  GROUP BY n.graph_id, n.var
+),
+nx AS (SELECT graph_id, var,
+         list_min(list_filter(range(0, len(ks) + 2),
+                              i -> NOT list_contains(ks, i))) AS n_x
+       FROM blocked),
+mapped AS (
+  SELECT n.graph_id, n.var, n.new_var || repeat('x', COALESCE(x.n_x, 0)) AS new_var
+  FROM named n LEFT JOIN nx x ON x.graph_id = n.graph_id AND x.var = n.var
+)
+SELECT t.graph_id, t.pos,
+       COALESCE(ms.new_var, t.src) AS src,
+       t.rel,
+       CASE WHEN t.rel = ':instance' THEN t.dst
+            ELSE COALESCE(md.new_var, t.dst) END AS dst
+FROM t
+LEFT JOIN mapped ms ON ms.graph_id = t.graph_id AND ms.var = t.src
+LEFT JOIN mapped md ON md.graph_id = t.graph_id AND md.var = t.dst
+""",
+        "concept_as_root": f"""
+WITH t0 AS ({SQL_TRIPLES}),
+t AS (SELECT graph_id, pos,
+        CASE WHEN rel = ':mod-of-of' THEN 'ROOT' ELSE src END AS src,
+        CASE WHEN rel = ':mod-of-of' THEN ':root' ELSE rel END AS rel,
+        CASE WHEN rel = ':mod-of-of' THEN 'V' || (pos % 25) ELSE dst END AS dst
+      FROM t0),
+roots AS (SELECT graph_id, MIN(pos) AS pos FROM t WHERE rel = ':root' GROUP BY graph_id),
+vc AS (SELECT graph_id, src AS var, arg_max(dst, pos) AS concept
+       FROM t WHERE rel = ':instance' GROUP BY graph_id, src)
+SELECT t.graph_id, t.pos,
+  CASE WHEN r.pos IS NOT NULL AND v.concept IS NOT NULL THEN t.dst ELSE t.src END AS src,
+  t.rel,
+  CASE WHEN r.pos IS NOT NULL AND v.concept IS NOT NULL THEN v.concept ELSE t.dst END AS dst
+FROM t
+LEFT JOIN roots r ON r.graph_id = t.graph_id AND r.pos = t.pos
+LEFT JOIN vc v ON v.graph_id = t.graph_id AND v.var = t.dst
+""",
+        # closed-form expected output of the dereify pass on the orders-derived
+        # workbench: eligibility is known per k, so the oracle derives the
+        # result independently of the join/agg algorithm under test
+        "dereify_triples": """
+WITH o AS (SELECT o_orderkey AS k FROM orders),
+base AS (
+  SELECT 'd' || (k % 53) AS graph_id, k * 10 + 1 AS pos, 'z' || k AS src,
+         ':instance' AS rel,
+         CASE k % 4 WHEN 0 THEN 'age-01' WHEN 1 THEN 'have-degree-91'
+                    WHEN 2 THEN 'last-01' ELSE 'nonrule-00' END AS dst, k
+  FROM o
+  UNION ALL SELECT 'd' || (k % 53), k*10+2, 'z'||k, ':arg1', 'x'||k, k FROM o
+  UNION ALL SELECT 'd' || (k % 53), k*10+3, 'z'||k, ':arg2', 'y'||k, k FROM o
+  UNION ALL SELECT 'd' || (k % 53), k*10+4, 'x'||k, ':instance', 'person', k FROM o
+  UNION ALL SELECT 'd' || (k % 53), k*10+5, 'y'||k, ':instance', 'city', k FROM o
+  UNION ALL SELECT 'd' || (k % 53), k*10+6, 'z'||k, ':mod', 'M', k FROM o WHERE k % 5 = 0
+  UNION ALL SELECT 'd' || (k % 53), k*10+7, 'x'||k, ':time', 'z'||k, k FROM o WHERE k % 7 = 0
+),
+elig AS (SELECT k FROM o WHERE k % 4 < 3 AND k % 5 <> 0 AND k % 7 <> 0),
+maxpos AS (SELECT graph_id, MAX(pos) AS max_pos FROM base GROUP BY graph_id),
+newe AS (
+  SELECT 'd' || (k % 53) AS graph_id,
+         row_number() OVER (PARTITION BY k % 53 ORDER BY k) AS rn,
+         'x' || k AS src,
+         CASE k % 4 WHEN 0 THEN ':age' WHEN 1 THEN ':degree'
+                    ELSE ':duration' END AS rel,
+         'y' || k AS dst
+  FROM elig
+)
+SELECT graph_id, pos, src, rel, dst FROM base
+WHERE NOT (k IN (SELECT k FROM elig) AND pos % 10 IN (1, 2, 3))
+UNION ALL
+SELECT n.graph_id, m.max_pos + n.rn AS pos, n.src, n.rel, n.dst
+FROM newe n JOIN maxpos m ON m.graph_id = n.graph_id
+""",
         "micro_macro_scores": f"""
 WITH stats AS ({SQL_STATS}),
 micro AS (SELECT SUM(a) AS a, SUM(b) AS b, SUM(c) AS c, SUM(d) AS d FROM stats),
@@ -611,6 +835,34 @@ macro_out AS (SELECT 'macro' AS score_type,
     ROUND(AVG(f1) * 100.0, 2) AS f1, ROUND(AVG(p) * 100.0, 2) AS p, ROUND(AVG(r) * 100.0, 2) AS r
     FROM per_pair)
 SELECT * FROM micro_out UNION ALL SELECT * FROM macro_out
+""",
+        # exact replay of the hash-draw multinomial bootstrap: same bucketed
+        # dense pair index, same portable md5 draw, same quantile_cont
+        "bootstrap_ci": f"""
+WITH stats AS (
+  SELECT o_orderkey AS pair_id,
+         CAST(o_orderkey % 4 AS DOUBLE) AS a, CAST(o_orderkey % 4 AS DOUBLE) AS b,
+         CAST(o_orderkey % 6 AS DOUBLE) AS c, CAST(o_orderkey % 7 AS DOUBLE) AS d
+  FROM orders),
+nn AS (SELECT COUNT(*) AS n FROM stats),
+bkt AS (SELECT *, CAST({_h("'b#' || pair_id")} % 1024 AS INT) AS bk FROM stats),
+rn AS (SELECT *, row_number() OVER (PARTITION BY bk ORDER BY pair_id) - 1 AS rnk
+       FROM bkt),
+off AS (SELECT bk, COALESCE(SUM(cnt) OVER (ORDER BY bk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM (SELECT bk, COUNT(*) AS cnt FROM bkt GROUP BY bk)),
+pairs AS (SELECT r.a, r.b, r.c, r.d, o.off + r.rnk AS i
+          FROM rn r JOIN off o USING (bk)),
+reps AS (SELECT unnest(range(100)) AS rep),
+draws AS (SELECT rep,
+            {_h("'draw#' || rep || '#' || j.i || '#' || 42")} % (SELECT n FROM nn) AS i
+          FROM reps CROSS JOIN (SELECT i FROM pairs) j),
+rep_stats AS (SELECT rep, SUM(p.a) AS a, SUM(p.b) AS b, SUM(p.c) AS c, SUM(p.d) AS d
+              FROM draws JOIN pairs p USING (i) GROUP BY rep),
+per_rep AS (SELECT rep, ROUND(({f1}) * 100.0, 2) AS f1 FROM rep_stats)
+SELECT ROUND(quantile_cont(f1, 0.025), 6) AS lo,
+       ROUND(quantile_cont(f1, 0.975), 6) AS hi
+FROM per_rep
 """,
         "doc_token_stats": f"""
 WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)

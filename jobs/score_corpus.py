@@ -1,15 +1,19 @@
-"""spark-submit job mirroring the reference CLI (__main__.py:4-92):
+"""spark-submit job mirroring the reference CLI (__main__.py:4-214):
 
   spark-submit --py-files smatchpp_spark.zip jobs/score_corpus.py \
       -a corpus_a.parquet -b corpus_b.parquet \
       [--graph_type amr|generic|none] [--solver auto|exhaustive|hillclimber]
-      [--score_type micro|macro|micromacro|pairwise] [--bootstrap]
-      [--lossless_graph_compression] [--pair_col pair_id] [-o out_dir]
+      [--score_type micro|macro|micromacro|pairwise]
+      [--score_dimension main|all-onealign|all-multialign]
+      [--input_format penman|tsv] [--output_format json|text]
+      [--bootstrap] [--lossless_graph_compression] [--remove_duplicates]
+      [--edge_relabel] [--pair_col pair_id] [-o out_dir]
 
 Inputs are parquet corpus tables with (pair_col, content) columns; with
-``--penman_files`` the inputs are instead reference-style Penman corpus
-text files (graphs separated by blank lines, ``# ::`` metadata dropped —
-data_helpers.py:7-16), paired positionally like the reference CLI.
+``--penman_files`` the inputs are instead reference-style corpus text
+files (graphs separated by blank lines, ``# ::`` metadata dropped —
+data_helpers.py:7-16), paired positionally like the reference CLI and
+read fully distributed (sources.penman.read_penman_corpus).
 """
 
 from __future__ import annotations
@@ -27,8 +31,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["auto", "exhaustive", "hillclimber", "dummy"])
     p.add_argument("--score_type", default="micromacro",
                    choices=["micro", "macro", "micromacro", "pairwise"])
+    p.add_argument("--score_dimension", default="main",
+                   choices=["main", "all-onealign", "all-multialign"],
+                   help="main: whole-graph Smatch; all-*: per-aspect "
+                        "fine-grained scores (reference __main__.py:48-57)")
+    p.add_argument("--input_format", default="penman", choices=["penman", "tsv"],
+                   help="content interpretation (reference -input_format)")
+    p.add_argument("--output_format", default="json", choices=["json", "text"],
+                   help="stdout format (reference -output_format)")
     p.add_argument("--bootstrap", action="store_true")
     p.add_argument("--lossless_graph_compression", action="store_true")
+    p.add_argument("--remove_duplicates", action="store_true")
+    p.add_argument("--edge_relabel", action="store_true",
+                   help="apply the bundled PropBank frame-conditioned edge "
+                        "relabel before aspect extraction (all-* dims only)")
     p.add_argument("--pair_col", default="pair_id")
     p.add_argument("--penman_files", action="store_true",
                    help="inputs are reference-style text corpora")
@@ -38,32 +54,23 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def read_penman_file(spark, path: str):
-    """Blank-line separated graphs, '# ::' metadata dropped
-    (data_helpers.py:7-16), paired positionally by block index."""
-    from pyspark.sql import functions as F
+    """Distributed blank-line corpus reader (kept as the job-level name;
+    see sources.penman.read_penman_corpus for semantics + citations)."""
+    from smatchpp_spark.sources.penman import read_penman_corpus
 
-    text = spark.read.text(path).withColumn(
-        "row", F.monotonically_increasing_id()
-    )
-    # small-file path: collect & split driver-side (reference semantics),
-    # then re-distribute — corpus files are lines of text, the heavy data
-    # lives in parquet corpora
-    lines = [r["value"] for r in text.orderBy("row").collect()]
-    blocks, cur = [], []
-    for line in lines:
-        if line.strip() == "":
-            if cur:
-                blocks.append("\n".join(cur))
-                cur = []
-            continue
-        if line.strip().startswith("# ::"):
-            continue
-        cur.append(line)
-    if cur:
-        blocks.append("\n".join(cur))
-    return spark.createDataFrame(
-        [(i, b) for i, b in enumerate(blocks)], "pair_id long, content string"
-    )
+    return read_penman_corpus(spark, path)
+
+
+def _print_results(out: dict, output_format: str) -> None:
+    if output_format == "json":
+        print(json.dumps(out, default=str))
+        return
+    for section, rows in out.items():
+        print("-------------------------------")
+        print(f"---------{section} scores----------")
+        print("-------------------------------")
+        for row in rows:
+            print("   ".join(f"{k}: {v}" for k, v in row.items()))
 
 
 def main() -> None:
@@ -84,6 +91,12 @@ def main() -> None:
         cb = spark.read.parquet(args.b)
         pair_col = args.pair_col
 
+    edge_rules = None
+    if args.edge_relabel:
+        from smatchpp_spark.functions.amr_rules import semantic_edge_rules
+
+        edge_rules = semantic_edge_rules()
+
     cfg = EngineConfig(
         standardizer=args.graph_type,
         score_type=args.score_type,
@@ -91,18 +104,27 @@ def main() -> None:
             solver=args.solver, compress=args.lossless_graph_compression
         ),
         bootstrap=args.bootstrap,
+        input_format=args.input_format,
+        remove_duplicates=args.remove_duplicates,
+        edge_rules=edge_rules,
     )
     engine = SmatchppSpark(cfg)
-    results = engine.score_corpus(ca, cb, pair_col=pair_col)
+
+    if args.score_dimension != "main":
+        results = engine.score_dimensions(
+            ca, cb, pair_col=pair_col, dimension=args.score_dimension
+        )
+    else:
+        results = engine.score_corpus(ca, cb, pair_col=pair_col)
 
     out = {}
     for name, df in results.items():
-        if name == "pairs" and args.output:
-            df.write.mode("overwrite").parquet(f"{args.output}/pairs")
+        if name == "pairs":
+            if args.output:
+                df.write.mode("overwrite").parquet(f"{args.output}/pairs")
             continue
-        if name != "pairs":
-            out[name] = [r.asDict() for r in df.collect()]
-    print(json.dumps(out, default=str))
+        out[name] = [r.asDict() for r in df.collect()]
+    _print_results(out, args.output_format)
     spark.stop()
 
 

@@ -48,6 +48,19 @@ class EngineConfig:
     align: AlignConfig = field(default_factory=AlignConfig)
     bootstrap: bool = False
     n_resamples: int = 200
+    # PropBank frame-conditioned edge-relabel rules applied before aspect
+    # extraction in score_dimensions (reference AMRSubgraphExtractor prelude,
+    # formalism/amr/tools.py:226-232).  None disables the pass — the
+    # reference's own offline fallback (tools.py:88-93, empty frame table).
+    # Pass smatchpp_spark.functions.amr_rules.semantic_edge_rules() for the
+    # bundled-table behavior, or rules inverted from a full frame file.
+    edge_rules: dict | None = None
+    # content interpretation (reference -input_format / GraphReaderFactory,
+    # model_factory.py): "penman" parses Penman blocks, "tsv" parses
+    # src<TAB>tgt<TAB>rel triple blocks (data_helpers.py:243-252)
+    input_format: str = "penman"
+    # reference --remove_duplicates: set-dedup triples after standardization
+    remove_duplicates: bool = False
 
 
 def pair_by_position(corpus: DataFrame, order_col: str) -> DataFrame:
@@ -69,9 +82,18 @@ class SmatchppSpark:
             raise ValueError(f"unknown standardizer {self.config.standardizer!r}")
         self._standardize = std
 
+    def _parse(self, corpus: DataFrame, content_col: str, id_col: str | None = None) -> DataFrame:
+        if self.config.input_format == "tsv":
+            from smatchpp_spark.sources.tsv import parse_tsv_edges
+
+            return parse_tsv_edges(corpus, content_col, id_col=id_col)
+        if self.config.input_format != "penman":
+            raise ValueError(f"unknown input_format {self.config.input_format!r}")
+        return parse_edges(corpus, content_col, id_col=id_col)
+
     def edges(self, corpus: DataFrame, content_col: str = "content") -> DataFrame:
         """corpus → standardized global edge table."""
-        return self._standardize(parse_edges(corpus, content_col))
+        return self._standardize(self._parse(corpus, content_col))
 
     def match_stats(
         self,
@@ -96,8 +118,13 @@ class SmatchppSpark:
         """Parse + standardize keyed directly by the pair id (one graph
         per pair side, so the pair id IS the graph key; sha256 keying
         would collapse identical content across different pairs)."""
-        edges = parse_edges(corpus, content_col, id_col=pair_col)
-        return self._standardize(edges)
+        edges = self._parse(corpus, content_col, id_col=pair_col)
+        out = self._standardize(edges)
+        if self.config.remove_duplicates:
+            from smatchpp_spark.operators.standardize import remove_duplicates
+
+            out = remove_duplicates(out)
+        return out
 
     def score_corpus(
         self,
@@ -153,7 +180,9 @@ class SmatchppSpark:
                 return_alignment=True,
             ).localCheckpoint(eager=False)
             alignment = alignment_table(main)
-            dims = score_aspects_onealign(ea, eb, alignment)
+            dims = score_aspects_onealign(
+                ea, eb, alignment, edge_rules=self.config.edge_rules
+            )
             stats = dims.unionByName(
                 main.select(
                     "pair_id",
@@ -162,12 +191,12 @@ class SmatchppSpark:
                 )
             )
         elif dimension == "all-multialign":
-            asp_a = extract_all_aspects(ea).withColumn(
-                "pk", F.concat("graph_id", F.lit("#"), "aspect")
-            )
-            asp_b = extract_all_aspects(eb).withColumn(
-                "pk", F.concat("graph_id", F.lit("#"), "aspect")
-            )
+            asp_a = extract_all_aspects(
+                ea, edge_rules=self.config.edge_rules
+            ).withColumn("pk", F.concat("graph_id", F.lit("#"), "aspect"))
+            asp_b = extract_all_aspects(
+                eb, edge_rules=self.config.edge_rules
+            ).withColumn("pk", F.concat("graph_id", F.lit("#"), "aspect"))
             raw = align_and_score(asp_a, asp_b, pair_col="pk", cfg=self.config.align)
             stats = raw.select(
                 F.split("pair_id", "#").getItem(0).alias("pair_id"),

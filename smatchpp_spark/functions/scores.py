@@ -105,50 +105,87 @@ def drop_empty_pairs(stats: DataFrame) -> DataFrame:
     return stats.filter(total > 0)
 
 
+def pair_index(
+    stats: DataFrame,
+    pair_col: str = "pair_id",
+    portable: bool = False,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Attach a deterministic dense index ``i`` ∈ [0, n) keyed by the pair
+    id — partitioning-independent and scalable (no global single-partition
+    window): pairs hash into ``buckets`` buckets, get a per-bucket
+    row_number ordered by pair id, and bucket offsets come from a cumsum
+    over the tiny bucket spine (≤ ``buckets`` rows), broadcast back."""
+    from smatchpp_spark.functions.hashing import hash64
+
+    h = hash64(F.concat(F.lit("b#"), F.col(pair_col).cast("string")), portable)
+    bucketed = stats.withColumn("_b", F.pmod(h, F.lit(buckets)).cast("int"))
+    w = Window.partitionBy("_b").orderBy(pair_col)
+    rn = bucketed.withColumn("_rn", F.row_number().over(w) - 1)
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).alias("_off")
+    )
+    return (
+        rn.join(F.broadcast(offsets), "_b")
+        .withColumn("i", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_b", "_rn", "_off")
+    )
+
+
 def bootstrap_micro(
     stats: DataFrame,
     n_resamples: int = 200,
     seed: int = 42,
     ci: float = 0.95,
+    pair_col: str = "pair_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Percentile-bootstrap CI for the micro F1 (eval_statistics.py:183-197
-    semantics, deterministic re-expression).
+    semantics, deterministic re-expression; percentile method rather than
+    scipy's BCa — documented deviation).
 
     scipy draws pair-resamples; here each replicate r resamples pairs via a
     deterministic hash draw: pair i contributes to replicate r with
-    multiplicity = count of j in [0, n) with hash(r, j) % n == i.  That is
-    a fixed multinomial resample expressed as a join — ``explode(sequence)``
-    on a small replicate spine × pair ids, no Python on executors, one
-    shuffle into the replicate aggregation.
+    multiplicity = count of j in [0, n) with hash(r, j, seed) % n == i.
+    That is a fixed multinomial resample expressed as a join — a replicate
+    spine × pair index — no Python on executors, one shuffle into the
+    replicate aggregation.  The pair index is the stable hash-bucketed
+    dense index from ``pair_index`` (keyed by pair id, not by physical row
+    position), so the same corpus yields the same CI under any
+    partitioning.  ``portable=True`` swaps xxhash64 for the md5-based
+    cross-engine hash so a SQL oracle can replay the draw exactly.
     """
+    from smatchpp_spark.functions.hashing import portable_hash64
+
     spark = stats.sparkSession
     n = stats.count()
     if n == 0:
         return spark.createDataFrame([], "lo double, hi double")
-    pairs = stats.withColumn(
-        "i",
-        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
-    )
-    draws = (
+    pairs = pair_index(stats, pair_col=pair_col, portable=portable)
+    spine = (
         spark.range(n_resamples)
         .withColumnRenamed("id", "rep")
-        .select(
-            "rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("j")
-        )
-        .select(
-            "rep",
-            (
-                F.abs(F.xxhash64(F.col("rep"), F.col("j"), F.lit(seed))) % n
-            ).alias("i"),
-        )
+        .select("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("j"))
     )
+    if portable:
+        hdraw = portable_hash64(
+            F.concat_ws("#", F.lit("draw"), F.col("rep"), F.col("j"), F.lit(seed))
+        )
+    else:
+        hdraw = F.xxhash64(F.col("rep"), F.col("j"), F.lit(seed))
+    draws = spine.select("rep", F.pmod(hdraw, F.lit(n)).alias("i"))
     rep_stats = draws.join(pairs, "i").groupBy("rep").agg(
         *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
     )
     f1, _, _ = fpr_columns(*[F.col(c) for c in STAT_COLS])
     per_rep = rep_stats.select("rep", _final(f1).alias("f1"))
     alpha = (1.0 - ci) / 2.0
+    # exact interpolated percentile over the (tiny) replicate set — same
+    # linear-interpolation definition as SQL quantile_cont, so the oracle
+    # reproduces it bit-for-bit
     return per_rep.agg(
-        F.percentile_approx("f1", alpha, 10000).alias("lo"),
-        F.percentile_approx("f1", 1.0 - alpha, 10000).alias("hi"),
+        F.round(F.percentile("f1", F.lit(alpha)), 6).alias("lo"),
+        F.round(F.percentile("f1", F.lit(1.0 - alpha)), 6).alias("hi"),
     )

@@ -14,16 +14,41 @@ exact vs a brute-force oracle.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-@dataclass
 class TriangleResult:
-    total: int
-    per_vertex: DataFrame  # (vertex, triangles)
+    """Lazy single materialization of the wedge joins: the first access to
+    ``per_vertex`` or ``total`` runs the pipeline ONCE (the persisted edge
+    tables feed the wedge join twice inside that job), checkpoints the
+    O(V) result, and releases the inputs.  ``total`` derives from it
+    (Σ corner counts / 3 — every triangle contributes exactly three
+    corners), so consuming both fields never re-runs the joins."""
+
+    def __init__(self, per_corner: DataFrame, inputs: list[DataFrame]):
+        self._per_corner = per_corner
+        self._inputs = inputs
+        self._per_vertex: DataFrame | None = None
+        self._total: int | None = None
+
+    @property
+    def per_vertex(self) -> DataFrame:
+        if self._per_vertex is None:
+            self._per_vertex = self._per_corner.localCheckpoint(eager=True)
+            for df in self._inputs:
+                df.unpersist()
+            self._inputs = []
+        return self._per_vertex
+
+    @property
+    def total(self) -> int:
+        if self._total is None:
+            row = self.per_vertex.agg(
+                (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).alias("t")
+            ).collect()[0]
+            self._total = int(row["t"])
+        return self._total
 
 
 def _canonical_undirected(edges: DataFrame) -> DataFrame:
@@ -87,8 +112,4 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> Trian
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    total = tri.count()
-    per_vertex = per_corner
-    oriented.unpersist()
-    canonical.unpersist()
-    return TriangleResult(total=total, per_vertex=per_vertex)
+    return TriangleResult(per_corner, inputs=[oriented, canonical])

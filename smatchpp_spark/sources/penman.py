@@ -85,6 +85,50 @@ def parse_edges(
     return slim.mapInPandas(parse_batches, EDGES_SCHEMA)
 
 
+def read_penman_corpus(spark, path: str) -> DataFrame:
+    """Blank-line-delimited Penman corpus file → ``(pair_id, content)``
+    rows, fully distributed (reference ``read_graphstrings_from_file``,
+    data_helpers.py:7-16).
+
+    The text source splits on the ``\\n\\n`` delimiter, so graph blocks
+    never pass through the driver; ``# ::`` metadata lines are stripped
+    per block with an array filter; positional pair ids come from
+    per-partition counts + broadcast offsets (text-source partition order
+    follows file order), not a global single-partition window.
+
+    Exact reference semantics: split on the literal ``\\n\\n``, drop lines
+    ``startswith('# ::')`` (no stripping), join the rest.  Documented
+    deviation: the reference keeps *interior* empty blocks (it only trims
+    a trailing one); here every empty block is dropped — interior empties
+    are malformed corpora either way.
+    """
+    from pyspark.sql import Window
+
+    raw = spark.read.option("lineSep", "\n\n").text(path)
+    lines = F.split(F.col("value"), "\n")
+    kept = F.filter(lines, lambda x: ~x.startswith("# ::"))
+    blocks = raw.select(F.array_join(kept, "\n").alias("content")).filter(
+        F.col("content") != ""
+    )
+    with_pid = blocks.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_rn = Window.partitionBy("_pid").orderBy("_mid")
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(w_rn) - 1)
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.col("_off") + F.col("_rn")).cast("long").alias("pair_id"),
+            "content",
+        )
+    )
+
+
 def write_penman(edges: DataFrame, hide_root: bool = True) -> DataFrame:
     """Serialize each graph back to one Penman string per row."""
 

@@ -11,10 +11,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def parse_tsv_edges(corpus: DataFrame, content_col: str = "content") -> DataFrame:
-    """Corpus rows holding TSV graph blocks → edge table, JVM-side only."""
+def parse_tsv_edges(
+    corpus: DataFrame, content_col: str = "content", id_col: str | None = None
+) -> DataFrame:
+    """Corpus rows holding TSV graph blocks → edge table, JVM-side only.
+
+    ``graph_id`` defaults to sha256(content) (the row invariant); pass
+    ``id_col`` to key by an existing column instead (e.g. a pair id)."""
+    key = (
+        F.sha2(F.encode(F.col(content_col), "UTF-8"), 256)
+        if id_col is None
+        else F.col(id_col).cast("string")
+    )
     with_id = corpus.select(
-        F.sha2(F.encode(F.col(content_col), "UTF-8"), 256).alias("graph_id"),
+        key.alias("graph_id"),
         F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "line"),
     )
     cols = F.split(F.col("line"), r"\s+")

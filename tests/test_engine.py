@@ -133,3 +133,32 @@ def test_bootstrap_ci_bounds(spark):
     assert 0.0 <= ci["lo"] <= ci["hi"] <= 100.0
     assert ci["lo"] <= micro["f1"] + 1e-9
     assert micro["f1"] <= ci["hi"] + 1e-9
+
+
+def test_bootstrap_deterministic_across_partitionings(spark):
+    from pyspark.sql import functions as F
+
+    from smatchpp_spark.functions.scores import bootstrap_micro
+
+    rows = [
+        (i, float(i % 4), float(i % 4), float(i % 6 + 1), float(i % 7 + 1))
+        for i in range(40)
+    ]
+    schema = (
+        "pair_id long, matchsum_x double, matchsum_y double, "
+        "xlen double, ylen double"
+    )
+    stats = spark.createDataFrame(rows, schema)
+    variants = [
+        stats.repartition(1),
+        stats.repartition(13, "ylen"),
+        stats.orderBy(F.desc("pair_id")).repartition(5),
+    ]
+    for portable in (False, True):
+        cis = [
+            bootstrap_micro(v, n_resamples=50, portable=portable).collect()[0]
+            for v in variants
+        ]
+        assert cis[0]["lo"] == cis[1]["lo"] == cis[2]["lo"]
+        assert cis[0]["hi"] == cis[1]["hi"] == cis[2]["hi"]
+        assert 0.0 <= cis[0]["lo"] <= cis[0]["hi"] <= 100.0
