@@ -28,7 +28,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", required=True, help="corpus B (parquet dir or penman file)")
     p.add_argument("--graph_type", default="generic", choices=["amr", "generic", "none"])
     p.add_argument("--solver", default="auto",
-                   choices=["auto", "exhaustive", "hillclimber", "dummy"])
+                   choices=["auto", "bnb", "exhaustive", "hillclimber", "dummy"])
     p.add_argument("--score_type", default="micromacro",
                    choices=["micro", "macro", "micromacro", "pairwise"])
     p.add_argument("--score_dimension", default="main",

@@ -238,6 +238,125 @@ def solve_exhaustive(unary: dict, binary: dict, V: int) -> tuple[np.ndarray, flo
     return best, best_score, best_score
 
 
+def solve_branch_bound(
+    unary: dict,
+    binary: dict,
+    V: int,
+    seed: int = 0,
+    node_budget: int = 200_000,
+) -> tuple[np.ndarray, float, float]:
+    """Certified optimum by best-child-first DFS with row-max upper bounds —
+    the pure-Python stand-in for the reference's ILP certificate
+    (solvers.py:359-454: ILP returns the optimum plus a true (lb, ub)
+    status).  Extends certified optimality well past the V ≤ 7 exhaustive
+    cap (V! = 479M at V=12; the bound prunes almost all of it on real
+    match dicts, which are sparse).
+
+    Accounting: assigning (i → j) collects its unary weight, the row
+    (i, j) half-weights whose partner is already assigned and matching
+    (self-loop keys hold the full weight in one entry), and the mirrored
+    halves from assigned rows pointing back at (i, j) — so a complete
+    assignment's accumulated score equals ``alignment_score``.  The bound
+    for an open row is its best-case column: unary + half-weights to
+    unassigned-and-available or assigned-and-matching partners + mirrors
+    from assigned rows; summing per-row maxima is admissible because
+    unassigned↔unassigned pair weights are split half per row.
+
+    If ``node_budget`` is exhausted (pathological instances), the search
+    stops and returns the best alignment found with an honest upper bound
+    (max over abandoned subtree bounds) — exactly the reference's
+    lower/upper status contract, never the vacuous 1e7.
+    """
+    grouped = _group_binary(binary)
+    # warm start: a strong incumbent makes the bound bite immediately
+    incumbent, inc_score, _ = solve_hillclimb(
+        unary, binary, V, seed=seed, restarts=2
+    )
+    best = incumbent.copy()
+    best_score = inc_score
+
+    def row_entries(i: int, j: int):
+        return grouped.get((i, j), {})
+
+    def assign_gain(i: int, j: int, asg: dict[int, int]) -> float:
+        g = unary.get((i, j), 0.0)
+        for (k, l), w in row_entries(i, j).items():
+            if k == i:
+                if l == j:
+                    g += w
+            elif asg.get(k) == l:
+                g += w
+        for k, ak in asg.items():
+            g += grouped.get((k, ak), {}).get((i, j), 0.0)
+        return g
+
+    def col_cap(i: int, j: int, asg: dict[int, int], avail: set[int]) -> float:
+        c = unary.get((i, j), 0.0)
+        for (k, l), w in row_entries(i, j).items():
+            if k == i:
+                if l == j:
+                    c += w
+            elif k in asg:
+                if asg[k] == l:
+                    c += w
+            elif l in avail:
+                c += w
+        for k, ak in asg.items():
+            c += grouped.get((k, ak), {}).get((i, j), 0.0)
+        return c
+
+    # heavy rows first: decide the contested positions early
+    def row_mass(i: int) -> float:
+        return max(
+            (
+                unary.get((i, j), 0.0) + sum(row_entries(i, j).values())
+                for j in range(V)
+            ),
+            default=0.0,
+        )
+
+    order = sorted(range(V), key=row_mass, reverse=True)
+    eps = 1e-12
+    nodes = 0
+    open_ub = -1.0  # max bound over subtrees abandoned by the budget
+    exhausted = False
+
+    def dfs(depth: int, asg: dict[int, int], avail: set[int], score: float) -> None:
+        nonlocal best, best_score, nodes, open_ub, exhausted
+        if depth == V:
+            if score > best_score + eps:
+                best_score = score
+                a = np.arange(V, dtype=int)
+                for p, c in asg.items():
+                    a[p] = c
+                best = a
+            return
+        i = order[depth]
+        caps = {j: col_cap(i, j, asg, avail) for j in avail}
+        rest = [order[d] for d in range(depth + 1, V)]
+        for j in sorted(avail, key=caps.get, reverse=True):
+            nodes += 1
+            gain = assign_gain(i, j, asg)
+            asg[i] = j
+            avail.discard(j)
+            rest_bound = sum(
+                max((col_cap(r, jj, asg, avail) for jj in avail), default=0.0)
+                for r in rest
+            )
+            bound = score + gain + rest_bound
+            if exhausted or nodes > node_budget:
+                exhausted = True
+                open_ub = max(open_ub, bound)
+            elif bound > best_score + eps:
+                dfs(depth + 1, asg, avail, score + gain)
+            del asg[i]
+            avail.add(j)
+
+    dfs(0, {}, set(range(V)), 0.0)
+    ub = best_score if not exhausted else max(best_score, open_ub)
+    return best, best_score, float(ub)
+
+
 def swap_gain(
     align: np.ndarray, unary: dict, grouped: dict, i: int, k: int
 ) -> float:
@@ -399,8 +518,11 @@ def stable_pair_seed(pair_id: str) -> int:
 
 @dataclass
 class AlignConfig:
-    solver: str = "auto"  # auto | exhaustive | hillclimber | dummy
+    solver: str = "auto"  # auto | bnb | exhaustive | hillclimber | dummy
     exhaustive_max_v: int = 7
+    # auto certifies the optimum via branch-and-bound up to this V
+    # (reference ILP contract, solvers.py:417-454), hillclimbs above it
+    bnb_max_v: int = 12
     restarts: int = 4
     seed: int = 42
     compress: bool = False
@@ -453,9 +575,13 @@ def process_pair(
     V = max(len(v1), len(v2))
     solver = cfg.solver
     if solver == "auto":
-        solver = "exhaustive" if V <= cfg.exhaustive_max_v else "hillclimber"
+        solver = "bnb" if V <= cfg.bnb_max_v else "hillclimber"
     if solver == "exhaustive":
         align, lb, ub = solve_exhaustive(unary, binary, V)
+    elif solver == "bnb":
+        align, lb, ub = solve_branch_bound(
+            unary, binary, V, seed=cfg.seed * 7919 + pair_seed
+        )
     elif solver == "hillclimber":
         align, lb, ub = solve_hillclimb(
             unary, binary, V, seed=cfg.seed * 7919 + pair_seed, restarts=cfg.restarts

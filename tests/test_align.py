@@ -244,3 +244,67 @@ def test_swap_gain_equals_full_rescore():
         swapped[i], swapped[k] = align[k], align[i]
         full = myalign.alignment_score(swapped, unary, grouped) - before
         assert inc == pytest.approx(full), (trial, V, align, i, k, unary, binary)
+
+
+def test_branch_bound_matches_exhaustive_objective():
+    """Random synthetic match dicts (V ≤ 6): branch-and-bound must certify
+    the same optimum the exhaustive enumerator finds (ub == lb == opt)."""
+    for trial in range(30):
+        rng = random.Random(f"bnb:{trial}")
+        V = rng.randint(1, 6)
+        unary = {}
+        for i in range(V):
+            for j in range(V):
+                if rng.random() < 0.5:
+                    unary[(i, j)] = rng.randint(0, 4) * 1.0
+        binary = {}
+        for _ in range(rng.randint(0, 3 * V)):
+            i, j, k, l = (rng.randrange(V) for _ in range(4))
+            w = rng.randint(1, 3) * 0.5
+            if (i, j) == (k, l):
+                binary[(i, j, k, l)] = binary.get((i, j, k, l), 0.0) + w
+            else:
+                # symmetric half-weight construction, as build_match_dicts
+                binary[(i, j, k, l)] = binary.get((i, j, k, l), 0.0) + w / 2
+                binary[(k, l, i, j)] = binary.get((k, l, i, j), 0.0) + w / 2
+        _, ex_score, _ = myalign.solve_exhaustive(unary, binary, V)
+        a, lb, ub = myalign.solve_branch_bound(unary, binary, V, seed=trial)
+        assert abs(lb - ex_score) < 1e-9, (trial, lb, ex_score)
+        assert abs(ub - lb) < 1e-9, (trial, lb, ub)
+        grouped = myalign._group_binary(binary)
+        assert abs(myalign.alignment_score(a, unary, grouped) - lb) < 1e-9
+
+
+def test_branch_bound_on_graph_pairs_matches_exhaustive():
+    for i in range(25):
+        rng = random.Random(f"bnbpair:{i}")
+        s1 = generate_penman(rng, max_nodes=6, max_depth=3)
+        s2 = generate_penman(rng, max_nodes=6, max_depth=3)
+        ex = my_score_pair(s1, s2, solver="exhaustive")
+        bb = my_score_pair(s1, s2, solver="bnb")
+        assert bb == ex, (i, s1, s2, bb, ex)
+
+
+def test_branch_bound_certifies_midsize_graphs():
+    """V in (7, 12]: beyond the old exhaustive cap, the auto solver now
+    certifies optimality — ub == lb on every pair, and its score is at
+    least the hillclimber's."""
+    certified = 0
+    for i in range(12):
+        rng = random.Random(f"bnbmid:{i}")
+        s1 = generate_penman(rng, max_nodes=11, max_depth=4)
+        s2 = generate_penman(rng, max_nodes=11, max_depth=4)
+        g1 = list(READER.string2graph(s1))
+        g2 = list(READER.string2graph(s2))
+        row = myalign.process_pair(
+            g1, g2, myalign.AlignConfig(solver="auto")
+        )
+        if row["n_vars_a"] == 0 or row["n_vars_b"] == 0:
+            continue
+        assert row["upper_bound"] == row["lower_bound"], (i, row)
+        hc = myalign.process_pair(
+            g1, g2, myalign.AlignConfig(solver="hillclimber", restarts=4)
+        )
+        assert row["lower_bound"] >= hc["lower_bound"] - 1e-9
+        certified += 1
+    assert certified >= 8
