@@ -557,6 +557,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_bucketed_topk"] = _bucketed
 
+    def _hyperplane(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        planes = similarity.random_planes(64, bits=4, seed=7)
+        return similarity.bucketed_topk(
+            emb,
+            emb.filter(F.col("vec_id") % 50 == 0),
+            k=5,
+            planes=planes,
+            probes=1,
+        )
+
+    q["emb_hyperplane_topk"] = _hyperplane
+
     # ---- events: sessionization + rollup ---------------------------------
     q["events_sessionize"] = lambda spark, sf: events.sessionize(
         _read(spark, sf, "events")
@@ -910,6 +923,7 @@ SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rk <= 5
 """,
         "emb_lsh_buckets": _lsh_bucket_sql(8),
         "emb_bucketed_topk": _bucketed_topk_sql(4, 5),
+        "emb_hyperplane_topk": _hyperplane_topk_sql(5),
         "events_sessionize": """
 WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
 m AS (SELECT user_id, event_id, ep,
@@ -929,6 +943,46 @@ SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_ep,
 FROM events GROUP BY 1, 2
 """,
     }
+
+
+def _hyperplane_topk_sql(k: int) -> str:
+    """Oracle for the hashed-hyperplane + 1-probe ANN path: identical
+    planes (seeded, repr round-trip), identical bucket/flip/tie rules."""
+    from smatchpp_spark.pipeline.similarity import random_planes
+
+    planes = random_planes(64, bits=4, seed=7)
+    m = [
+        f"list_dot_product(v, [{', '.join(repr(x) for x in p)}])"
+        for p in planes
+    ]
+    base = (
+        "(CASE WHEN m0 >= 0 THEN 1 ELSE 0 END + CASE WHEN m1 >= 0 THEN 2 ELSE 0 END"
+        " + CASE WHEN m2 >= 0 THEN 4 ELSE 0 END + CASE WHEN m3 >= 0 THEN 8 ELSE 0 END)"
+    )
+    flip = (
+        "CASE WHEN abs(m0) <= abs(m1) AND abs(m0) <= abs(m2) AND abs(m0) <= abs(m3) THEN 1 "
+        "WHEN abs(m1) <= abs(m2) AND abs(m1) <= abs(m3) THEN 2 "
+        "WHEN abs(m2) <= abs(m3) THEN 4 ELSE 8 END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mm AS (SELECT vec_id, v, {m[0]} AS m0, {m[1]} AS m1, {m[2]} AS m2, {m[3]} AS m3 FROM e),
+b AS (SELECT vec_id, v, {base} AS base, {flip} AS flip FROM mm),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             unnest([base, xor(base, flip)]) AS bucket
+      FROM b WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, base AS bucket FROM b),
+s AS (SELECT DISTINCT query_id, neighbor_id, qv, cv
+      FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+sc AS (SELECT query_id, neighbor_id,
+  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0
+       ELSE list_dot_product(qv, cv)
+            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS sim
+  FROM s),
+r AS (SELECT query_id, neighbor_id, sim,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM sc)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rk <= {k}
+"""
 
 
 def _quality_sql() -> str:

@@ -95,6 +95,74 @@ def sign_bucket(vec_col: Column | str, bits: int = 8) -> Column:
     return code
 
 
+def random_planes(dims: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (seeded numpy),
+    generated driver-side and shipped into the plan as literals.
+
+    Replaces the axis-aligned default when embeddings are anisotropic:
+    axis signs concentrate mass into few buckets if dimensions are
+    correlated; random rotations restore the uniform-bucket guarantee of
+    sign-LSH (Charikar's SimHash construction)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    p = rng.standard_normal((bits, dims))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in p]
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def plane_margins(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """array<double> of signed distances to each hyperplane (the fold is
+    the same sequential ``dot`` every other path uses)."""
+    c = _to_double(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.array(*[dot(_plane_lit(p), c) for p in planes])
+
+
+def margins_to_bucket(margins: Column, bits: int) -> Column:
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = code + F.when(
+            F.element_at(margins, i + 1) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return code
+
+
+def probe_buckets(margins: Column, bits: int, probes: int) -> Column:
+    """Multi-probe bucket list: the base code plus ``probes`` variants with
+    the lowest-|margin| bit(s) flipped — the near-boundary buckets where a
+    true neighbor most likely landed (multi-probe LSH).  Deterministic:
+    ties in |margin| break on the lower bit index."""
+    base = margins_to_bucket(margins, bits)
+    if probes <= 0:
+        return F.array(base)
+    by_margin = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(margins, i + 1)).alias("m"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(bits)
+            ]
+        )
+    )
+    def _pow2(icol: Column) -> Column:
+        expr = F.lit(0).cast("long")
+        for b in range(bits):
+            expr = F.when(icol == b, F.lit(1 << b).cast("long")).otherwise(expr)
+        return expr
+
+    flips = F.transform(
+        F.slice(by_margin, 1, min(probes, bits)),
+        lambda s: base.bitwiseXOR(_pow2(s["i"])),
+    )
+    return F.concat(F.array(base), flips)
+
+
 def bucket_histogram(
     emb: DataFrame, vec_col: str = "embedding", bits: int = 8
 ) -> DataFrame:
@@ -112,6 +180,8 @@ def bucketed_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only within the query's sign-LSH bucket.
 
@@ -120,23 +190,51 @@ def bucketed_topk(
     and the guard in the dedup module's LSH applies equally here).  Recall
     vs ``cosine_topk`` rises with fewer bits; bits is the knob that trades
     shuffle volume for recall.
+
+    ``planes`` switches from axis-aligned signs to hashed pseudo-random
+    hyperplanes (``random_planes``) — required for anisotropic embeddings;
+    ``probes`` adds multi-probe on the query side (the base bucket plus
+    the nearest-boundary flips), multiplying query fan-out by
+    ``1 + probes`` while the corpus stays single-bucketed.  Recall@k is
+    measured against ``cosine_topk`` in tests/test_pipeline.py.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _to_double(vec_col).alias("qv"),
-        sign_bucket(vec_col, bits).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _to_double(vec_col).alias("cv"),
-        sign_bucket(vec_col, bits).alias("bucket"),
-    )
+    if planes is not None:
+        bits = len(planes)
+        q_margins = plane_margins(vec_col, planes)
+        q_bucket_list = probe_buckets(q_margins, bits, probes)
+        c_bucket = margins_to_bucket(plane_margins(vec_col, planes), bits)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _to_double(vec_col).alias("qv"),
+            F.explode(q_bucket_list).alias("bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _to_double(vec_col).alias("cv"),
+            c_bucket.alias("bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _to_double(vec_col).alias("qv"),
+            F.explode(
+                F.array(sign_bucket(vec_col, bits))
+            ).alias("bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _to_double(vec_col).alias("cv"),
+            sign_bucket(vec_col, bits).alias("bucket"),
+        )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # multi-probe can surface the same candidate through several
+        # buckets; dedup before ranking
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
