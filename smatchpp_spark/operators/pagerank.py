@@ -57,7 +57,23 @@ def pagerank(
     resume: bool = False,
     num_partitions: int | None = None,
     input_lineage: str = "",
+    adjacency: bool = False,
+    max_fanout: int = 100_000,
 ) -> PageRankResult:
+    """``adjacency=True`` stores the static join side pre-grouped: one row
+    per (src, hub-bucket) with a dst array instead of one row per edge,
+    expanding to |E| inside the stage via ``explode`` (narrow, no extra
+    exchange) before the map-side-combined dst aggregation.  Hub sources
+    are salted into buckets of ≤ ``max_fanout`` dsts so no row exceeds
+    array bounds at web scale.
+
+    Measured on this box (19.2M edges, 5 supersteps): per-edge 1.75M
+    edges/s @4 cores / 2.40M @32; adjacency 1.35M / 1.91M — the
+    collect_list build + Generate node costs more than the per-row
+    overhead it saves, because the per-edge static table is already
+    hash-partitioned once and never reshuffles.  Per-edge is therefore
+    the default; adjacency remains for memory-bound static tables (array
+    rows compress the src column away) and is held to the same oracle."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -85,16 +101,40 @@ def pagerank(
             metrics=[],
         )
 
-    # static per-superstep join side: one row per edge with 1/out_deg(src),
-    # hash-partitioned by src once and persisted for reuse across steps
-    contrib_edges = (
-        edges.select("src", "dst")
-        .join(out_deg.withColumnRenamed("vertex", "src"), "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .repartition(num_partitions, "src")
-        .persist()
-    )
-    n_edges = contrib_edges.count()  # also forces the persist
+    # static per-superstep join side, hash-partitioned by src once and
+    # persisted for reuse across steps
+    if adjacency:
+        contrib_edges = (
+            edges.select("src", "dst")
+            .join(out_deg.withColumnRenamed("vertex", "src"), "src")
+            .withColumn(
+                "bkt",
+                F.pmod(
+                    F.xxhash64("dst"),
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        F.ceil(F.col("out_deg") / F.lit(max_fanout)).cast("long"),
+                    ),
+                ),
+            )
+            .groupBy("src", "bkt", "out_deg")
+            .agg(F.collect_list("dst").alias("dsts"))
+            .drop("bkt")
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        n_edges = (
+            contrib_edges.agg(F.sum(F.size("dsts"))).collect()[0][0] or 0
+        )  # also forces the persist
+    else:
+        contrib_edges = (
+            edges.select("src", "dst")
+            .join(out_deg.withColumnRenamed("vertex", "src"), "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        n_edges = contrib_edges.count()
 
     init = vertices.select(
         "vertex", "dangling", F.lit(1.0 / n).alias("rank"),
@@ -115,12 +155,29 @@ def pagerank(
                 ).alias("base")
             )
         )
-        contribs = (
-            state.select(F.col("vertex").alias("src"), "rank")
-            .join(contrib_edges, "src")
-            .groupBy(F.col("dst").alias("vertex"))
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
-        )
+        if adjacency:
+            contribs = (
+                state.select(F.col("vertex").alias("src"), "rank")
+                .join(contrib_edges, "src")
+                .select(
+                    F.explode("dsts").alias("vertex"),
+                    # rank * (1/deg), NOT rank/deg: keeps the multiply
+                    # bit-identical with the per-edge path and the SQL
+                    # oracle's `rank * w`
+                    (F.col("rank") * (F.lit(1.0) / F.col("out_deg"))).alias(
+                        "contrib"
+                    ),
+                )
+                .groupBy("vertex")
+                .agg(F.sum("contrib").alias("in_sum"))
+            )
+        else:
+            contribs = (
+                state.select(F.col("vertex").alias("src"), "rank")
+                .join(contrib_edges, "src")
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
+            )
         return (
             state.select("vertex", "dangling", F.col("rank").alias("old_rank"))
             .join(contribs, "vertex", "left")

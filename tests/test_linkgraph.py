@@ -294,3 +294,23 @@ def test_metrics_and_lineage_recorded(spark):
             p["input_lineage"] == "ring12" for p in rec["partitions"]
         )
     assert records[-1]["delta"] == 0.0
+
+
+def test_pagerank_adjacency_path_matches_per_edge(spark):
+    """The pre-grouped adjacency variant (hub-salted dst arrays + explode)
+    must produce ranks allclose the per-edge default on a skewed graph,
+    including with max_fanout small enough to force hub bucketing."""
+    from smatchpp_spark.operators.pagerank import pagerank
+
+    pairs = powerlaw_graph()
+    per_edge = pagerank(
+        _edges_df(spark, pairs), tol=-1.0, max_supersteps=5, adjacency=False
+    )
+    adj = pagerank(
+        _edges_df(spark, pairs), tol=-1.0, max_supersteps=5,
+        adjacency=True, max_fanout=8,
+    )
+    a = {r.vertex: r.rank for r in per_edge.ranks.collect()}
+    b = {r.vertex: r.rank for r in adj.ranks.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-12
