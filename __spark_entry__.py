@@ -538,6 +538,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), bits=16, portable=True
     )
 
+    def _mm(spark, sf):
+        from smatchpp_spark.pipeline import multimodal
+
+        assets = multimodal.synth_assets(spark, _docs(spark, sf))
+        feats = multimodal.extract_features(assets, fake=True)
+        return feats.select(
+            "asset_id",
+            "kind",
+            "n_bytes",
+            *[
+                F.round(F.element_at("feature", i + 1), 9).alias(f"f{i}")
+                for i in range(8)
+            ],
+        )
+
+    q["multimodal_features"] = _mm
+
     # ---- embeddings: similarity search -----------------------------------
     def _topk(spark, sf):
         emb = _read(spark, sf, "embeddings")
@@ -905,6 +922,23 @@ FROM h
         "doc_exact_dedup": f"""
 SELECT {_h('text')} AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
+""",
+        # the deterministic fake-feature path: sha256(utf8(text)) chopped
+        # into 8 uniform floats — DuckDB's sha256(varchar) hashes the same
+        # utf-8 bytes, and /2^32 is exact in doubles
+        "multimodal_features": f"""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         sha256(text) AS h
+  FROM documents)
+SELECT asset_id, kind, n_bytes,
+  {", ".join(
+      f"ROUND(CAST(('0x' || substr(h, {8*i+1}, 8)) AS BIGINT) / 4294967296.0, 9) AS f{i}"
+      for i in range(8)
+  )}
+FROM a
 """,
         "doc_minhash": _minhash_sql(4),
         "doc_neardup_pairs": _neardup_sql(8, 2),

@@ -196,8 +196,10 @@ def test_multimodal_features(spark, docs):
         assert rows[doc_id]["n_bytes"] == len(t.encode())
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx")
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(assets, fake=False)
+    # fake=False on non-media payloads surfaces the decoder's
+    # NotImplementedError from the executor
+    with pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        multimodal.extract_features(assets, fake=False).collect()
     frames = multimodal.sample_frames(assets, every_ms=1000)
     vid = assets.filter(F.col("kind") == "video").collect()
     expect_frames = sum(len(range(0, max(a["duration_ms"] - 1, 0) + 1, 1000)) for a in vid)
@@ -316,3 +318,107 @@ def test_hyperplane_ann_recall_and_uniformity(spark):
     ]
     assert max(hp_hist) / n < 0.3          # no degenerate bucket
     assert max(hp_hist) < max(axis_hist)   # strictly better than axis here
+
+
+def _make_ppm(img):
+    import numpy as np
+    h, w, _ = img.shape
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
+
+
+def _make_pgm(gray):
+    import numpy as np
+    h, w = gray.shape
+    return b"P5 %d %d 255 " % (w, h) + np.ascontiguousarray(gray).tobytes()
+
+
+def _make_bmp(img, top_down=False):
+    """Minimal 24-bit BI_RGB BMP writer (BITMAPINFOHEADER)."""
+    import numpy as np
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    rows = img if top_down else img[::-1]
+    body = b"".join(
+        bytes(row[:, [2, 1, 0]].astype(np.uint8).tobytes()) + b"\x00" * pad
+        for row in rows
+    )
+    hdr_h = -h if top_down else h
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + hdr_h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + 40
+    file_hdr = b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00\x00\x00\x00" + off.to_bytes(4, "little")
+    return file_hdr + info + body
+
+
+def _make_wav(samples, rate=8000):
+    """Minimal 16-bit PCM mono RIFF/WAVE writer."""
+    import numpy as np
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+def test_real_decode_image_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_image(_make_ppm(img)), img)
+    assert np.array_equal(multimodal.decode_image(_make_bmp(img)), img)
+    assert np.array_equal(
+        multimodal.decode_image(_make_bmp(img, top_down=True)), img
+    )
+    gray = rng.randint(0, 256, (4, 6), dtype=np.uint8)
+    got = multimodal.decode_image(_make_pgm(gray))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    small = multimodal.resize_nearest(img, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+
+
+def test_real_decode_wav_roundtrip():
+    import numpy as np
+
+    t = np.arange(800) / 8000.0
+    wave = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, got = multimodal.decode_wav(_make_wav(wave))
+    assert rate == 8000
+    assert len(got) == 800
+    assert np.max(np.abs(got - wave)) < 1e-3  # 16-bit quantization
+
+
+def test_real_feature_extraction_through_spark(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    t = np.arange(1600) / 8000.0
+    wave = 0.25 * np.sin(2 * np.pi * 220 * t)
+    rows = [
+        (1, "image", bytearray(_make_ppm(img)), 8, 8, 0, "ppm"),
+        (2, "image", bytearray(_make_bmp(img)), 8, 8, 0, "bmp"),
+        (3, "audio", bytearray(_make_wav(wave)), 0, 0, 200, "pcm_s16le"),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    feats = {r["asset_id"]: r for r in multimodal.extract_features(assets, fake=False).collect()}
+    exp_img = multimodal.image_features(img)
+    assert list(feats[1]["feature"]) == pytest.approx(list(exp_img))
+    assert list(feats[2]["feature"]) == pytest.approx(list(exp_img))
+    exp_audio = multimodal.audio_features(*multimodal.decode_wav(_make_wav(wave)))
+    assert list(feats[3]["feature"]) == pytest.approx(list(exp_audio))
+    assert feats[3]["feature"][0] == pytest.approx(0.2)  # duration seconds
