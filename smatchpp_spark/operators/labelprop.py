@@ -68,16 +68,22 @@ def label_propagation(
         counted = msgs.groupBy("vertex", "label").agg(
             F.count(F.lit(1)).alias("votes")
         )
-        # most votes wins; ties -> smallest label (deterministic).  Two
-        # partial-aggregable groupBys + a co-partitioned join instead of a
-        # window or a negate-the-label max_by trick: works for any label
-        # type (strings included) and stays map-side-combinable, so a hub
-        # vertex with 10^8 neighbors never concentrates rows in one task.
-        mx = counted.groupBy("vertex").agg(F.max("votes").alias("votes"))
+        # most votes wins; ties -> smallest label (deterministic).  One
+        # partial-aggregable groupBy: min over struct(-votes, label) is
+        # lexicographic — highest vote count first, then the smallest
+        # label — and works for ANY orderable label type (strings
+        # included; only the vote count is negated, never the label).
+        # Replaces the previous max-join-min chain (two extra shuffles
+        # per superstep); still map-side-combinable, so a hub vertex
+        # with 10^8 neighbors never concentrates rows in one task.
         picked = (
-            counted.join(mx, ["vertex", "votes"])
-            .groupBy("vertex")
-            .agg(F.min("label").alias("label"))
+            counted.groupBy("vertex")
+            .agg(
+                F.min(
+                    F.struct((-F.col("votes")).alias("neg_votes"), F.col("label"))
+                ).alias("best")
+            )
+            .select("vertex", F.col("best.label").alias("label"))
         )
         # isolated vertices (no messages) keep their label
         return state.join(picked, "vertex", "left").select(
