@@ -231,6 +231,40 @@ def _der_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _logic_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLES with :opN relations and and/or concepts so norm_logical_ops
+    has work: the :ARGn class becomes :opN, Concept-6 becomes 'and',
+    Concept-5 becomes 'or'."""
+    t = _triples(spark, sf_dir)
+    return t.select(
+        "graph_id",
+        "pos",
+        "src",
+        F.when(
+            F.col("rel").startswith(":ARG"),
+            F.concat(F.lit(":op"), F.substring("rel", 5, 1)),
+        )
+        .otherwise(F.col("rel"))
+        .alias("rel"),
+        F.when(F.col("dst") == "Concept-6", F.lit("and"))
+        .when(F.col("dst") == "Concept-5", F.lit("or"))
+        .otherwise(F.col("dst"))
+        .alias("dst"),
+    )
+
+
+def _reify_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLES with the ':domain' class rewritten to ':location' so the
+    rule-based reify transform has work."""
+    t = _triples(spark, sf_dir)
+    return t.withColumn(
+        "rel",
+        F.when(F.col("rel") == ":domain", F.lit(":location")).otherwise(
+            F.col("rel")
+        ),
+    )
+
+
 def _match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _read(spark, sf_dir, "orders")
     return o.select(
@@ -492,6 +526,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["relabel_vars"] = lambda spark, sf: relabel_vars(_collision_triples(spark, sf))
     q["concept_as_root"] = lambda spark, sf: concept_as_root(_root_triples(spark, sf))
     q["dereify_triples"] = lambda spark, sf: dereify(_der_triples(spark, sf))
+
+    def _norm_ops(spark, sf):
+        from smatchpp_spark.operators.standardize import norm_logical_ops
+
+        return norm_logical_ops(_logic_triples(spark, sf))
+
+    q["norm_logical_ops"] = _norm_ops
+
+    def _reify_attrs(spark, sf):
+        from smatchpp_spark.operators.standardize import reify_attributes
+
+        return reify_attributes(_triples(spark, sf))
+
+    q["reify_attributes"] = _reify_attrs
+
+    def _reify_edges(spark, sf):
+        from smatchpp_spark.operators.standardize import reify_rules_transform
+
+        return reify_rules_transform(_reify_triples(spark, sf))
+
+    q["reify_edges"] = _reify_edges
 
     def _scores(spark, sf):
         stats = _match_stats(spark, sf)
@@ -818,6 +873,65 @@ SELECT t.graph_id, t.pos,
 FROM t
 LEFT JOIN roots r ON r.graph_id = t.graph_id AND r.pos = t.pos
 LEFT JOIN vc v ON v.graph_id = t.graph_id AND v.var = t.dst
+""",
+        "norm_logical_ops": f"""
+WITH t0 AS ({SQL_TRIPLES}),
+t AS (SELECT graph_id, pos, src,
+        CASE WHEN rel LIKE ':ARG%' THEN ':op' || substr(rel, 5, 1) ELSE rel END AS rel,
+        CASE WHEN dst = 'Concept-6' THEN 'and'
+             WHEN dst = 'Concept-5' THEN 'or' ELSE dst END AS dst
+      FROM t0),
+lv AS (SELECT DISTINCT graph_id, src FROM t
+       WHERE rel = ':instance' AND dst IN ('and', 'or'))
+SELECT t.graph_id, t.pos, t.src,
+  CASE WHEN lv.src IS NOT NULL AND t.rel LIKE '%:op%' THEN ':op' ELSE t.rel END AS rel,
+  t.dst
+FROM t LEFT JOIN lv ON lv.graph_id = t.graph_id AND lv.src = t.src
+""",
+        "reify_attributes": f"""
+WITH t AS ({SQL_TRIPLES}),
+inst_nodes AS (SELECT graph_id, src AS node FROM t WHERE rel = ':instance'
+               UNION SELECT graph_id, dst FROM t WHERE rel = ':instance'),
+flagged AS (SELECT t.* FROM t ANTI JOIN inst_nodes i
+            ON i.graph_id = t.graph_id AND i.node = t.dst),
+numbered AS (SELECT *, row_number() OVER (PARTITION BY graph_id ORDER BY pos) - 1 AS k
+             FROM flagged),
+maxpos AS (SELECT graph_id, MAX(pos) AS max_pos FROM t GROUP BY graph_id),
+kept AS (SELECT t.* FROM t ANTI JOIN flagged f
+         ON f.graph_id = t.graph_id AND f.pos = t.pos)
+SELECT graph_id, pos, src, rel, dst FROM kept
+UNION ALL
+SELECT n.graph_id, m.max_pos + 1 + n.k * 2 AS pos, n.src, n.rel,
+       'rfattribute_' || n.k AS dst
+FROM numbered n JOIN maxpos m USING (graph_id)
+UNION ALL
+SELECT n.graph_id, m.max_pos + 2 + n.k * 2 AS pos, 'rfattribute_' || n.k AS src,
+       ':instance' AS rel, n.dst
+FROM numbered n JOIN maxpos m USING (graph_id)
+""",
+        "reify_edges": f"""
+WITH t0 AS ({SQL_TRIPLES}),
+t AS (SELECT graph_id, pos, src,
+        CASE WHEN rel = ':domain' THEN ':location' ELSE rel END AS rel, dst
+      FROM t0),
+matched AS (SELECT *, row_number() OVER (PARTITION BY graph_id ORDER BY pos) - 1 AS k,
+                   'ric' || pos AS zvar
+            FROM t WHERE rel = ':location'),
+maxpos AS (SELECT graph_id, MAX(pos) AS max_pos FROM t GROUP BY graph_id),
+kept AS (SELECT t.* FROM t WHERE rel <> ':location')
+SELECT graph_id, pos, src, rel, dst FROM kept
+UNION ALL
+SELECT m2.graph_id, mp.max_pos + 1 + m2.k * 3 AS pos, m2.zvar AS src,
+       ':instance' AS rel, 'be-located-at-91' AS dst
+FROM matched m2 JOIN maxpos mp USING (graph_id)
+UNION ALL
+SELECT m2.graph_id, mp.max_pos + 2 + m2.k * 3 AS pos, m2.zvar AS src,
+       ':arg1' AS rel, m2.src AS dst
+FROM matched m2 JOIN maxpos mp USING (graph_id)
+UNION ALL
+SELECT m2.graph_id, mp.max_pos + 3 + m2.k * 3 AS pos, m2.zvar AS src,
+       ':arg2' AS rel, m2.dst AS dst
+FROM matched m2 JOIN maxpos mp USING (graph_id)
 """,
         # closed-form expected output of the dereify pass on the orders-derived
         # workbench: eligibility is known per k, so the oracle derives the
