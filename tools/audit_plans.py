@@ -35,6 +35,34 @@ CHECKS = {
          "2 of 5 document columns scanned"),
         ("HashAggregate", "map-side partial aggregation absorbs duplicates"),
     ],
+    "edge_relabel": [
+        ("BroadcastExchange",
+         "the (concept, rel → new_rel) rules dim broadcasts — the edge "
+         "table never reshuffles for the rules lookup"),
+        ("codegen id", "relabel projection stays in codegen"),
+    ],
+    "emb_hyperplane_topk": [
+        ("HashJoin",
+         "candidate generation is an equi-join on the bucket key "
+         "(broadcast here because the probe side is tiny at this sf; "
+         "shuffled-hash/sort-merge on the bucket key at scale — never "
+         "all-pairs)"),
+        ("PushedFilters: [IsNotNull(vec_id)]",
+         "query-side filter reaches the parquet scan"),
+    ],
+    "bootstrap_ci": [
+        ("BroadcastExchange",
+         "bucket-offset spine (≤1024 rows) broadcasts back to the pairs"),
+        ("ReadSchema: struct<o_orderkey:bigint>",
+         "stats derivation reads ONE of 9 orders columns"),
+    ],
+    "multimodal_features": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "only (doc_id, text) reach the Arrow kernel; payload metadata "
+         "pruned at the scan"),
+        ("MapInPandas",
+         "single Arrow-batched Python stage, no per-row UDF"),
+    ],
 }
 
 
