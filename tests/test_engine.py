@@ -162,3 +162,38 @@ def test_bootstrap_deterministic_across_partitionings(spark):
         assert cis[0]["lo"] == cis[1]["lo"] == cis[2]["lo"]
         assert cis[0]["hi"] == cis[1]["hi"] == cis[2]["hi"]
         assert 0.0 <= cis[0]["lo"] <= cis[0]["hi"] <= 100.0
+
+
+def test_registry_factories(spark):
+    """uri registry parity with reference model_factory: same names, same
+    NotImplementedError contract, components behave."""
+    import pytest as _pytest
+
+    from smatchpp_spark import registry
+    from smatchpp_spark.sources.penman import parse_edges
+
+    corpus = spark.createDataFrame(
+        [("0", "(a / ant :mod (b / big))")], "gid string, content string"
+    )
+    edges = parse_edges(corpus, id_col="gid")
+
+    std = registry.StandardizerFactory.get_standardizer("amr")
+    assert std(edges).count() > 0
+    assert registry.StandardizerFactory.get_standardizer(None)(edges) is edges
+    with _pytest.raises(NotImplementedError):
+        registry.StandardizerFactory.get_standardizer("ucca")
+
+    reader = registry.GraphReaderFactory.get_reader("penman")
+    assert reader(corpus, id_col="gid").count() == edges.count()
+    with _pytest.raises(NameError):
+        registry.GraphReaderFactory.get_reader("xml")
+
+    extract = registry.SubgraphExtractorFactory.get_extractor("amr")
+    assert extract(edges).count() > 0
+    with _pytest.raises(NotImplementedError):
+        registry.SubgraphExtractorFactory.get_extractor("generic")
+
+    assert registry.SolverFactory.get_solver("ilp") == "bnb"
+    assert registry.SolverFactory.get_solver("hillclimber") == "hillclimber"
+    with _pytest.raises(NotImplementedError):
+        registry.SolverFactory.get_solver("rilp")
