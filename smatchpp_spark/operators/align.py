@@ -15,9 +15,14 @@ semantics from scratch:
   * scoring given alignment               — score.py:81-197
 
 Solver differences (documented, deliberate):
-  * ``exhaustive`` enumerates all alignments for small V — a certified
-    global optimum the reference only gets from its (offline-unavailable)
-    ILP.  Default for V ≤ 7.
+  * ``bnb`` (the ``auto`` default for V ≤ 12) is a best-child-first
+    branch-and-bound with admissible row-max bounds and a hillclimber
+    warm start — a certified global optimum with a true (lb, ub) status,
+    the contract the reference only gets from its (offline-unavailable)
+    ILP (solvers.py:417-454); on node-budget exhaustion it degrades to
+    the incumbent plus an honest upper bound.
+  * ``exhaustive`` enumerates all alignments for small V — the
+    brute-force certificate ``bnb`` is property-tested against.
   * ``hillclimber`` is a seeded steepest-ascent with random restarts:
     same objective, same search move (transposition of two alignment
     entries), deterministic via a per-(pair, restart) seed instead of
