@@ -78,3 +78,52 @@ def test_stream_sessionize_matches_batch_bounds(spark, sf_dir):
         assert expect[k] == v, k
     closed = {k for k, v in expect.items() if k[1] < max_ep - 3600 - 1800}
     assert closed <= set(got_rows)
+
+
+def test_stream_degrees_stateful_matches_batch(spark):
+    """applyInPandasWithState custom operator: two micro-batches of edges
+    update per-vertex state; final totals equal the batch degrees()."""
+    import time
+
+    from smatchpp_spark.operators.degrees import degrees
+    from smatchpp_spark.streaming.degrees import stream_degrees
+
+    batch1 = [("a", "b"), ("a", "c"), ("b", "c")]
+    batch2 = [("c", "a"), ("a", "b"), ("d", "a")]
+    schema = "src string, dst string"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "edges")
+        ckpt = os.path.join(tmp, "ckpt")
+        spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_degrees(stream)
+            .writeStream.format("memory")
+            .queryName("deg_mem")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            mid = {
+                r["vertex"]: (r["in_deg"], r["out_deg"])
+                for r in spark.table("deg_mem").collect()
+            }
+            assert mid["a"] == (0, 2) and mid["c"] == (2, 0)
+            spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # counters are monotone: max per vertex == final state
+        rows = spark.table("deg_mem").collect()
+        got: dict = {}
+        for r in rows:
+            cur = got.get(r["vertex"], (0, 0))
+            got[r["vertex"]] = (max(cur[0], r["in_deg"]), max(cur[1], r["out_deg"]))
+
+    both = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        r["vertex"]: (r["in_deg"], r["out_deg"]) for r in degrees(both).collect()
+    }
+    assert got == expect
