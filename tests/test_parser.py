@@ -113,3 +113,24 @@ def test_spark_parse_edges(spark):
     # round-trip through the writer re-parses to the same triples for clean graphs
     penman = write_penman(edges).filter(F.col("penman").isNotNull())
     assert penman.count() > 0
+
+
+def test_graph_id_is_sha256_content_invariant(spark):
+    """input-hint per-row invariant: graph_id == sha256(utf8(content)),
+    bit-identical to any other engine's sha256, and duplicate content
+    collapses to one graph key."""
+    import hashlib
+
+    from smatchpp_spark.sources.penman import with_graph_id
+
+    rows = [
+        ("r1", "src/a.amr", "c1", "amr", "(a / ant :mod (b / big))"),
+        ("r2", "src/b.amr", "c2", "amr", "(a / ant :mod (b / big))"),  # dup
+        ("r3", "src/c.amr", "c3", "amr", "(x / über :value \"naïve\")"),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    df = with_graph_id(spark.createDataFrame(rows, schema))
+    got = {r["path"]: r["graph_id"] for r in df.collect()}
+    for _, path, _, _, content in rows:
+        assert got[path] == hashlib.sha256(content.encode("utf-8")).hexdigest()
+    assert got["src/a.amr"] == got["src/b.amr"]
