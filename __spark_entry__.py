@@ -592,6 +592,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_simhash"] = lambda spark, sf: dedup.simhash(
         _docs(spark, sf), bits=16, portable=True
     )
+    q["doc_bpe_tokens"] = lambda spark, sf: text.bpe_token_count(_docs(spark, sf))
+
+    def _emb_neardup(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        planes = similarity.random_planes(64, bits=4, seed=7)
+        # threshold tuned to the synthetic embeddings' similarity range
+        return dedup.neardup_pairs_embedding(
+            emb, threshold=0.3, planes=planes, probes=1
+        )
+
+    q["emb_neardup_pairs"] = _emb_neardup
 
     def _mm(spark, sf):
         from smatchpp_spark.pipeline import multimodal
@@ -1057,6 +1068,17 @@ FROM a
         "doc_minhash": _minhash_sql(4),
         "doc_neardup_pairs": _neardup_sql(8, 2),
         "doc_simhash": _simhash_sql(16),
+        "doc_bpe_tokens": f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+         AS INT) AS bpe_tokens
+FROM documents
+""",
+        "emb_neardup_pairs": _emb_neardup_sql(0.3),
         "emb_cosine_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
@@ -1093,9 +1115,10 @@ FROM events GROUP BY 1, 2
     }
 
 
-def _hyperplane_topk_sql(k: int) -> str:
-    """Oracle for the hashed-hyperplane + 1-probe ANN path: identical
-    planes (seeded, repr round-trip), identical bucket/flip/tie rules."""
+def _hyperplane_cte() -> str:
+    """Shared WITH body: per-vector hyperplane margins → (base, flip)
+    bucket codes, identical planes (seeded, repr round-trip) and tie
+    rules as similarity.random_planes/probe_buckets."""
     from smatchpp_spark.pipeline.similarity import random_planes
 
     planes = random_planes(64, bits=4, seed=7)
@@ -1115,7 +1138,32 @@ def _hyperplane_topk_sql(k: int) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 mm AS (SELECT vec_id, v, {m[0]} AS m0, {m[1]} AS m1, {m[2]} AS m2, {m[3]} AS m3 FROM e),
-b AS (SELECT vec_id, v, {base} AS base, {flip} AS flip FROM mm),
+b AS (SELECT vec_id, v, {base} AS base, {flip} AS flip FROM mm)"""
+
+
+_COS_SQL = (
+    "CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) = 0 "
+    "THEN 0.0 ELSE list_dot_product({a}, {b}) "
+    "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END"
+)
+
+
+def _emb_neardup_sql(threshold: float) -> str:
+    cos = _COS_SQL.format(a="va", b="vb")
+    return f"""{_hyperplane_cte()},
+qa AS (SELECT vec_id AS id_a, v AS va,
+              unnest([base, xor(base, flip)]) AS bucket FROM b),
+cb AS (SELECT vec_id AS id_b, v AS vb, base AS bucket FROM b),
+cand AS (SELECT DISTINCT id_a, id_b, va, vb
+         FROM qa JOIN cb USING (bucket) WHERE id_a < id_b),
+sc AS (SELECT id_a, id_b, ROUND({cos}, 6) AS cosine_sim FROM cand)
+SELECT id_a, id_b, cosine_sim FROM sc WHERE cosine_sim >= {threshold}
+"""
+
+
+def _hyperplane_topk_sql(k: int) -> str:
+    """Oracle for the hashed-hyperplane + 1-probe ANN path."""
+    return f"""{_hyperplane_cte()},
 q AS (SELECT vec_id AS query_id, v AS qv,
              unnest([base, xor(base, flip)]) AS bucket
       FROM b WHERE vec_id % 50 = 0),

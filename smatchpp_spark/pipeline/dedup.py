@@ -261,3 +261,57 @@ def simhash(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit codes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def neardup_pairs_embedding(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+    bits: int = 4,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket candidates
+    (hashed hyperplanes + multi-probe on one side), verified by exact
+    cosine ≥ ``threshold``; canonical (a < b) output.
+
+    The 100 TB shape matches the MinHash path: candidates come from an
+    equi-join on the bucket key, never all-pairs; the verify step runs
+    only inside buckets.  Recall follows the ANN path's geometry — near
+    duplicates have near-identical hyperplane margins, so they co-bucket
+    or differ in the lowest-margin bit, which multi-probe covers.
+    """
+    from smatchpp_spark.pipeline.similarity import (
+        _to_double,
+        cosine,
+        margins_to_bucket,
+        plane_margins,
+        probe_buckets,
+        random_planes,
+    )
+
+    if planes is None:
+        dims = len(emb.select(vec_col).first()[0])
+        planes = random_planes(dims, bits=bits, seed=42)
+    bits = len(planes)
+    margins = plane_margins(vec_col, planes)
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        _to_double(vec_col).alias("va"),
+        F.explode(probe_buckets(margins, bits, probes)).alias("bucket"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        _to_double(vec_col).alias("vb"),
+        margins_to_bucket(margins, bits).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -157,3 +157,27 @@ def fingerprints(
         hash64(norm, portable).alias("norm_hash"),
         rolling.alias("rolling_hash"),
     )
+
+
+# GPT2-style pretokenizer classes, simplified to an engine-portable form
+# (no lookaheads, no \p classes): contractions, letter runs, digit runs,
+# other-symbol runs — the standard BPE pre-split shape, counted JVM-side.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document BPE-ish token counts: whitespace tokens vs the
+    pretokenizer split above (the unit LLM training budgets count).
+    One regexp scan, no shuffle, column-pruned."""
+    ws = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0))
+        .cast("int")
+        .alias("bpe_tokens"),
+    )

@@ -422,3 +422,40 @@ def test_real_feature_extraction_through_spark(spark):
     exp_audio = multimodal.audio_features(*multimodal.decode_wav(_make_wav(wave)))
     assert list(feats[3]["feature"]) == pytest.approx(list(exp_audio))
     assert feats[3]["feature"][0] == pytest.approx(0.2)  # duration seconds
+
+
+def test_bpe_token_count_matches_re():
+    import re
+
+    assert re.findall(
+        text.BPE_TOKEN_PATTERN, "It's 99 red-balloons, isn't it?"
+    ) == ["It", "'s", "99", "red", "-", "balloons", ",", "isn", "'t", "it", "?"]
+
+
+def test_bpe_token_count_spark(spark):
+    import re
+
+    docs_rows = [(i, t) for i, t in DOCS]
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+           for r in text.bpe_token_count(df).collect()}
+    for i, t in DOCS:
+        assert got[i][0] == len(t.split())
+        assert got[i][1] == len(re.findall(text.BPE_TOKEN_PATTERN, t)), i
+
+
+def test_embedding_neardup_finds_planted_pair(spark):
+    rng = np.random.RandomState(21)
+    base = rng.randn(60, 16)
+    base[7] = base[3] + rng.randn(16) * 0.01  # planted near-duplicate
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    got = dedup.neardup_pairs_embedding(emb, threshold=0.95, bits=4, probes=2)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in got.collect()}
+    assert (3, 7) in pairs and pairs[(3, 7)] > 0.99
+    # soundness: every reported pair really meets the threshold
+    v = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for (a, b), sim in pairs.items():
+        assert v[a] @ v[b] >= 0.95 - 1e-6
