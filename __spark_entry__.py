@@ -556,6 +556,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["micro_macro_scores"] = _scores
 
+    def _pairwise(spark, sf):
+        from smatchpp_spark.functions.scores import pairwise_scores
+
+        return pairwise_scores(_match_stats(spark, sf))
+
+    q["pairwise_scores"] = _pairwise
+
     def _bootstrap(spark, sf):
         from smatchpp_spark.functions.scores import bootstrap_micro
 
@@ -990,6 +997,16 @@ macro_out AS (SELECT 'macro' AS score_type,
     ROUND(AVG(f1) * 100.0, 2) AS f1, ROUND(AVG(p) * 100.0, 2) AS p, ROUND(AVG(r) * 100.0, 2) AS r
     FROM per_pair)
 SELECT * FROM micro_out UNION ALL SELECT * FROM macro_out
+""",
+        "pairwise_scores": f"""
+WITH stats AS (
+  SELECT o_orderkey AS pair_id,
+         CAST(o_orderkey % 4 AS DOUBLE) AS a, CAST(o_orderkey % 4 AS DOUBLE) AS b,
+         CAST(o_orderkey % 6 AS DOUBLE) AS c, CAST(o_orderkey % 7 AS DOUBLE) AS d
+  FROM orders)
+SELECT pair_id, ROUND(({f1}) * 100.0, 2) AS f1,
+       ROUND(({p}) * 100.0, 2) AS p, ROUND(({r}) * 100.0, 2) AS r
+FROM stats
 """,
         # exact replay of the hash-draw multinomial bootstrap: same bucketed
         # dense pair index, same portable md5 draw, same quantile_cont
