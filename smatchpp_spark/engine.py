@@ -198,9 +198,15 @@ class SmatchppSpark:
                 eb, edge_rules=self.config.edge_rules
             ).withColumn("pk", F.concat("graph_id", F.lit("#"), "aspect"))
             raw = align_and_score(asp_a, asp_b, pair_col="pk", cfg=self.config.align)
+            # decompose on the LAST '#': aspect names never contain '#',
+            # user pair ids may
+            aspect = F.substring_index("pair_id", "#", -1)
             stats = raw.select(
-                F.split("pair_id", "#").getItem(0).alias("pair_id"),
-                F.split("pair_id", "#").getItem(1).alias("score_dim"),
+                F.expr(
+                    "substring(pair_id, 1, "
+                    "length(pair_id) - length(substring_index(pair_id, '#', -1)) - 1)"
+                ).alias("pair_id"),
+                aspect.alias("score_dim"),
                 "matchsum_x", "matchsum_y", "xlen", "ylen",
             )
         else:
@@ -210,8 +216,27 @@ class SmatchppSpark:
         nonzero = drop_empty_pairs(stats.filter(F.col("score_dim") != "main")).unionByName(
             stats.filter(F.col("score_dim") == "main")
         )
-        return {
+        out = {
             "pairs": stats,
             "micro": micro_scores(nonzero, ["score_dim"]),
             "macro": macro_scores(nonzero, ["score_dim"]),
         }
+        if self.config.bootstrap:
+            # per-dimension CI, like the reference printer bootstraps each
+            # dimension's match rows (eval_statistics.py:183-197).  The dim
+            # list is tiny (≤ ~20) and stats is checkpointed, so the
+            # driver-side loop costs one small job per dimension.
+            spark = stats.sparkSession
+            dims = [r["score_dim"] for r in nonzero.select("score_dim").distinct().collect()]
+            cis = []
+            for d in sorted(dims):
+                row = bootstrap_micro(
+                    nonzero.filter(F.col("score_dim") == d),
+                    self.config.n_resamples,
+                ).collect()
+                if row:
+                    cis.append((d, float(row[0]["lo"]), float(row[0]["hi"])))
+            out["micro_ci"] = spark.createDataFrame(
+                cis, "score_dim string, lo double, hi double"
+            )
+        return out

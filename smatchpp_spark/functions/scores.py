@@ -117,21 +117,11 @@ def pair_index(
     row_number ordered by pair id, and bucket offsets come from a cumsum
     over the tiny bucket spine (≤ ``buckets`` rows), broadcast back."""
     from smatchpp_spark.functions.hashing import hash64
+    from smatchpp_spark.functions.indexing import dense_index
 
     h = hash64(F.concat(F.lit("b#"), F.col(pair_col).cast("string")), portable)
     bucketed = stats.withColumn("_b", F.pmod(h, F.lit(buckets)).cast("int"))
-    w = Window.partitionBy("_b").orderBy(pair_col)
-    rn = bucketed.withColumn("_rn", F.row_number().over(w) - 1)
-    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
-    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_b", F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).alias("_off")
-    )
-    return (
-        rn.join(F.broadcast(offsets), "_b")
-        .withColumn("i", (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_b", "_rn", "_off")
-    )
+    return dense_index(bucketed, "_b", pair_col, "i").drop("_b")
 
 
 def bootstrap_micro(

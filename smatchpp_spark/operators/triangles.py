@@ -19,27 +19,17 @@ from pyspark.sql import functions as F
 
 
 class TriangleResult:
-    """Lazy single materialization of the wedge joins: the first access to
-    ``per_vertex`` or ``total`` runs the pipeline ONCE (the persisted edge
-    tables feed the wedge join twice inside that job), checkpoints the
-    O(V) result, and releases the inputs.  ``total`` derives from it
-    (Σ corner counts / 3 — every triangle contributes exactly three
-    corners), so consuming both fields never re-runs the joins."""
+    """Single materialization of the wedge joins: ``triangle_count``
+    checkpoints the O(V) per-vertex counts eagerly (the persisted edge
+    tables feed the wedge join twice inside that one job, then release —
+    nothing stays pinned even if the result is discarded).  ``total``
+    derives lazily from the checkpointed counts (Σ corner counts / 3 —
+    every triangle contributes exactly three corners), so consuming both
+    fields never re-runs the joins."""
 
-    def __init__(self, per_corner: DataFrame, inputs: list[DataFrame]):
-        self._per_corner = per_corner
-        self._inputs = inputs
-        self._per_vertex: DataFrame | None = None
+    def __init__(self, per_vertex: DataFrame):
+        self.per_vertex = per_vertex
         self._total: int | None = None
-
-    @property
-    def per_vertex(self) -> DataFrame:
-        if self._per_vertex is None:
-            self._per_vertex = self._per_corner.localCheckpoint(eager=True)
-            for df in self._inputs:
-                df.unpersist()
-            self._inputs = []
-        return self._per_vertex
 
     @property
     def total(self) -> int:
@@ -114,4 +104,7 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> Trian
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return TriangleResult(per_corner, inputs=[oriented, canonical])
+    per_vertex = per_corner.localCheckpoint(eager=True)
+    oriented.unpersist()
+    canonical.unpersist()
+    return TriangleResult(per_vertex)

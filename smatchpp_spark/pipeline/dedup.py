@@ -292,8 +292,15 @@ def neardup_pairs_embedding(
     )
 
     if planes is None:
-        dims = len(emb.select(vec_col).first()[0])
-        planes = random_planes(dims, bits=bits, seed=42)
+        first = emb.select(vec_col).first()
+        if first is None or first[0] is None:
+            # empty input: no pairs, matching the MinHash path's behavior
+            return emb.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine_sim"),
+            ).limit(0)
+        planes = random_planes(len(first[0]), bits=bits, seed=42)
     bits = len(planes)
     margins = plane_margins(vec_col, planes)
     a = emb.select(

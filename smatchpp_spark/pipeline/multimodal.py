@@ -89,13 +89,17 @@ def decode_image(payload: bytes) -> "np.ndarray":
         magic, w, h, maxval, off = _parse_pnm_header(payload)
         ch = 3 if magic == b"P6" else 1
         n = w * h * ch
-        data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
+        if maxval > 255:
+            # 2-byte big-endian samples per the netpbm spec
+            data = np.frombuffer(payload, dtype=">u2", count=n, offset=off)
+        else:
+            data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
         img = data.reshape(h, w, ch)
         if maxval != 255:
             img = (img.astype(np.float64) * (255.0 / maxval)).astype(np.uint8)
         if ch == 1:
             img = np.repeat(img, 3, axis=2)
-        return img
+        return np.ascontiguousarray(img)
     if payload[:2] == b"BM":
         off = int.from_bytes(payload[10:14], "little")
         w = int.from_bytes(payload[18:22], "little", signed=True)

@@ -201,41 +201,37 @@ def bucketed_topk(
     if planes is not None:
         bits = len(planes)
         q_margins = plane_margins(vec_col, planes)
-        q_bucket_list = probe_buckets(q_margins, bits, probes)
+        q_bucket = (
+            F.explode(probe_buckets(q_margins, bits, probes))
+            if probes > 0
+            else margins_to_bucket(q_margins, bits)
+        )
         c_bucket = margins_to_bucket(plane_margins(vec_col, planes), bits)
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            _to_double(vec_col).alias("qv"),
-            F.explode(q_bucket_list).alias("bucket"),
-        )
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _to_double(vec_col).alias("cv"),
-            c_bucket.alias("bucket"),
-        )
     else:
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            _to_double(vec_col).alias("qv"),
-            F.explode(
-                F.array(sign_bucket(vec_col, bits))
-            ).alias("bucket"),
-        )
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _to_double(vec_col).alias("cv"),
-            sign_bucket(vec_col, bits).alias("bucket"),
-        )
+        q_bucket = sign_bucket(vec_col, bits)
+        c_bucket = sign_bucket(vec_col, bits)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(vec_col).alias("qv"),
+        q_bucket.alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(vec_col).alias("cv"),
+        c_bucket.alias("bucket"),
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        # multi-probe can surface the same candidate through several
-        # buckets; dedup before ranking
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if probes > 0:
+        # multi-probe can surface the same candidate through several
+        # buckets; dedup before ranking (single-bucket paths can't
+        # duplicate — skip the extra exchange there)
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

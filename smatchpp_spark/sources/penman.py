@@ -102,7 +102,7 @@ def read_penman_corpus(spark, path: str) -> DataFrame:
     a trailing one); here every empty block is dropped — interior empties
     are malformed corpora either way.
     """
-    from pyspark.sql import Window
+    from smatchpp_spark.functions.indexing import dense_index
 
     raw = spark.read.option("lineSep", "\n\n").text(path)
     lines = F.split(F.col("value"), "\n")
@@ -113,19 +113,8 @@ def read_penman_corpus(spark, path: str) -> DataFrame:
     with_pid = blocks.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_mid", F.monotonically_increasing_id()
     )
-    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
-    )
-    w_rn = Window.partitionBy("_pid").orderBy("_mid")
-    return (
-        with_pid.withColumn("_rn", F.row_number().over(w_rn) - 1)
-        .join(F.broadcast(offsets), "_pid")
-        .select(
-            (F.col("_off") + F.col("_rn")).cast("long").alias("pair_id"),
-            "content",
-        )
+    return dense_index(with_pid, "_pid", "_mid", "pair_id").select(
+        "pair_id", "content"
     )
 
 

@@ -459,3 +459,13 @@ def test_embedding_neardup_finds_planted_pair(spark):
     v = base / np.linalg.norm(base, axis=1, keepdims=True)
     for (a, b), sim in pairs.items():
         assert v[a] @ v[b] >= 0.95 - 1e-6
+
+
+def test_decode_16bit_pgm():
+    # 2-byte big-endian samples per the netpbm spec when maxval > 255
+    gray16 = np.array([[0, 32768], [65535, 16384]], dtype=">u2")
+    payload = b"P5 2 2 65535 " + gray16.tobytes()
+    img = multimodal.decode_image(payload)
+    expect = (gray16.astype(np.float64) * (255.0 / 65535)).astype(np.uint8)
+    assert np.array_equal(img[:, :, 0], expect)
+    assert img.shape == (2, 2, 3)
