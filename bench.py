@@ -75,6 +75,14 @@ def main() -> None:
     from smatchpp_spark.sources.penman import parse_edges as _pe
 
     amr_standardize(_pe(corpus_dataframe(spark, 32, seed=1))).count()
+    # ...and the wedge-join/localCheckpoint path (triangles) — same
+    # one-time codegen/JIT cost class, measured up to +10s on the first
+    # heavy self-join of a session
+    triangle_count(
+        spark.createDataFrame(
+            [("wa", "wb"), ("wb", "wc"), ("wa", "wc")], "src string, dst string"
+        )
+    ).total
 
     e_op = em._e_op(spark, sf_dir).persist()
     n_edges = e_op.count()

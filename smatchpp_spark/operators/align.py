@@ -616,6 +616,12 @@ def process_pair(
         align, lb, ub = np.arange(V, dtype=int), 0.0, 0.0
     else:
         raise ValueError(f"unknown solver {solver!r}")
+    # solver-result validation (the reference asserts solver sanity before
+    # scoring): the alignment must be a permutation over [0, V) and the
+    # reported interval must contain the achieved score
+    assert len(align) == V and len(set(int(a) for a in align)) == V
+    assert all(0 <= int(a) < V for a in align)
+    assert lb <= ub + 1e-9, (lb, ub)
     msum_x, msum_y, xlen, ylen = score_given_alignment(
         t1, t2, align, var_index, cfg.concept_sim
     )
