@@ -500,6 +500,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["connected_components"] = _cc
 
+    def _cc2(spark, sf):
+        from smatchpp_spark.operators.components import two_phase_components
+
+        return two_phase_components(_e_cust(spark, sf)).components
+
+    q["connected_components_twophase"] = _cc2
+
     def _lpa(spark, sf):
         return label_propagation(_e_supp(spark, sf), max_supersteps=LPA_STEPS).labels
 
@@ -735,6 +742,14 @@ FROM ends GROUP BY vertex
         "pagerank_fixed": _pagerank_sql(PR_STEPS),
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "connected_components": f"""
+WITH RECURSIVE e AS ({SQL_E_CUST}),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+reach(v, l) AS (SELECT src, src FROM und
+                UNION
+                SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.v)
+SELECT v AS vertex, MIN(l) AS component FROM reach GROUP BY v
+""",
+        "connected_components_twophase": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),
 und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
 reach(v, l) AS (SELECT src, src FROM und

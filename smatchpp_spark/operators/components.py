@@ -93,3 +93,120 @@ def connected_components(
         converged=result.converged,
         metrics=result.metrics,
     )
+
+
+def two_phase_components(
+    edges: DataFrame,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> ComponentsResult:
+    """Alternating large-star / small-star connected components — the
+    O(log n)-round algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), for graphs whose diameter makes hash-min's
+    O(diameter) superstep count the bottleneck (long chains, web link
+    paths at 10^12-file scale).
+
+    Per round, two grouped aggregations over the current edge set:
+
+      * large-star: for every node u with neighborhood Γ(u), connect each
+        strictly-larger neighbor to m = min(Γ(u) ∪ {u});
+      * small-star: on (hi, lo)-canonical edges, connect each smaller
+        neighbor of u — and u itself — to m = min of u's smaller
+        neighbors.
+
+    The edge set converges to one star per component rooted at the
+    component minimum; labels read off the final parent edges (exact
+    min-id equality with hash-min and the oracle).  Each phase is a
+    groupBy + broadcast-back join, map-side combinable, hub-safe (a hub
+    is its own group; its min aggregates map-side).  State is the edge
+    set itself, truncated per round via localCheckpoint.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    vertices = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    e = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        und = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            und.groupBy("a")
+            .agg(F.min("b").alias("_mb"))
+            .select("a", F.least(F.col("_mb"), F.col("a")).alias("m"))
+        )
+        return (
+            und.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        canon = cur.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins = canon.groupBy("a").agg(F.min("b").alias("m"))
+        with_m = canon.join(mins, "a")
+        lower = with_m.filter(F.col("b") != F.col("m")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        selfp = mins.select(F.col("a"), F.col("m").alias("b"))
+        return lower.unionByName(selfp).filter(F.col("a") != F.col("b")).distinct()
+
+    rounds = 0
+    converged = False
+    metrics: list[dict] = []
+    import time as _time
+
+    for rounds in range(1, max_rounds + 1):
+        t0 = _time.monotonic()
+        new = small_star(large_star(e)).localCheckpoint(eager=True)
+        changed = (
+            new.join(e, ["a", "b"], "left_anti").count()
+            + e.join(new, ["a", "b"], "left_anti").count()
+        )
+        metrics.append(
+            {
+                "superstep": rounds,
+                "op": "two_phase_components",
+                "delta": float(changed),
+                "wall_ms": int((_time.monotonic() - t0) * 1000),
+            }
+        )
+        old = e
+        e = new
+        old.unpersist()
+        if changed == 0:
+            converged = True
+            break
+
+    # converged edge set is a star per component: every non-root points at
+    # the component minimum; roots (and isolated vertices) label themselves
+    labels = vertices.join(
+        e.select(F.col("a").alias("vertex"), F.col("b").alias("parent")),
+        "vertex",
+        "left",
+    ).select(
+        "vertex", F.coalesce("parent", F.col("vertex")).alias("component")
+    )
+    return ComponentsResult(
+        components=labels,
+        supersteps=rounds,
+        converged=converged,
+        metrics=metrics,
+    )

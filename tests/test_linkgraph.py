@@ -314,3 +314,32 @@ def test_pagerank_adjacency_path_matches_per_edge(spark):
     b = {r.vertex: r.rank for r in adj.ranks.collect()}
     assert set(a) == set(b)
     assert max(abs(a[v] - b[v]) for v in a) < 1e-12
+
+
+def test_two_phase_components_matches_oracle_and_hashmin(spark):
+    from smatchpp_spark.operators.components import (
+        connected_components,
+        two_phase_components,
+    )
+
+    fixtures = [
+        two_cliques(5) + [(a + 300, b + 300) for a, b in ring(10)] + [(500, 501)],
+        powerlaw_graph(n=400, m=700, seed=13),
+        [(i, i + 1) for i in range(200)],  # long path: diameter 200
+    ]
+    for pairs in fixtures:
+        res = two_phase_components(_edges_df(spark, pairs))
+        got = {r.vertex: r.component for r in res.components.collect()}
+        assert res.converged
+        assert got == cc_oracle(pairs)
+
+    # the log-round property: a 200-edge path converges in far fewer
+    # rounds than its diameter (hash-min needs ~100 supersteps)
+    path = [(i, i + 1) for i in range(200)]
+    tp = two_phase_components(_edges_df(spark, path))
+    assert tp.supersteps <= 12, tp.supersteps
+    hm = connected_components(_edges_df(spark, path), max_supersteps=200)
+    assert {r.vertex: r.component for r in hm.components.collect()} == {
+        r.vertex: r.component for r in tp.components.collect()
+    }
+    assert tp.supersteps < hm.supersteps
