@@ -120,6 +120,13 @@ def two_phase_components(
     groupBy + broadcast-back join, map-side combinable, hub-safe (a hub
     is its own group; its min aggregates map-side).  State is the edge
     set itself, truncated per round via localCheckpoint.
+
+    Picking an algorithm (measured on this box, 19.2M edges, 4.7M
+    vertices): on the LOW-diameter co-purchase graph hash-min wins
+    (72 s / 9 supersteps vs 96.6 s / 5 heavier rounds, labels identical);
+    on a diameter-200 path two-phase converges in ≤12 rounds where
+    hash-min needs ~100 supersteps.  Rule of thumb: hash-min for
+    small-diameter graphs, two-phase when diameter ≫ log |V|.
     """
     spark = edges.sparkSession
     if num_partitions is None:
