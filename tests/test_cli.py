@@ -116,3 +116,34 @@ def test_cli_tsv_input_and_text_output(spark, tmp_path, monkeypatch, capsys):
     score_corpus.main()
     out = capsys.readouterr().out
     assert "micro scores" in out and "f1: 100.0" in out
+
+
+def test_read_penman_corpus_multi_split_order(spark, tmp_path):
+    """The distributed reader must preserve file order for pair ids even
+    when the file splits into multiple input partitions."""
+    graphs = []
+    for i in range(300):
+        rng = random.Random(f"split:{i}")
+        graphs.append(generate_penman(rng, max_nodes=8, max_depth=3))
+    path = _write_corpus(tmp_path, graphs, "big.amr")
+    size = len(open(path).read().encode())
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # force ~8 scan splits (openCost dominates small files otherwise)
+        split = str(max(size // 8, 1024))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        raw = spark.read.option("lineSep", "\n\n").text(path)
+        assert raw.rdd.getNumPartitions() > 1, "test must exercise multiple splits"
+        got = {
+            int(r["pair_id"]): r["content"]
+            for r in read_penman_corpus(spark, path).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+    expected = data_helpers.read_graphstrings_from_file(path)
+    assert len(got) == len(expected)
+    for i, exp in enumerate(expected):
+        assert got[i] == exp, i

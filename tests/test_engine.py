@@ -197,3 +197,28 @@ def test_registry_factories(spark):
     assert registry.SolverFactory.get_solver("hillclimber") == "hillclimber"
     with _pytest.raises(NotImplementedError):
         registry.SolverFactory.get_solver("rilp")
+
+
+def test_score_dimensions_bootstrap_ci(spark):
+    from smatchpp_spark.corpus import generate_penman
+
+    graphs = []
+    for i in range(8):
+        import random as _random
+
+        rng = _random.Random(f"dimci:{i}")
+        graphs.append(generate_penman(rng, max_nodes=6, max_depth=3))
+    ca = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(graphs)], "pair_id long, content string"
+    )
+    engine = SmatchppSpark(
+        EngineConfig(
+            standardizer="amr", bootstrap=True, n_resamples=30
+        )
+    )
+    out = engine.score_dimensions(ca, ca, dimension="all-onealign")
+    ci = {r["score_dim"]: (r["lo"], r["hi"]) for r in out["micro_ci"].collect()}
+    assert "main" in ci
+    # self-scored corpus: every resample of perfect pairs is perfect
+    for dim, (lo, hi) in ci.items():
+        assert lo == hi == 100.0, (dim, lo, hi)
