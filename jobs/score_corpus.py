@@ -73,6 +73,38 @@ def _print_results(out: dict, output_format: str) -> None:
             print("   ".join(f"{k}: {v}" for k, v in row.items()))
 
 
+def _print_optimality_epilogue(pairs_df) -> None:
+    """Corpus solver-status summary, mirroring reference __main__.py:203-213:
+    sum the per-pair (lower, upper) bounds and count pairs whose gap
+    exceeds 1 triple (non-ensured-optimal).  One tiny map-side-combined
+    aggregation over the per-pair stats frame; printed to stderr so json
+    stdout stays parseable."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    if pairs_df is None or "upper_bound" not in pairs_df.columns:
+        return
+    pdf = pairs_df
+    if "score_dim" in pdf.columns:
+        # fine-grained dims replicate the solve's bounds per aspect row;
+        # the solver-status contract is per alignment, i.e. the main dim
+        pdf = pdf.filter(F.col("score_dim") == "main")
+    row = pdf.agg(
+        F.sum("lower_bound").alias("lb"),
+        F.sum("upper_bound").alias("ub"),
+        F.sum(
+            F.when(F.col("upper_bound") - F.col("lower_bound") > 1.0, 1).otherwise(0)
+        ).alias("non_optimal"),
+    ).first()
+    print(
+        "Finished. Optimal status, lower & upper bound: "
+        f"[{float(row.lb or 0.0)}, {float(row.ub or 0.0)}] "
+        f"Pairs that do not have ensured optimal solution: {int(row.non_optimal or 0)}",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     args = build_arg_parser().parse_args()
 
@@ -125,6 +157,7 @@ def main() -> None:
             continue
         out[name] = [r.asDict() for r in df.collect()]
     _print_results(out, args.output_format)
+    _print_optimality_epilogue(results.get("pairs"))
     spark.stop()
 
 

@@ -154,10 +154,19 @@ def bootstrap_micro(
     if n == 0:
         return spark.createDataFrame([], "lo double, hi double")
     pairs = pair_index(stats, pair_col=pair_col, portable=portable)
+    # replicate spine: two lazy Range scans cross-joined — never materializes
+    # an n-element array in a single row (explode(sequence(0, n-1)) would
+    # build the full [0, n) array per replicate before exploding, a multi-GB
+    # single-row value at 10^8 pairs).  The (rep, j) values — and hence the
+    # hash draw — are identical to the old spine.
     spine = (
         spark.range(n_resamples)
         .withColumnRenamed("id", "rep")
-        .select("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("j"))
+        .crossJoin(
+            # cast to int: the old sequence() spine produced int elements and
+            # xxhash64 is type-sensitive — keeps the draw bit-identical
+            spark.range(n).select(F.col("id").cast("int").alias("j"))
+        )
     )
     if portable:
         hdraw = portable_hash64(

@@ -175,6 +175,33 @@ def two_phase_components(
         selfp = mins.select(F.col("a"), F.col("m").alias("b"))
         return lower.unionByName(selfp).filter(F.col("a") != F.col("b")).distinct()
 
+    def edge_sets_differ(old: DataFrame, new: DataFrame) -> float:
+        """Single-job set-equality test: tag each side ±1, aggregate
+        (Σsign, Σsign·h1, Σsign·h2) over the union — all three are 0 iff
+        the (distinct) edge sets are equal, up to a negligible 64-bit
+        collision chance.  One scan + map-side-combined global agg; no
+        join shuffle (the old version ran TWO anti-join counts per round
+        on the full edge set purely for the stop test).  Hashes are
+        reduced mod 2^32 so sums of 10^12 edges stay within long range.
+        Returns 0.0 on equality, else |count diff| (≥1.0 floor) as the
+        metrics delta."""
+        m32 = F.lit(2**32)
+        def tagged(df: DataFrame, sign: int) -> DataFrame:
+            return df.select(
+                F.lit(sign).alias("s"),
+                (F.lit(sign) * F.pmod(F.xxhash64("a", "b", F.lit(1)), m32)).alias("h1"),
+                (F.lit(sign) * F.pmod(F.xxhash64("a", "b", F.lit(2)), m32)).alias("h2"),
+            )
+        row = (
+            tagged(new, 1)
+            .unionByName(tagged(old, -1))
+            .agg(F.sum("s").alias("s"), F.sum("h1").alias("h1"), F.sum("h2").alias("h2"))
+            .first()
+        )
+        if (row.s or 0) == 0 and (row.h1 or 0) == 0 and (row.h2 or 0) == 0:
+            return 0.0
+        return float(max(1, abs(row.s or 0)))
+
     rounds = 0
     converged = False
     metrics: list[dict] = []
@@ -183,10 +210,7 @@ def two_phase_components(
     for rounds in range(1, max_rounds + 1):
         t0 = _time.monotonic()
         new = small_star(large_star(e)).localCheckpoint(eager=True)
-        changed = (
-            new.join(e, ["a", "b"], "left_anti").count()
-            + e.join(new, ["a", "b"], "left_anti").count()
-        )
+        changed = edge_sets_differ(e, new)
         metrics.append(
             {
                 "superstep": rounds,

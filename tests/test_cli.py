@@ -147,3 +147,35 @@ def test_read_penman_corpus_multi_split_order(spark, tmp_path):
     assert len(got) == len(expected)
     for i, exp in enumerate(expected):
         assert got[i] == exp, i
+
+
+def test_cli_optimality_epilogue(spark, tmp_path, monkeypatch, capsys):
+    """The job prints the reference's solver-status epilogue
+    (__main__.py:203-213) to stderr: summed (lb, ub) and the count of
+    pairs without an ensured-optimal solution (0 here — small graphs,
+    certified B&B)."""
+    graphs = []
+    for i in range(6):
+        rng = random.Random(f"cli-epi:{i}")
+        graphs.append(generate_penman(rng, max_nodes=6, max_depth=3))
+    path = _write_corpus(tmp_path, graphs, "epi.amr")
+
+    from pyspark.sql import SparkSession
+
+    from jobs import score_corpus
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["score_corpus.py", "-a", path, "-b", path, "--penman_files"],
+    )
+    score_corpus.main()
+    captured = capsys.readouterr()
+    assert "Optimal status, lower & upper bound:" in captured.err
+    assert "Pairs that do not have ensured optimal solution: 0" in captured.err
+    # bounds are finite and equal (every pair certified): "[x, x]"
+    import re
+
+    m = re.search(r"lower & upper bound: \[([0-9.]+), ([0-9.]+)\]", captured.err)
+    assert m and float(m.group(1)) == float(m.group(2))
+    assert float(m.group(2)) < 1e6
