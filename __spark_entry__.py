@@ -58,6 +58,10 @@ from smatchpp_spark.pipeline import dedup, events, similarity, text
 PR_STEPS = 5
 LPA_STEPS = 2
 ALPHA = 0.85
+# fixed path shared by the superstep_metrics query and its oracle (the
+# oracle SQL is a static string, so the path cannot depend on sf_dir;
+# the Spark query rewrites the dir from scratch on every run)
+SUPERSTEP_CKPT_DIR = "/tmp/smatchpp_spark_contract_ckpt"
 
 
 # --------------------------------------------------------------------------
@@ -517,6 +521,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangle_counts"] = _tri
 
+    # ---- superstep metrics/lineage sink contract ------------------------
+    def _superstep_metrics(spark, sf):
+        """Run checkpointed hash-min CC, then read back the metrics.jsonl
+        sink and aggregate its deterministic fields — locks the sink
+        format (op, superstep, delta, per-partition lineage rows).  The
+        oracle reads the SAME file via read_json_auto (the driver runs
+        the Spark query first), so any format drift mismatches."""
+        import shutil
+
+        shutil.rmtree(SUPERSTEP_CKPT_DIR, ignore_errors=True)
+        connected_components(_e_cust(spark, sf), checkpoint_dir=SUPERSTEP_CKPT_DIR)
+        m = spark.read.json(
+            f"{SUPERSTEP_CKPT_DIR}/connected_components/metrics.jsonl"
+        )
+        per = m.select(
+            "op",
+            "superstep",
+            "delta",
+            F.aggregate(
+                F.col("partitions"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["rows"],
+            ).alias("prows"),
+            F.size("partitions").cast("long").alias("nparts"),
+        )
+        return per.groupBy("op").agg(
+            F.count(F.lit(1)).alias("n_supersteps"),
+            F.max("superstep").alias("max_superstep"),
+            F.round(F.sum("delta"), 6).alias("sum_delta"),
+            F.sum("prows").alias("sum_partition_rows"),
+            F.sum("nparts").alias("sum_partitions"),
+        )
+
+    q["superstep_metrics"] = _superstep_metrics
+
     # ---- smatchpp triple-table operators --------------------------------
     q["reentrancies"] = lambda spark, sf: reentrancies(_triples(spark, sf))
     q["graph_degrees"] = lambda spark, sf: graph_degrees(_triples(spark, sf))
@@ -756,6 +795,20 @@ reach(v, l) AS (SELECT src, src FROM und
                 UNION
                 SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.v)
 SELECT v AS vertex, MIN(l) AS component FROM reach GROUP BY v
+""",
+        "superstep_metrics": f"""
+WITH m AS (SELECT * FROM read_json_auto('{SUPERSTEP_CKPT_DIR}/connected_components/metrics.jsonl')),
+per AS (SELECT op, superstep, delta,
+               CAST(list_sum(list_transform(partitions, x -> x."rows")) AS BIGINT) AS prows,
+               CAST(len(partitions) AS BIGINT) AS nparts
+        FROM m)
+SELECT op,
+       COUNT(*) AS n_supersteps,
+       MAX(superstep) AS max_superstep,
+       ROUND(SUM(delta), 6) AS sum_delta,
+       CAST(SUM(prows) AS BIGINT) AS sum_partition_rows,
+       CAST(SUM(nparts) AS BIGINT) AS sum_partitions
+FROM per GROUP BY op
 """,
         "label_propagation": _lpa_sql(LPA_STEPS),
         "triangle_counts": f"""

@@ -40,6 +40,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_format", default="json", choices=["json", "text"],
                    help="stdout format (reference -output_format)")
     p.add_argument("--bootstrap", action="store_true")
+    p.add_argument("--bootstrap_method", default="bca",
+                   choices=["bca", "percentile"],
+                   help="bca matches the reference's scipy default; "
+                        "percentile is the deterministic oracle mode")
     p.add_argument("--lossless_graph_compression", action="store_true")
     p.add_argument("--remove_duplicates", action="store_true")
     p.add_argument("--edge_relabel", action="store_true",
@@ -136,6 +140,7 @@ def main() -> None:
             solver=args.solver, compress=args.lossless_graph_compression
         ),
         bootstrap=args.bootstrap,
+        bootstrap_method=args.bootstrap_method,
         input_format=args.input_format,
         remove_duplicates=args.remove_duplicates,
         edge_rules=edge_rules,

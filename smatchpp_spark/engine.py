@@ -48,6 +48,10 @@ class EngineConfig:
     align: AlignConfig = field(default_factory=AlignConfig)
     bootstrap: bool = False
     n_resamples: int = 200
+    # "bca" matches the reference's scipy.stats.bootstrap default
+    # (eval_statistics.py:183-197); "percentile" is the deterministic
+    # oracle-replayable mode
+    bootstrap_method: str = "percentile" 
     # PropBank frame-conditioned edge-relabel rules applied before aspect
     # extraction in score_dimensions (reference AMRSubgraphExtractor prelude,
     # formalism/amr/tools.py:226-232).  None disables the pass — the
@@ -142,7 +146,10 @@ class SmatchppSpark:
         if self.config.score_type == "pairwise":
             out["pairwise"] = pairwise_scores(stats)
         if self.config.bootstrap:
-            out["micro_ci"] = bootstrap_micro(stats, self.config.n_resamples)
+            out["micro_ci"] = bootstrap_micro(
+                stats, self.config.n_resamples,
+                method=self.config.bootstrap_method,
+            )
         return out
 
     def score_dimensions(
@@ -233,6 +240,7 @@ class SmatchppSpark:
                 row = bootstrap_micro(
                     nonzero.filter(F.col("score_dim") == d),
                     self.config.n_resamples,
+                    method=self.config.bootstrap_method,
                 ).collect()
                 if row:
                     cis.append((d, float(row[0]["lo"]), float(row[0]["hi"])))

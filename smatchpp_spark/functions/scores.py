@@ -124,6 +124,126 @@ def pair_index(
     return dense_index(bucketed, "_b", pair_col, "i").drop("_b")
 
 
+def _norm_cdf(x: float) -> float:
+    import math
+
+    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+def _norm_ppf(p: float) -> float:
+    """Inverse standard-normal CDF by bisection on the erf-based CDF —
+    monotone, converges to ~1e-13 in 60 steps; no scipy needed."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(p)
+    lo, hi = -40.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if _norm_cdf(mid) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-13:
+            break
+    return (lo + hi) / 2.0
+
+
+def _quantile(sorted_vals: list[float], q: float) -> float:
+    """Linear-interpolation quantile (numpy default / SQL quantile_cont)."""
+    n = len(sorted_vals)
+    if n == 1:
+        return sorted_vals[0]
+    h = (n - 1) * min(max(q, 0.0), 1.0)
+    i = int(h)
+    if i >= n - 1:
+        return sorted_vals[-1]
+    return sorted_vals[i] + (h - i) * (sorted_vals[i + 1] - sorted_vals[i])
+
+
+def _py_micro_f1(a: float, b: float, c: float, d: float) -> float:
+    """Python twin of ``fpr_columns`` (same zero guards), for the driver-
+    side point estimate and the test oracle."""
+    if (a + b + c + d) == 0.0:
+        return 1.0
+    p = 0.0 if c < _EPS else a / c
+    r = 0.0 if d < _EPS else b / d
+    if (p + r) < _EPS:
+        return 0.0
+    return 2.0 * p * r / (p + r)
+
+
+def bca_interval(
+    theta_hat: float,
+    reps: list[float],
+    jack_n: int,
+    jack_sum: float,
+    jack_sum2: float,
+    jack_sum3: float,
+    ci: float = 0.95,
+) -> tuple[float, float] | None:
+    """BCa confidence interval from the replicate distribution plus
+    jackknife moments (Efron; the method scipy.stats.bootstrap defaults
+    to, reference eval_statistics.py:183-197) — pure arithmetic:
+
+      * bias correction z0 = Φ⁻¹(#{θ* < θ̂} / B);
+      * acceleration a = Σ(θ̄₍.₎ − θ₍ᵢ₎)³ / (6·[Σ(θ̄₍.₎ − θ₍ᵢ₎)²]^{3/2}),
+        computed from the raw jackknife moment sums via
+        Σ(c − x)² = Σx² − n·c² and Σ(c − x)³ = −Σx³ + 3cΣx² − 2nc³;
+      * adjusted levels αₖ = Φ(z0 + (z0 + z_{αₖ}) / (1 − a(z0 + z_{αₖ})));
+      * interval = interpolated quantiles of θ* at (α₁, α₂).
+
+    Returns ``None`` on the degenerate cases where scipy yields nan
+    (all replicates on one side of θ̂, or zero jackknife variance) — the
+    reference then reports [0, 100] (eval_statistics.py:194-197).
+    """
+    B = len(reps)
+    below = sum(1 for t in reps if t < theta_hat)
+    if below == 0 or below == B:
+        return None
+    z0 = _norm_ppf(below / B)
+    m1 = jack_sum / jack_n
+    s2 = jack_sum2 - jack_n * m1 * m1
+    s3 = -jack_sum3 + 3.0 * m1 * jack_sum2 - 2.0 * jack_n * m1**3
+    if s2 <= 0.0:
+        return None
+    accel = s3 / (6.0 * s2**1.5)
+    alpha = (1.0 - ci) / 2.0
+    srt = sorted(reps)
+
+    def adjusted(level: float) -> float:
+        z = _norm_ppf(level)
+        denom = 1.0 - accel * (z0 + z)
+        if denom <= 0.0:
+            return float("nan")
+        return _norm_cdf(z0 + (z0 + z) / denom)
+
+    a1, a2 = adjusted(alpha), adjusted(1.0 - alpha)
+    if a1 != a1 or a2 != a2:  # nan
+        return None
+    return _quantile(srt, a1), _quantile(srt, a2)
+
+
+def jackknife_moments(
+    stats: DataFrame, totals: tuple[float, float, float, float]
+) -> tuple[int, float, float, float]:
+    """(n, Σθ, Σθ², Σθ³) of the leave-one-out micro F1 — closed form per
+    row from the corpus totals minus the pair's 4-vector, so the whole
+    jackknife is one map-side-combined aggregation (never n jobs)."""
+    A, Bm, C, D = totals
+    jk_f1, _, _ = fpr_columns(
+        F.lit(A) - F.col("matchsum_x").cast("double"),
+        F.lit(Bm) - F.col("matchsum_y").cast("double"),
+        F.lit(C) - F.col("xlen").cast("double"),
+        F.lit(D) - F.col("ylen").cast("double"),
+    )
+    jk = stats.select(jk_f1.alias("t")).agg(
+        F.count("t").alias("n"),
+        F.sum("t").alias("s1"),
+        F.sum(F.col("t") * F.col("t")).alias("s2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t")).alias("s3"),
+    ).first()
+    return int(jk.n), float(jk.s1), float(jk.s2), float(jk.s3)
+
+
 def bootstrap_micro(
     stats: DataFrame,
     n_resamples: int = 200,
@@ -131,10 +251,13 @@ def bootstrap_micro(
     ci: float = 0.95,
     pair_col: str = "pair_id",
     portable: bool = False,
+    method: str = "percentile",
 ) -> DataFrame:
-    """Percentile-bootstrap CI for the micro F1 (eval_statistics.py:183-197
-    semantics, deterministic re-expression; percentile method rather than
-    scipy's BCa — documented deviation).
+    """Bootstrap CI for the micro F1 (eval_statistics.py:183-197
+    semantics, deterministic re-expression).  ``method="bca"`` matches
+    the reference's scipy default (bias-corrected & accelerated, no scipy
+    needed — see ``bca_interval``); ``method="percentile"`` (default) is
+    the oracle-replayable mode a SQL engine can reproduce bit-for-bit.
 
     scipy draws pair-resamples; here each replicate r resamples pairs via a
     deterministic hash draw: pair i contributes to replicate r with
@@ -179,6 +302,10 @@ def bootstrap_micro(
         *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
     )
     f1, _, _ = fpr_columns(*[F.col(c) for c in STAT_COLS])
+    if method == "bca":
+        return _bca_micro(stats, rep_stats, f1, ci)
+    if method != "percentile":
+        raise ValueError(f"unknown bootstrap method {method!r}")
     per_rep = rep_stats.select("rep", _final(f1).alias("f1"))
     alpha = (1.0 - ci) / 2.0
     # exact interpolated percentile over the (tiny) replicate set — same
@@ -188,3 +315,33 @@ def bootstrap_micro(
         F.round(F.percentile("f1", F.lit(alpha)), 6).alias("lo"),
         F.round(F.percentile("f1", F.lit(1.0 - alpha)), 6).alias("hi"),
     )
+
+
+def _bca_micro(stats: DataFrame, rep_stats: DataFrame, f1, ci: float) -> DataFrame:
+    """BCa micro-F1 CI (reference scipy default).  Distributed work: the
+    replicate aggregation (shared with the percentile path) plus ONE
+    jackknife moment aggregation — the leave-one-out micro F1 is closed
+    form from the corpus 4-vector totals minus each pair's 4-vector, so
+    the jackknife is a per-row expression + map-side-combined agg, never
+    n jobs.  Driver-side math touches only the B replicate values and
+    five scalars, independent of corpus size.  Scaling mirrors the
+    reference: quantiles computed on the raw [0, 1] statistic, then
+    ×100 round 2 (eval_statistics.py:209-211); degenerate cases → the
+    reference's [0, 100] fallback (eval_statistics.py:194-197)."""
+    spark = stats.sparkSession
+    reps = [
+        float(r.f1)
+        for r in rep_stats.select(f1.alias("f1")).collect()
+    ]
+    tot = stats.agg(
+        *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
+    ).first()
+    A, Bm, C, D = (float(tot[c] or 0.0) for c in STAT_COLS)
+    theta_hat = _py_micro_f1(A, Bm, C, D)
+    jk = jackknife_moments(stats, (A, Bm, C, D))
+    interval = bca_interval(theta_hat, reps, *jk, ci)
+    if interval is None:
+        lo, hi = 0.0, 100.0
+    else:
+        lo, hi = (round(v * 100.0, 2) for v in interval)
+    return spark.createDataFrame([(float(lo), float(hi))], "lo double, hi double")

@@ -131,11 +131,20 @@ def margins_to_bucket(margins: Column, bits: int) -> Column:
     return code
 
 
+# pair flips search the 2-bit perturbations among this many lowest-|margin|
+# bits (C(8,2)=28 candidate pairs — plenty; keeps the static expression small)
+_PAIR_POOL = 8
+
+
 def probe_buckets(margins: Column, bits: int, probes: int) -> Column:
-    """Multi-probe bucket list: the base code plus ``probes`` variants with
-    the lowest-|margin| bit(s) flipped — the near-boundary buckets where a
-    true neighbor most likely landed (multi-probe LSH).  Deterministic:
-    ties in |margin| break on the lower bit index."""
+    """Multi-probe bucket list: the base code, then single-bit flips of
+    the ``min(probes, bits)`` lowest-|margin| bits, then — when ``probes``
+    exceeds ``bits`` — two-bit flips of the lowest-margin bit PAIRS
+    ordered by combined |margin| (the standard multi-probe perturbation
+    sequence truncated to singles-then-pairs; Lv et al., multi-probe
+    LSH).  The near-boundary buckets are where a true neighbor most
+    likely landed.  Deterministic: ties in |margin| break on the lower
+    bit index, pair ties on (|m|sum, i, j)."""
     base = margins_to_bucket(margins, bits)
     if probes <= 0:
         return F.array(base)
@@ -160,7 +169,32 @@ def probe_buckets(margins: Column, bits: int, probes: int) -> Column:
         F.slice(by_margin, 1, min(probes, bits)),
         lambda s: base.bitwiseXOR(_pow2(s["i"])),
     )
-    return F.concat(F.array(base), flips)
+    out = F.concat(F.array(base), flips)
+    need_pairs = probes - bits
+    pool = min(bits, _PAIR_POOL)
+    if need_pairs > 0 and pool >= 2:
+        def ent(pos: int):
+            return F.element_at(by_margin, pos + 1)
+
+        pair_structs = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (ent(a)["m"] + ent(b)["m"]).alias("m"),
+                        ent(a)["i"].alias("i"),
+                        ent(b)["i"].alias("j"),
+                    )
+                    for a in range(pool)
+                    for b in range(a + 1, pool)
+                ]
+            )
+        )
+        pair_flips = F.transform(
+            F.slice(pair_structs, 1, min(need_pairs, pool * (pool - 1) // 2)),
+            lambda s: base.bitwiseXOR(_pow2(s["i"])).bitwiseXOR(_pow2(s["j"])),
+        )
+        out = F.concat(out, pair_flips)
+    return out
 
 
 def bucket_histogram(

@@ -49,6 +49,13 @@ class GraphReaderFactory:
             from smatchpp_spark.sources.tsv import parse_tsv_edges
 
             return parse_tsv_edges
+        if uri == "goodmami":
+            # optional third-party wrapper (reference data_helpers.py:255-275);
+            # resolves when the penman library is importable, else raises the
+            # reference's install hint at call time
+            from smatchpp_spark.sources.penman import goodmami_parse_edges
+
+            return goodmami_parse_edges
         raise NameError(f"reader {uri} not implemented")
 
 

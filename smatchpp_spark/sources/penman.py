@@ -134,3 +134,66 @@ def write_penman(edges: DataFrame, hide_root: bool = True) -> DataFrame:
     return edges.groupBy("graph_id").applyInPandas(
         serialize, "graph_id string, penman string"
     )
+
+
+def goodmami_parse_edges(
+    corpus: DataFrame,
+    content_col: str = "content",
+    explicate_root: bool = True,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Edge-table parse via goodmami's third-party ``penman`` library —
+    the reference's optional GoodmamiPenmanReader (data_helpers.py:255-275)
+    with the same output contract as ``parse_edges``: one row per triple,
+    ``("ROOT_OF_GRAPH", ":root", top)`` prepended when ``explicate_root``.
+
+    Import-guarded: raises the reference's install hint when the library
+    is absent (it is optional there too).  The import happens inside the
+    Arrow batch kernel so executors fail with the same message as the
+    driver probe.
+    """
+    try:
+        import penman as _gmpm  # noqa: F401
+    except ModuleNotFoundError as e:
+        raise NotImplementedError(
+            "please install goodmami's penman reader to use this class: "
+            "https://github.com/goodmami/penman"
+        ) from e
+
+    if id_col is None:
+        slim = with_graph_id(corpus, content_col).select(
+            "graph_id", F.col(content_col).alias("content")
+        )
+    else:
+        slim = corpus.select(
+            F.col(id_col).cast("string").alias("graph_id"),
+            F.col(content_col).alias("content"),
+        )
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import penman as gmpm
+
+        for pdf in batches:
+            gids: list[str] = []
+            poss: list[int] = []
+            srcs: list[str] = []
+            rels: list[str] = []
+            dsts: list[str] = []
+            for gid, content in zip(pdf["graph_id"], pdf["content"]):
+                g = gmpm.decode(content)
+                triples = list(g.triples)
+                if explicate_root and triples:
+                    triples = [
+                        ("ROOT_OF_GRAPH", ":root", triples[0][0])
+                    ] + triples
+                for pos, (s, r, t) in enumerate(triples):
+                    gids.append(gid)
+                    poss.append(pos)
+                    srcs.append(s)
+                    rels.append(r)
+                    dsts.append(t)
+            yield pd.DataFrame(
+                {"graph_id": gids, "pos": poss, "src": srcs, "rel": rels, "dst": dsts}
+            )
+
+    return slim.mapInPandas(parse_batches, EDGES_SCHEMA)

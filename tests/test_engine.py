@@ -222,3 +222,116 @@ def test_score_dimensions_bootstrap_ci(spark):
     # self-scored corpus: every resample of perfect pairs is perfect
     for dim, (lo, hi) in ci.items():
         assert lo == hi == 100.0, (dim, lo, hi)
+
+
+def test_bca_interval_matches_independent_numpy():
+    """Differential of the scipy-free BCa arithmetic against a
+    straightforward independent implementation (statistics.NormalDist for
+    Phi / Phi^-1, acceleration from the raw jackknife list rather than
+    moment sums) on random fixtures — validates the moment identities,
+    the adjusted-level formula, and the quantile interpolation."""
+    import random as _random
+    from statistics import NormalDist
+
+    import numpy as np
+
+    from smatchpp_spark.functions.scores import bca_interval
+
+    nd = NormalDist()
+
+    def reference_bca(theta_hat, reps, jack, ci=0.95):
+        reps = np.asarray(reps, dtype=float)
+        jack = np.asarray(jack, dtype=float)
+        B = len(reps)
+        below = int((reps < theta_hat).sum())
+        if below in (0, B):
+            return None
+        z0 = nd.inv_cdf(below / B)
+        diffs = jack.mean() - jack
+        denom = (diffs**2).sum() ** 1.5
+        if denom <= 0.0:
+            return None
+        a = (diffs**3).sum() / (6.0 * denom)
+        alpha = (1.0 - ci) / 2.0
+        out = []
+        for lvl in (alpha, 1.0 - alpha):
+            z = nd.inv_cdf(lvl)
+            d = 1.0 - a * (z0 + z)
+            if d <= 0.0:
+                return None
+            out.append(nd.cdf(z0 + (z0 + z) / d))
+        lo, hi = (float(np.quantile(reps, q)) for q in out)
+        return lo, hi
+
+    checked = 0
+    for trial in range(60):
+        rng = _random.Random(f"bca:{trial}")
+        B = rng.choice([50, 101, 200])
+        n = rng.randint(3, 40)
+        reps = [rng.betavariate(2, 5) for _ in range(B)]
+        jack = [rng.betavariate(2, 5) for _ in range(n)]
+        theta_hat = rng.betavariate(2, 5)
+        mine = bca_interval(
+            theta_hat, reps, n,
+            float(sum(jack)),
+            float(sum(t * t for t in jack)),
+            float(sum(t**3 for t in jack)),
+        )
+        ref = reference_bca(theta_hat, reps, jack)
+        if ref is None:
+            assert mine is None, trial
+            continue
+        checked += 1
+        assert mine is not None, trial
+        assert abs(mine[0] - ref[0]) < 1e-9, (trial, mine, ref)
+        assert abs(mine[1] - ref[1]) < 1e-9, (trial, mine, ref)
+    assert checked >= 40
+
+    # degenerate: all replicates above theta_hat
+    assert bca_interval(0.0, [0.5] * 50, 5, 2.0, 0.9, 0.41) is None
+    # zero jackknife variance
+    assert bca_interval(0.5, [0.4, 0.6] * 25, 5, 2.5, 1.25, 0.625) is None
+
+
+def test_norm_ppf_constants():
+    from smatchpp_spark.functions.scores import _norm_cdf, _norm_ppf
+
+    assert abs(_norm_ppf(0.975) - 1.959963984540054) < 1e-9
+    assert abs(_norm_ppf(0.5)) < 1e-12
+    assert abs(_norm_ppf(0.025) + 1.959963984540054) < 1e-9
+    assert abs(_norm_cdf(1.959963984540054) - 0.975) < 1e-12
+
+
+def test_bootstrap_bca_end_to_end(spark):
+    """method='bca' through Spark: deterministic across partitionings,
+    sane bounds, distinct from the percentile interval on skewed data,
+    and the reference's [0, 100] fallback on a zero-variance corpus
+    (eval_statistics.py:194-197)."""
+    from pyspark.sql import functions as F
+
+    from smatchpp_spark.functions.scores import bootstrap_micro
+
+    rows = [
+        (i, float(min(i % 9, 4)), float(min(i % 9, 4)), 8.0, 8.0)
+        for i in range(60)
+    ]
+    schema = (
+        "pair_id long, matchsum_x double, matchsum_y double, "
+        "xlen double, ylen double"
+    )
+    stats = spark.createDataFrame(rows, schema)
+    variants = [stats.repartition(1), stats.repartition(7, "matchsum_x")]
+    cis = [
+        bootstrap_micro(v, n_resamples=80, method="bca").collect()[0]
+        for v in variants
+    ]
+    assert (cis[0]["lo"], cis[0]["hi"]) == (cis[1]["lo"], cis[1]["hi"])
+    assert 0.0 <= cis[0]["lo"] <= cis[0]["hi"] <= 100.0
+    pct = bootstrap_micro(stats, n_resamples=80, method="percentile").collect()[0]
+    assert (cis[0]["lo"], cis[0]["hi"]) != (pct["lo"], pct["hi"])
+
+    degenerate = spark.createDataFrame(
+        [(i, 4.0, 4.0, 8.0, 8.0) for i in range(10)], schema
+    )
+    row = bootstrap_micro(degenerate, n_resamples=50, method="bca").collect()[0]
+    assert (row["lo"], row["hi"]) == (0.0, 100.0)

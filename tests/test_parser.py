@@ -134,3 +134,36 @@ def test_graph_id_is_sha256_content_invariant(spark):
     for _, path, _, _, content in rows:
         assert got[path] == hashlib.sha256(content.encode("utf-8")).hexdigest()
     assert got["src/a.amr"] == got["src/b.amr"]
+
+
+def test_goodmami_reader_guard_or_parity(spark):
+    """Registry resolves the 'goodmami' uri; with the third-party penman
+    library absent (this container) the call raises the reference's
+    install hint (data_helpers.py:255-275); when present, output parity
+    with our parser is asserted on clean graphs."""
+    import pytest as _pytest
+
+    from smatchpp_spark.registry import GraphReaderFactory
+
+    reader = GraphReaderFactory.get_reader("goodmami")
+    corpus = spark.createDataFrame(
+        [("(a / ant :mod (s / small))",)], "content string"
+    )
+    try:
+        import penman  # noqa: F401
+    except ModuleNotFoundError:
+        with _pytest.raises(NotImplementedError, match="goodmami"):
+            reader(corpus)
+        return
+    from smatchpp_spark.sources.penman import parse_edges
+
+    got = {
+        (r.src, r.rel, r.dst)
+        for r in reader(corpus).collect()
+    }
+    expected = {
+        (r.src, r.rel, r.dst)
+        for r in parse_edges(corpus).collect()
+    }
+    # goodmami uses ':instance' role spelling like ours; same triple set
+    assert got == expected

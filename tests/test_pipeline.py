@@ -301,6 +301,12 @@ def test_hyperplane_ann_recall_and_uniformity(spark):
     assert r2 >= 0.6, r2          # measured 0.795 on this seed
     assert r2 > r0                # multi-probe lifts recall
 
+    # probes > bits engages two-bit pair flips: recall keeps rising (or
+    # saturates) and never drops vs singles-only
+    hp_pair = S.bucketed_topk(emb, queries, k=5, planes=planes, probes=7)
+    rp = recall(hp_pair)
+    assert rp >= r2, (rp, r2)
+
     # uniformity: axis signs collapse (dominant direction), hashed planes
     # spread the mass — compare max bucket share at equal bits
     from pyspark.sql import functions as F
@@ -318,6 +324,30 @@ def test_hyperplane_ann_recall_and_uniformity(spark):
     ]
     assert max(hp_hist) / n < 0.3          # no degenerate bucket
     assert max(hp_hist) < max(axis_hist)   # strictly better than axis here
+
+
+def test_probe_buckets_pair_flip_sequence(spark):
+    """Unit check of the multi-probe perturbation order: base bucket,
+    single flips by ascending |margin|, then pair flips by ascending
+    combined |margin| — computed by hand for a fixed margin vector."""
+    from pyspark.sql import functions as F
+
+    from smatchpp_spark.pipeline import similarity as S
+
+    df = spark.createDataFrame(
+        [([0.5, -0.1, 0.3, -0.7],)], "margins array<double>"
+    )
+    out = df.select(
+        S.probe_buckets(F.col("margins"), bits=4, probes=6).alias("b")
+    ).first()["b"]
+    # base: signs (+,-,+,-) -> bits 0,2 set = 5
+    # singles by |m|: flip bit1 (0.1) -> 7, bit2 (0.3) -> 1,
+    #                 bit0 (0.5) -> 4, bit3 (0.7) -> 13
+    # pairs by |m| sum: (bit1,bit2)=0.4 -> 3, (bit1,bit0)=0.6 -> 6
+    assert out == [5, 7, 1, 4, 13, 3, 6], out
+    # no duplicates, all within [0, 2^bits)
+    assert len(set(out)) == len(out)
+    assert all(0 <= b < 16 for b in out)
 
 
 def _make_ppm(img):
