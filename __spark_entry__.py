@@ -618,6 +618,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bootstrap_ci"] = _bootstrap
 
+    def _bootstrap_macro(spark, sf):
+        from smatchpp_spark.functions.scores import bootstrap_scores
+
+        return bootstrap_scores(
+            _match_stats(spark, sf), "macro", n_resamples=100, seed=42,
+            portable=True,
+        )
+
+    q["bootstrap_macro_ci"] = _bootstrap_macro
+
     # ---- documents: text analysis + dedup --------------------------------
     def _docs(spark, sf):
         return _read(spark, sf, "documents")
@@ -1103,6 +1113,35 @@ per_rep AS (SELECT rep, ROUND(({f1}) * 100.0, 2) AS f1 FROM rep_stats)
 SELECT ROUND(quantile_cont(f1, 0.025), 6) AS lo,
        ROUND(quantile_cont(f1, 0.975), 6) AS hi
 FROM per_rep
+""",
+        "bootstrap_macro_ci": f"""
+WITH stats AS (
+  SELECT o_orderkey AS pair_id,
+         CAST(o_orderkey % 4 AS DOUBLE) AS a, CAST(o_orderkey % 4 AS DOUBLE) AS b,
+         CAST(o_orderkey % 6 AS DOUBLE) AS c, CAST(o_orderkey % 7 AS DOUBLE) AS d
+  FROM orders),
+nn AS (SELECT COUNT(*) AS n FROM stats),
+bkt AS (SELECT *, CAST({_h("'b#' || pair_id")} % 1024 AS INT) AS bk FROM stats),
+rn AS (SELECT *, row_number() OVER (PARTITION BY bk ORDER BY pair_id) - 1 AS rnk
+       FROM bkt),
+off AS (SELECT bk, COALESCE(SUM(cnt) OVER (ORDER BY bk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM (SELECT bk, COUNT(*) AS cnt FROM bkt GROUP BY bk)),
+pairs AS (SELECT r.a, r.b, r.c, r.d, o.off + r.rnk AS i
+          FROM rn r JOIN off o USING (bk)),
+reps AS (SELECT unnest(range(100)) AS rep),
+draws AS (SELECT rep,
+            {_h("'draw#' || rep || '#' || j.i || '#' || 42")} % (SELECT n FROM nn) AS i
+          FROM reps CROSS JOIN (SELECT i FROM pairs) j),
+per_pair AS (SELECT i, ({f1}) AS f1, ({p}) AS p, ({r}) AS r FROM pairs),
+per_rep AS (SELECT rep, AVG(pp.f1) AS f1, AVG(pp.p) AS p, AVG(pp.r) AS r
+            FROM draws JOIN per_pair pp USING (i) GROUP BY rep),
+long AS (SELECT 'f1' AS stat, ROUND(f1 * 100.0, 2) AS v FROM per_rep
+         UNION ALL SELECT 'p', ROUND(p * 100.0, 2) FROM per_rep
+         UNION ALL SELECT 'r', ROUND(r * 100.0, 2) FROM per_rep)
+SELECT stat, ROUND(quantile_cont(v, 0.025), 6) AS lo,
+       ROUND(quantile_cont(v, 0.975), 6) AS hi
+FROM long GROUP BY stat
 """,
         "doc_token_stats": f"""
 WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)

@@ -150,6 +150,17 @@ class SmatchppSpark:
                 stats, self.config.n_resamples,
                 method=self.config.bootstrap_method,
             )
+            if self.config.score_type in ("macro", "micromacro"):
+                # the reference bootstraps the statistic its score_type
+                # selects (eval_statistics.py:120-144); macro = the mean
+                # of per-pair (f1, p, r).  micro_ci stays for back-compat
+                # and the oracle contract.
+                from smatchpp_spark.functions.scores import bootstrap_scores
+
+                out["macro_ci"] = bootstrap_scores(
+                    stats, "macro", self.config.n_resamples,
+                    method=self.config.bootstrap_method,
+                )
         return out
 
     def score_dimensions(

@@ -270,34 +270,18 @@ def bootstrap_micro(
     partitioning.  ``portable=True`` swaps xxhash64 for the md5-based
     cross-engine hash so a SQL oracle can replay the draw exactly.
     """
-    from smatchpp_spark.functions.hashing import portable_hash64
-
     spark = stats.sparkSession
     n = stats.count()
     if n == 0:
         return spark.createDataFrame([], "lo double, hi double")
-    pairs = pair_index(stats, pair_col=pair_col, portable=portable)
-    # replicate spine: two lazy Range scans cross-joined — never materializes
-    # an n-element array in a single row (explode(sequence(0, n-1)) would
-    # build the full [0, n) array per replicate before exploding, a multi-GB
-    # single-row value at 10^8 pairs).  The (rep, j) values — and hence the
-    # hash draw — are identical to the old spine.
-    spine = (
-        spark.range(n_resamples)
-        .withColumnRenamed("id", "rep")
-        .crossJoin(
-            # cast to int: the old sequence() spine produced int elements and
-            # xxhash64 is type-sensitive — keeps the draw bit-identical
-            spark.range(n).select(F.col("id").cast("int").alias("j"))
-        )
-    )
-    if portable:
-        hdraw = portable_hash64(
-            F.concat_ws("#", F.lit("draw"), F.col("rep"), F.col("j"), F.lit(seed))
-        )
-    else:
-        hdraw = F.xxhash64(F.col("rep"), F.col("j"), F.lit(seed))
-    draws = spine.select("rep", F.pmod(hdraw, F.lit(n)).alias("i"))
+    # replicate spine inside _replicate_draws: two lazy Range scans
+    # cross-joined — never materializes an n-element array in a single row
+    # (explode(sequence(0, n-1)) would build the full [0, n) array per
+    # replicate before exploding, a multi-GB single-row value at 10^8
+    # pairs).  j is cast to int there because the old sequence() spine
+    # produced int elements and xxhash64 is type-sensitive — the draw is
+    # bit-identical.
+    pairs, draws = _replicate_draws(stats, n, n_resamples, seed, pair_col, portable)
     rep_stats = draws.join(pairs, "i").groupBy("rep").agg(
         *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
     )
@@ -315,6 +299,160 @@ def bootstrap_micro(
         F.round(F.percentile("f1", F.lit(alpha)), 6).alias("lo"),
         F.round(F.percentile("f1", F.lit(1.0 - alpha)), 6).alias("hi"),
     )
+
+
+def _replicate_draws(
+    stats: DataFrame,
+    n: int,
+    n_resamples: int,
+    seed: int,
+    pair_col: str,
+    portable: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs-with-dense-index, draw table (rep, i)) — the shared
+    deterministic multinomial resample both bootstrap shapes join on."""
+    from smatchpp_spark.functions.hashing import portable_hash64
+
+    spark = stats.sparkSession
+    pairs = pair_index(stats, pair_col=pair_col, portable=portable)
+    spine = (
+        spark.range(n_resamples)
+        .withColumnRenamed("id", "rep")
+        .crossJoin(spark.range(n).select(F.col("id").cast("int").alias("j")))
+    )
+    if portable:
+        hdraw = portable_hash64(
+            F.concat_ws("#", F.lit("draw"), F.col("rep"), F.col("j"), F.lit(seed))
+        )
+    else:
+        hdraw = F.xxhash64(F.col("rep"), F.col("j"), F.lit(seed))
+    draws = spine.select("rep", F.pmod(hdraw, F.lit(n)).alias("i"))
+    return pairs, draws
+
+
+def bootstrap_scores(
+    stats: DataFrame,
+    score_type: str = "micro",
+    n_resamples: int = 200,
+    seed: int = 42,
+    ci: float = 0.95,
+    pair_col: str = "pair_id",
+    portable: bool = False,
+    method: str = "percentile",
+) -> DataFrame:
+    """Bootstrap CI for the full (f1, p, r) statistic vector, micro or
+    macro — the reference's ``_aggr_wrapper`` contract
+    (eval_statistics.py:120-144): ``micro`` resamples raw 4-vectors and
+    takes the ratio of sums; ``macro`` resamples per-pair (f1, p, r)
+    rows and takes their mean.  Output: one row per statistic,
+    ``(stat, lo, hi)``, stats ∈ {f1, p, r}, on the ×100-round-2 scale.
+
+    Same deterministic hash draw as ``bootstrap_micro``; ``method`` as
+    there (percentile = oracle-replayable, bca = reference scipy
+    default).  Degenerate-BCa statistics fall back to [0, 100]
+    per statistic (the reference falls back for the whole vector —
+    per-statistic is strictly more informative and documented).
+    """
+    if score_type not in ("micro", "macro"):
+        raise ValueError(score_type)
+    spark = stats.sparkSession
+    n = stats.count()
+    if n == 0:
+        return spark.createDataFrame([], "stat string, lo double, hi double")
+    pairs, draws = _replicate_draws(stats, n, n_resamples, seed, pair_col, portable)
+
+    if score_type == "micro":
+        rep_stats = draws.join(pairs, "i").groupBy("rep").agg(
+            *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
+        )
+        f1, p, r = fpr_columns(*[F.col(c) for c in STAT_COLS])
+        per_rep = rep_stats.select(
+            "rep", f1.alias("f1"), p.alias("p"), r.alias("r")
+        )
+    else:
+        pf1, pp, pr = fpr_columns(*[F.col(c).cast("double") for c in STAT_COLS])
+        pair_fpr = pairs.select(
+            "i", pf1.alias("f1"), pp.alias("p"), pr.alias("r")
+        )
+        per_rep = draws.join(pair_fpr, "i").groupBy("rep").agg(
+            F.avg("f1").alias("f1"), F.avg("p").alias("p"), F.avg("r").alias("r")
+        )
+
+    alpha = (1.0 - ci) / 2.0
+    if method == "percentile":
+        long = per_rep.select(
+            F.expr(
+                "stack(3, 'f1', f1, 'p', p, 'r', r) as (stat, v)"
+            )
+        ).select("stat", _final(F.col("v")).alias("v"))
+        return long.groupBy("stat").agg(
+            F.round(F.percentile("v", F.lit(alpha)), 6).alias("lo"),
+            F.round(F.percentile("v", F.lit(1.0 - alpha)), 6).alias("hi"),
+        )
+    if method != "bca":
+        raise ValueError(f"unknown bootstrap method {method!r}")
+
+    reps_rows = per_rep.select("f1", "p", "r").collect()
+    tot = stats.agg(
+        *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
+    ).first()
+    A, Bm, C, D = (float(tot[c] or 0.0) for c in STAT_COLS)
+    if score_type == "micro":
+        theta = {
+            "f1": _py_micro_f1(A, Bm, C, D),
+            "p": 1.0 if (A + Bm + C + D) == 0 else (0.0 if C < _EPS else A / C),
+            "r": 1.0 if (A + Bm + C + D) == 0 else (0.0 if D < _EPS else Bm / D),
+        }
+        jf1, jp, jr = fpr_columns(
+            F.lit(A) - F.col("matchsum_x").cast("double"),
+            F.lit(Bm) - F.col("matchsum_y").cast("double"),
+            F.lit(C) - F.col("xlen").cast("double"),
+            F.lit(D) - F.col("ylen").cast("double"),
+        )
+        jack_cols = {"f1": jf1, "p": jp, "r": jr}
+    else:
+        pf1, pp, pr = fpr_columns(*[F.col(c).cast("double") for c in STAT_COLS])
+        sums = stats.select(
+            pf1.alias("f1"), pp.alias("p"), pr.alias("r")
+        ).agg(
+            *[F.sum(c).alias(c) for c in ("f1", "p", "r")]
+        ).first()
+        theta = {c: float(sums[c]) / n for c in ("f1", "p", "r")}
+        # leave-one-out mean is affine in the removed value
+        pfpr = dict(zip(("f1", "p", "r"), fpr_columns(
+            *[F.col(c).cast("double") for c in STAT_COLS]
+        )))
+        jack_cols = {
+            c: (F.lit(float(sums[c])) - pfpr[c]) / F.lit(n - 1)
+            for c in ("f1", "p", "r")
+        }
+
+    mom = stats.select(
+        *[jack_cols[c].alias(c) for c in ("f1", "p", "r")]
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(f"{c}_s1") for c in ("f1", "p", "r")],
+        *[F.sum(F.col(c) * F.col(c)).alias(f"{c}_s2") for c in ("f1", "p", "r")],
+        *[F.sum(F.col(c) * F.col(c) * F.col(c)).alias(f"{c}_s3") for c in ("f1", "p", "r")],
+    ).first()
+    out_rows = []
+    for c in ("f1", "p", "r"):
+        interval = bca_interval(
+            theta[c],
+            [float(row[c]) for row in reps_rows],
+            int(mom["n"]),
+            float(mom[f"{c}_s1"]),
+            float(mom[f"{c}_s2"]),
+            float(mom[f"{c}_s3"]),
+            ci,
+        )
+        if interval is None:
+            out_rows.append((c, 0.0, 100.0))
+        else:
+            out_rows.append(
+                (c, round(interval[0] * 100.0, 2), round(interval[1] * 100.0, 2))
+            )
+    return spark.createDataFrame(out_rows, "stat string, lo double, hi double")
 
 
 def _bca_micro(stats: DataFrame, rep_stats: DataFrame, f1, ci: float) -> DataFrame:

@@ -335,3 +335,144 @@ def test_bootstrap_bca_end_to_end(spark):
     )
     row = bootstrap_micro(degenerate, n_resamples=50, method="bca").collect()[0]
     assert (row["lo"], row["hi"]) == (0.0, 100.0)
+
+
+def _py_portable_hash(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_fpr(a, b, c, d):
+    if a + b + c + d == 0:
+        return 1.0, 1.0, 1.0
+    p = 0.0 if c < 1e-8 else a / c
+    r = 0.0 if d < 1e-8 else b / d
+    f1 = 0.0 if (p + r) < 1e-8 else 2 * p * r / (p + r)
+    if a + b + c + d == 0:
+        f1 = 1.0
+    return f1, p, r
+
+
+def _py_replicates(rows, n_resamples, seed, macro=True):
+    """Pure-python replay of the portable draw + dense pair index:
+    bucket = md5-hash('b#'+pair_id) % 1024, per-bucket rank by pair_id,
+    offsets by bucket order; draw i = md5-hash('draw#rep#j#seed') % n."""
+    n = len(rows)
+    buckets: dict[int, list] = {}
+    for row in rows:
+        bk = _py_portable_hash("b#" + str(row[0])) % 1024
+        buckets.setdefault(bk, []).append(row)
+    indexed = {}
+    off = 0
+    for bk in sorted(buckets):
+        for rnk, row in enumerate(sorted(buckets[bk], key=lambda r: str(r[0]))):
+            indexed[off + rnk] = row
+        off += len(buckets[bk])
+    reps = []
+    for rep in range(n_resamples):
+        draw = [
+            indexed[_py_portable_hash(f"draw#{rep}#{j}#{seed}") % n]
+            for j in range(n)
+        ]
+        if macro:
+            fprs = [_py_fpr(*r[1:]) for r in draw]
+            reps.append(tuple(sum(x[k] for x in fprs) / n for k in range(3)))
+        else:
+            sums = [sum(r[1 + k] for r in draw) for k in range(4)]
+            reps.append(_py_fpr(*sums))
+    return reps
+
+
+def test_bootstrap_scores_micro_f1_matches_bootstrap_micro(spark):
+    """The f1 row of bootstrap_scores('micro') must equal bootstrap_micro
+    exactly — shared draw, shared aggregation."""
+    from smatchpp_spark.functions.scores import bootstrap_micro, bootstrap_scores
+
+    rows = [
+        (f"p{i}", float(i % 5), float(i % 5), float(i % 6 + 1), float(i % 7 + 1))
+        for i in range(35)
+    ]
+    stats = spark.createDataFrame(
+        rows,
+        "pair_id string, matchsum_x double, matchsum_y double, xlen double, ylen double",
+    )
+    for portable in (False, True):
+        base = bootstrap_micro(stats, n_resamples=60, portable=portable).first()
+        vec = {
+            r["stat"]: (r["lo"], r["hi"])
+            for r in bootstrap_scores(
+                stats, "micro", n_resamples=60, portable=portable
+            ).collect()
+        }
+        assert set(vec) == {"f1", "p", "r"}
+        assert vec["f1"] == (base["lo"], base["hi"])
+
+
+def test_bootstrap_scores_macro_differential_vs_python_replay(spark):
+    """Full independent differential: the portable draw, dense pair index,
+    per-replicate macro means, percentile AND BCa intervals are all
+    recomputed in pure python (hashlib md5 + statistics.NormalDist) and
+    must match the Spark results."""
+    from statistics import NormalDist
+
+    import numpy as np
+
+    from smatchpp_spark.functions.scores import bootstrap_scores
+
+    rows = [
+        (f"g{i:03d}", float(min(i % 8, 5)), float(min(i % 8, 5)),
+         float(i % 5 + 3), float(i % 6 + 3))
+        for i in range(30)
+    ]
+    stats = spark.createDataFrame(
+        rows,
+        "pair_id string, matchsum_x double, matchsum_y double, xlen double, ylen double",
+    )
+    B, seed = 80, 42
+    reps = _py_replicates(rows, B, seed, macro=True)
+
+    # percentile expectation (x100 round 2, then interpolated quantile r6)
+    got_pct = {
+        r["stat"]: (r["lo"], r["hi"])
+        for r in bootstrap_scores(
+            stats, "macro", n_resamples=B, seed=seed, portable=True,
+            method="percentile",
+        ).collect()
+    }
+    for k, name in enumerate(("f1", "p", "r")):
+        vals = np.array([round(rv[k] * 100.0, 2) for rv in reps])
+        lo = round(float(np.quantile(vals, 0.025)), 6)
+        hi = round(float(np.quantile(vals, 0.975)), 6)
+        assert got_pct[name] == (lo, hi), (name, got_pct[name], (lo, hi))
+
+    # BCa expectation, fully independent (raw scale, then x100 round 2)
+    got_bca = {
+        r["stat"]: (r["lo"], r["hi"])
+        for r in bootstrap_scores(
+            stats, "macro", n_resamples=B, seed=seed, portable=True,
+            method="bca",
+        ).collect()
+    }
+    nd = NormalDist()
+    n = len(rows)
+    fprs = [_py_fpr(*r[1:]) for r in rows]
+    for k, name in enumerate(("f1", "p", "r")):
+        theta = sum(x[k] for x in fprs) / n
+        jack = np.array(
+            [(sum(x[k] for x in fprs) - fprs[i][k]) / (n - 1) for i in range(n)]
+        )
+        rv = np.array([x[k] for x in reps])
+        below = int((rv < theta).sum())
+        if below in (0, len(rv)) or ((jack.mean() - jack) ** 2).sum() == 0:
+            assert got_bca[name] == (0.0, 100.0)
+            continue
+        z0 = nd.inv_cdf(below / len(rv))
+        diffs = jack.mean() - jack
+        a = (diffs**3).sum() / (6.0 * ((diffs**2).sum()) ** 1.5)
+        lohi = []
+        for lvl in (0.025, 0.975):
+            z = nd.inv_cdf(lvl)
+            adj = nd.cdf(z0 + (z0 + z) / (1.0 - a * (z0 + z)))
+            lohi.append(round(float(np.quantile(rv, adj)) * 100.0, 2))
+        assert got_bca[name] == tuple(lohi), (name, got_bca[name], lohi)

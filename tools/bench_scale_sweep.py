@@ -1,0 +1,207 @@
+"""Two-scale sweep of the headline queries: 1x vs 10x input, same
+local[$SPARK_GRAFT_CPUS] box, per-query scaling exponent
+log(t_10x / t_1x) / log(10).
+
+Purpose (VERDICT r2 item 4): the per-round bench proves plans at sf0.1
+only; this sweep checks that no query's constant moves nonlinearly when
+the input grows 10x — the queries most at risk are triangles (wedge
+count scales with sum of d^2) and the LSH candidate joins (bucket
+occupancy).
+
+Scaling construction (deterministic):
+  * edge tables — 10 disjoint prefixed copies of the 1x graph.  Degree
+    distribution and component structure are preserved per copy, which is
+    the realistic 100 TB shape: node count grows, per-hub degree doesn't.
+    Ideal scaling is exactly 10x work, so exponent 1.0 = linear engine
+    behavior, >1.0 = superlinear hazard.
+  * documents — 10 copies with a per-copy token appended to the text, so
+    near-duplicate structure stays per-copy (no cross-copy candidate
+    explosion by construction; the 10x LSH join has 10x candidates).
+  * embeddings corpus — 10 prefixed copies; the query set stays the 1x
+    one (brute-force top-k cost scales with |corpus|, the realistic
+    read-side pattern).
+  * Penman corpus — corpus_dataframe(2000) vs corpus_dataframe(20000).
+
+Writes BENCH/scale_sweep.json + BENCH/SCALE_SWEEP.md.  Run alone (never
+concurrently with bench.py / check_contract.py — box timing noise).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+PR_SUPERSTEPS = 10
+SCALE = 10
+
+
+def replicate_edges(e: DataFrame, k: int) -> DataFrame:
+    """k disjoint copies with prefixed vertex ids."""
+    out = None
+    for i in range(k):
+        c = e.select(
+            F.concat(F.lit(f"x{i}_"), F.col("src")).alias("src"),
+            F.concat(F.lit(f"x{i}_"), F.col("dst")).alias("dst"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from smatchpp_spark import get_spark
+
+    spark = get_spark(
+        app_name="smatchpp-spark-scale-sweep",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    import __spark_entry__ as em
+    from smatchpp_spark.corpus import corpus_dataframe
+    from smatchpp_spark.operators.components import connected_components
+    from smatchpp_spark.operators.degrees import degrees
+    from smatchpp_spark.operators.labelprop import label_propagation
+    from smatchpp_spark.operators.pagerank import pagerank
+    from smatchpp_spark.operators.standardize import amr_standardize
+    from smatchpp_spark.operators.triangles import triangle_count
+    from smatchpp_spark.pipeline import dedup, similarity
+    from smatchpp_spark.sources.penman import parse_edges
+
+    # same untimed warmups as bench.py (session-global one-time costs)
+    amr_standardize(parse_edges(corpus_dataframe(spark, 32, seed=1))).count()
+    triangle_count(
+        spark.createDataFrame(
+            [("wa", "wb"), ("wb", "wc"), ("wa", "wc")], "src string, dst string"
+        )
+    ).total
+
+    docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs10 = None
+    for i in range(SCALE):
+        c = docs1.select(
+            F.concat(F.lit(f"x{i}_"), F.col("doc_id").cast("string")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copytoken{i}")).alias("text"),
+        )
+        docs10 = c if docs10 is None else docs10.unionByName(c)
+
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb10 = None
+    for i in range(SCALE):
+        c = emb1.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"), "embedding"
+        )
+        emb10 = c if emb10 is None else emb10.unionByName(c)
+    emb_queries = emb1.filter(F.col("vec_id") % 50 == 0)
+
+    inputs = {
+        1: {
+            "e_op": em._e_op(spark, sf_dir),
+            "e_cust": em._e_cust(spark, sf_dir),
+            "e_co": em._e_co(spark, sf_dir),
+            "docs": docs1,
+            "emb": emb1,
+            "corpus_n": 2000,
+        },
+        SCALE: {
+            "e_op": replicate_edges(em._e_op(spark, sf_dir), SCALE),
+            "e_cust": replicate_edges(em._e_cust(spark, sf_dir), SCALE),
+            "e_co": replicate_edges(em._e_co(spark, sf_dir), SCALE),
+            "docs": docs10,
+            "emb": emb10,
+            "corpus_n": 2000 * SCALE,
+        },
+    }
+
+    results: dict[str, dict[int, float]] = {}
+
+    def timed(name: str, scale: int, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        sec = round(time.monotonic() - t0, 3)
+        results.setdefault(name, {})[scale] = sec
+        print(f"  {name} @ {scale}x: {sec}s", file=sys.stderr)
+
+    for scale, inp in inputs.items():
+        print(f"-- scale {scale}x --", file=sys.stderr)
+        e_op = inp["e_op"].persist()
+        n_edges = e_op.count()
+        print(f"  edges: {n_edges}", file=sys.stderr)
+
+        timed("pagerank_10steps", scale, lambda: pagerank(
+            e_op, alpha=0.85, tol=-1.0, max_supersteps=PR_SUPERSTEPS
+        ).ranks.agg(F.sum("rank")).collect())
+        timed("degrees", scale, lambda: degrees(e_op).count())
+        timed("connected_components", scale, lambda: connected_components(
+            inp["e_cust"]
+        ).components.count())
+        timed("label_propagation_5steps", scale, lambda: label_propagation(
+            e_op, max_supersteps=5
+        ).labels.count())
+        timed("triangle_counts", scale, lambda: triangle_count(inp["e_co"]).total)
+        timed("parse_standardize", scale, lambda: amr_standardize(
+            parse_edges(corpus_dataframe(spark, inp["corpus_n"], seed=42))
+        ).count())
+        timed("doc_neardup", scale, lambda: dedup.neardup_pairs_jaccard(
+            inp["docs"], threshold=0.5, num_hashes=8, band_size=2
+        ).count())
+        timed("emb_topk", scale, lambda: similarity.cosine_topk(
+            inp["emb"], emb_queries, k=5
+        ).count())
+        e_op.unpersist()
+
+    fits = {}
+    for name, t in results.items():
+        expo = math.log(t[SCALE] / t[1]) / math.log(SCALE)
+        fits[name] = {
+            "t_1x_sec": t[1],
+            f"t_{SCALE}x_sec": t[SCALE],
+            "exponent": round(expo, 3),
+        }
+
+    out = {
+        "metric": "scale_sweep_exponents",
+        "sf_dir": sf_dir,
+        "scale_factor": SCALE,
+        "cpus": cpus,
+        "queries": fits,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scale_sweep.json", "w") as fh:
+        fh.write(json.dumps(out, indent=2) + "\n")
+
+    lines = [
+        "# Scale sweep: 1x vs 10x input (same box, local[%d])" % cpus,
+        "",
+        "Per-query wall time at both scales and the fitted exponent",
+        "log(t10/t1)/log(10).  1.0 = linear in input; <1.0 = fixed",
+        "per-query overheads amortizing; >1.1 = superlinear hazard",
+        "(plan note required).  Construction: 10 disjoint prefixed graph",
+        "copies / perturbed doc copies — degree distribution preserved,",
+        "ideal work exactly 10x (see tools/bench_scale_sweep.py).",
+        "",
+        "| query | t @1x (s) | t @10x (s) | exponent |",
+        "|---|---|---|---|",
+    ]
+    for name, f in sorted(fits.items()):
+        lines.append(
+            f"| {name} | {f['t_1x_sec']} | {f[f't_{SCALE}x_sec']} | {f['exponent']} |"
+        )
+    with open("BENCH/SCALE_SWEEP.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
