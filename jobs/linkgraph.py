@@ -1,0 +1,129 @@
+"""spark-submit job for the link-graph suite (north-rule pipeline):
+
+  spark-submit --py-files smatchpp_spark.zip jobs/linkgraph.py \
+      --op pagerank|components|components_twophase|labelprop|triangles|degrees \
+      --edges <parquet dir with (src, dst)> \
+      [--src-col src] [--dst-col dst] \
+      [--checkpoint-dir /ckpt] [--resume] [--max-supersteps N] \
+      [--alpha 0.85] [--tol 1e-10] [--adjacency] [--max-fanout N] \
+      -o <output parquet dir>
+
+Every iterative op checkpoints per-superstep state + metrics/lineage
+under --checkpoint-dir (parquet + jsonl — the sandbox stand-in for the
+Iceberg tables the production deployment would write; same layout
+contract, see operators/supersteps.py) and resumes mid-iteration with
+--resume.  A converged-summary JSON line goes to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="distributed link-graph analytics")
+    p.add_argument("--op", required=True,
+                   choices=["pagerank", "components", "components_twophase",
+                            "labelprop", "triangles", "degrees"])
+    p.add_argument("--edges", required=True, help="parquet dir of the edge table")
+    p.add_argument("--src-col", default="src")
+    p.add_argument("--dst-col", default="dst")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-supersteps", type=int, default=100)
+    p.add_argument("--alpha", type=float, default=0.85, help="pagerank damping")
+    p.add_argument("--tol", type=float, default=1e-10,
+                   help="pagerank convergence threshold (max |delta rank|)")
+    p.add_argument("--adjacency", action="store_true",
+                   help="pagerank: pre-grouped hub-salted adjacency variant "
+                        "(memory-bound regimes; per-edge is the default)")
+    p.add_argument("--max-fanout", type=int, default=100_000,
+                   help="pagerank adjacency: hub-bucket size cap (skew salt)")
+    p.add_argument("-o", "--output", required=True, help="output parquet dir")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main() -> None:
+    args = build_arg_parser().parse_args()
+
+    from pyspark.sql import functions as F
+
+    from smatchpp_spark import get_spark
+
+    spark = get_spark(app_name=f"smatchpp-linkgraph-{args.op}", master=args.master)
+
+    edges = spark.read.parquet(args.edges).select(
+        F.col(args.src_col).alias("src"), F.col(args.dst_col).alias("dst")
+    )
+
+    summary: dict = {"op": args.op}
+    if args.op == "pagerank":
+        from smatchpp_spark.operators.pagerank import pagerank
+
+        res = pagerank(
+            edges,
+            alpha=args.alpha,
+            tol=args.tol,
+            max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+            adjacency=args.adjacency,
+            max_fanout=args.max_fanout,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.ranks, res.supersteps, res.converged
+        )
+    elif args.op == "components":
+        from smatchpp_spark.operators.components import connected_components
+
+        res = connected_components(
+            edges,
+            max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.components, res.supersteps, res.converged
+        )
+    elif args.op == "components_twophase":
+        from smatchpp_spark.operators.components import two_phase_components
+
+        res = two_phase_components(edges, max_rounds=args.max_supersteps)
+        out, summary["supersteps"], summary["converged"] = (
+            res.components, res.supersteps, res.converged
+        )
+    elif args.op == "labelprop":
+        from smatchpp_spark.operators.labelprop import label_propagation
+
+        res = label_propagation(
+            edges,
+            max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.labels, res.supersteps, res.converged
+        )
+    elif args.op == "triangles":
+        from smatchpp_spark.operators.triangles import triangle_count
+
+        res = triangle_count(edges)
+        out = res.per_vertex
+        summary["total_triangles"] = res.total
+    else:  # degrees
+        from smatchpp_spark.operators.degrees import degrees
+
+        out = degrees(edges)
+
+    out.write.mode("overwrite").parquet(args.output)
+    summary["output"] = args.output
+    summary["rows"] = spark.read.parquet(args.output).count()
+    print(json.dumps(summary), file=sys.stdout)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""e2e drives of jobs/linkgraph.py (the north-rule spark-submit surface)
+and the --py-files packaging tool."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def _run_job(monkeypatch, capsys, argv):
+    from pyspark.sql import SparkSession
+
+    from jobs import linkgraph
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    monkeypatch.setattr(sys, "argv", ["linkgraph.py", *argv])
+    linkgraph.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def _write_edges(spark, tmp_path, pairs, name="edges"):
+    path = str(tmp_path / name)
+    spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_linkgraph_job_pagerank_checkpoint_resume(spark, tmp_path, monkeypatch, capsys):
+    pairs = [(i, (i * 3 + 1) % 40) for i in range(40)] + [(0, 1), (1, 2)]
+    epath = _write_edges(spark, tmp_path, pairs)
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "pr1")
+    s1 = _run_job(
+        monkeypatch, capsys,
+        ["--op", "pagerank", "--edges", epath, "--checkpoint-dir", ckpt,
+         "--max-supersteps", "8", "--tol", "-1", "-o", out1],
+    )
+    assert s1["op"] == "pagerank" and s1["rows"] > 0
+    # resume from the committed checkpoint: converged output identical
+    out2 = str(tmp_path / "pr2")
+    s2 = _run_job(
+        monkeypatch, capsys,
+        ["--op", "pagerank", "--edges", epath, "--checkpoint-dir", ckpt,
+         "--resume", "--max-supersteps", "8", "--tol", "-1", "-o", out2],
+    )
+    a = {r.vertex: r.rank for r in spark.read.parquet(out1).collect()}
+    b = {r.vertex: r.rank for r in spark.read.parquet(out2).collect()}
+    assert a.keys() == b.keys()
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-12
+    # metrics sink exists (Iceberg-substitute layout)
+    import os
+
+    assert os.path.exists(f"{ckpt}/pagerank/metrics.jsonl")
+
+
+def test_linkgraph_job_components_and_triangles(spark, tmp_path, monkeypatch, capsys):
+    tri = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    epath = _write_edges(spark, tmp_path, tri)
+    cout = str(tmp_path / "cc")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "components", "--edges", epath, "-o", cout],
+    )
+    assert s["converged"] and s["rows"] == 4
+    comps = {r.vertex for r in spark.read.parquet(cout).collect()}
+    assert comps == {"1", "2", "3", "4"}
+
+    tout = str(tmp_path / "tri")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "triangles", "--edges", epath, "-o", tout],
+    )
+    assert s["total_triangles"] == 1
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """The --py-files artifact must be importable via zipimport, exactly
+    how spark executors consume it."""
+    from tools.make_pyfiles_zip import build
+
+    zpath = str(tmp_path / "smatchpp_spark.zip")
+    n = build(zpath)
+    assert n > 20
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import smatchpp_spark, smatchpp_spark.operators.pagerank, "
+        "smatchpp_spark.pipeline.dedup; "
+        "assert 'smatchpp_spark.zip' in smatchpp_spark.__file__; "
+        "print('zip-import-ok')" % zpath
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp"
+    )
+    assert out.returncode == 0, out.stderr
+    assert "zip-import-ok" in out.stdout
