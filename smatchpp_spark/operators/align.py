@@ -278,10 +278,15 @@ def solve_branch_bound(
     rows: dict = {key: tuple(ent.items()) for key, ent in grouped.items()}
     # warm start: a strong incumbent makes the bound bite immediately
     incumbent, inc_score, _ = solve_hillclimb(
-        unary, binary, V, seed=seed, restarts=2
+        unary, binary, V, seed=seed, restarts=2, with_bound=False
     )
     best = incumbent.copy()
     best_score = inc_score
+    # Gilmore–Lawler root bound: when the LAP relaxation already meets the
+    # incumbent, the incumbent IS the certified optimum — no search needed
+    lap_ub = lap_upper_bound(unary, grouped, V)
+    if lap_ub <= inc_score + 1e-9:
+        return best, best_score, float(max(best_score, lap_ub))
     # mirror[(i,j)] = Σ half-weights from already-assigned rows pointing at
     # the candidate match (i,j) — maintained incrementally on (un)assign so
     # neither the gain nor the cap loops over the assignment
@@ -374,7 +379,9 @@ def solve_branch_bound(
             avail.add(j)
 
     dfs(0, {}, set(range(V)), 0.0)
-    ub = best_score if not exhausted else max(best_score, open_ub)
+    # on exhaustion both the abandoned-subtree max and the LAP root bound
+    # are admissible — report the tighter of the two
+    ub = best_score if not exhausted else max(best_score, min(open_ub, lap_ub))
     return best, best_score, float(ub)
 
 
@@ -424,21 +431,16 @@ def swap_gain(
     return unary_delta + 2.0 * (new_rows - old_rows) - (new_fix - old_fix)
 
 
-def root_upper_bound(unary: dict, grouped: dict, V: int) -> float:
-    """Admissible finite upper bound on the alignment objective with
-    NOTHING assigned: Σ over rows i of the best-case column cap — the
-    branch-and-bound root bound (``col_cap`` with an empty assignment and
-    full availability).  A cap entry drops only the self-row half-weights
-    pointing at a different column (k == i, l != j: unsatisfiable once i
-    is assigned to j); every cross-row half-weight stays, which is
-    admissible because unassigned↔unassigned pair weights are split half
-    per row.  O(V² · row) arithmetic, no search — the finite-bound
-    contract of the reference's LP relaxation (solvers.py:457-511) at a
-    fraction of the cost, replacing the vacuous 1e7 sentinel the
-    reference's default hillclimber reports (solvers.py:356)."""
-    total = 0.0
+def _cap_matrix(unary: dict, grouped: dict, V: int) -> np.ndarray:
+    """Per-cell admissible caps: caps[i, j] bounds the total objective
+    mass row i can contribute when aligned to j — unary weight plus every
+    binary half-weight of row (i, j) except self-row halves pointing at a
+    different column (k == i, l != j: unsatisfiable once i → j).  Cross-row
+    halves all stay, which is admissible because unassigned↔unassigned
+    pair weights are split half per row, so for ANY alignment a the true
+    score is ≤ Σ_i caps[i, a[i]]."""
+    caps = np.zeros((V, V))
     for i in range(V):
-        row_best = 0.0
         for j in range(V):
             c = unary.get((i, j), 0.0)
             ent = grouped.get((i, j))
@@ -446,9 +448,92 @@ def root_upper_bound(unary: dict, grouped: dict, V: int) -> float:
                 for (k, l), w in ent.items():
                     if k != i or l == j:
                         c += w
-            if c > row_best:
-                row_best = c
-        total += row_best
+            caps[i, j] = c
+    return caps
+
+
+def root_upper_bound(unary: dict, grouped: dict, V: int) -> float:
+    """Admissible finite upper bound on the alignment objective with
+    NOTHING assigned: Σ over rows i of the best-case column cap — the
+    branch-and-bound root bound (``col_cap`` with an empty assignment and
+    full availability).  O(V² · row) arithmetic, no search — a finite
+    stand-in for the reference LP bound (solvers.py:457-511), replacing
+    the vacuous 1e7 sentinel the reference's default hillclimber reports
+    (solvers.py:356).  ``lap_upper_bound`` is the tighter version."""
+    caps = _cap_matrix(unary, grouped, V)
+    return float(caps.max(axis=1).sum()) if V else 0.0
+
+
+def solve_lap(profit: np.ndarray) -> tuple[np.ndarray, float]:
+    """Exact maximum-weight perfect assignment on a square profit matrix:
+    the O(V³) shortest-augmenting-path Hungarian algorithm with dual
+    potentials (Kuhn–Munkres / Jonker–Volgenant family — public-classic
+    formulation).  Returns (assignment row→col, total profit)."""
+    V = int(profit.shape[0])
+    if V == 0:
+        return np.zeros(0, dtype=int), 0.0
+    cost = (-profit).tolist()  # minimize negated profit
+    INF = float("inf")
+    u = [0.0] * (V + 1)
+    v = [0.0] * (V + 1)
+    p = [0] * (V + 1)  # p[j] = row matched to column j (1-indexed, 0 = free)
+    way = [0] * (V + 1)
+    for i in range(1, V + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (V + 1)
+        used = [False] * (V + 1)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = 0
+            row = cost[i0 - 1]
+            ui0 = u[i0]
+            for j in range(1, V + 1):
+                if used[j]:
+                    continue
+                cur = row[j - 1] - ui0 - v[j]
+                if cur < minv[j]:
+                    minv[j] = cur
+                    way[j] = j0
+                if minv[j] < delta:
+                    delta = minv[j]
+                    j1 = j
+            for j in range(V + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    assign = np.zeros(V, dtype=int)
+    total = 0.0
+    for j in range(1, V + 1):
+        assign[p[j] - 1] = j - 1
+        total += float(profit[p[j] - 1, j - 1])
+    return assign, total
+
+
+def lap_upper_bound(unary: dict, grouped: dict, V: int) -> float:
+    """Gilmore–Lawler upper bound on the quadratic alignment objective:
+    linearize into the admissible per-cell cap matrix, then solve the
+    LINEAR assignment problem over it exactly.  Valid because any feasible
+    alignment is a perfect assignment whose true score is ≤ its cap-matrix
+    profit ≤ the LAP optimum; tighter than ``root_upper_bound`` because
+    the row maxima must additionally form a permutation — the bound
+    contract of the reference's LP relaxation (solvers.py:457-511) met
+    without an LP library, and tight enough to certify optimality when it
+    meets the incumbent."""
+    if V == 0:
+        return 0.0
+    _, total = solve_lap(_cap_matrix(unary, grouped, V))
     return total
 
 
@@ -459,6 +544,7 @@ def solve_hillclimb(
     seed: int = 0,
     restarts: int = 4,
     max_iters: int = 1000,
+    with_bound: bool = True,
 ) -> tuple[np.ndarray, float, float]:
     """Seeded steepest-ascent over transpositions with random restarts
     (objective and move set of solvers.py:50-356; deterministic seeding
@@ -483,18 +569,29 @@ def solve_hillclimb(
             score += best_gain
         return align, alignment_score(align, unary, grouped)
 
-    best = None
-    best_score = -1.0
+    inits: list[np.ndarray] = []
+    lap_ub = None
+    if with_bound:
+        # the Gilmore–Lawler cap matrix yields BOTH the honest upper bound
+        # and a near-optimal deterministic starting permutation for free
+        caps = _cap_matrix(unary, grouped, V)
+        lap_assign, lap_ub = solve_lap(caps)
+        inits.append(lap_assign)
     for init in range(restarts):
         rng = random.Random((seed * 1000003 + init) & 0x7FFFFFFF)
         perm = list(range(V))
         rng.shuffle(perm)
-        align, score = climb(np.array(perm, dtype=int))
+        inits.append(np.array(perm, dtype=int))
+    best = None
+    best_score = -1.0
+    for start in inits:
+        align, score = climb(start)
         if score > best_score:
             best_score = score
             best = align
-    # honest finite upper bound (never the reference's 1e7 sentinel)
-    ub = max(best_score, root_upper_bound(unary, grouped, V))
+    # honest finite upper bound (never the reference's 1e7 sentinel);
+    # skipped when the caller computes its own bound (B&B warm start)
+    ub = max(best_score, lap_ub) if lap_ub is not None else best_score
     return best, best_score, float(ub)
 
 

@@ -388,3 +388,95 @@ def test_bnb_escalation_certifies_exhausted_pairs():
         certified = myalign.process_pair(g1, g2, myalign.AlignConfig(solver="bnb"))
         assert escalated["lower_bound"] == certified["lower_bound"]
     assert found_gap >= 1
+
+
+def test_solve_lap_exact_vs_bruteforce():
+    """The Hungarian assignment solver must return the true max-weight
+    perfect assignment (validated by V! enumeration on small matrices,
+    negative profits included)."""
+    import itertools
+
+    for trial in range(120):
+        rng = random.Random(f"lap-exact:{trial}")
+        V = rng.randint(1, 6)
+        m = np.array([[rng.uniform(-5, 10) for _ in range(V)] for _ in range(V)])
+        assign, total = myalign.solve_lap(m)
+        assert sorted(assign.tolist()) == list(range(V))
+        assert abs(sum(m[i, assign[i]] for i in range(V)) - total) < 1e-9
+        brute = max(
+            sum(m[i, p[i]] for i in range(V))
+            for p in itertools.permutations(range(V))
+        )
+        assert abs(total - brute) < 1e-9, (trial, total, brute)
+
+
+def test_lap_bound_admissible_and_tighter_than_root():
+    """Gilmore-Lawler LAP bound: always >= the certified optimum (valid)
+    and always <= the row-max root bound (never worse); strictly tighter
+    on a healthy fraction of random instances."""
+    tighter = 0
+    for trial in range(60):
+        rng = random.Random(f"lap-bound:{trial}")
+        V = rng.randint(1, 6)
+        unary = {
+            (i, j): rng.randint(0, 4) * 1.0
+            for i in range(V)
+            for j in range(V)
+            if rng.random() < 0.5
+        }
+        binary = {}
+        for _ in range(rng.randint(0, 3 * V)):
+            i, j, k, l = (rng.randrange(V) for _ in range(4))
+            w = rng.randint(1, 3) * 0.5
+            if (i, j) == (k, l):
+                binary[(i, j, k, l)] = binary.get((i, j, k, l), 0.0) + w
+            else:
+                binary[(i, j, k, l)] = binary.get((i, j, k, l), 0.0) + w / 2
+                binary[(k, l, i, j)] = binary.get((k, l, i, j), 0.0) + w / 2
+        grouped = myalign._group_binary(binary)
+        _, opt, _ = myalign.solve_exhaustive(unary, binary, V)
+        lap = myalign.lap_upper_bound(unary, grouped, V)
+        root = myalign.root_upper_bound(unary, grouped, V)
+        assert lap >= opt - 1e-9, (trial, lap, opt)
+        assert lap <= root + 1e-9, (trial, lap, root)
+        if lap < root - 1e-9:
+            tighter += 1
+    assert tighter >= 10
+
+
+def test_lap_certifies_unary_only_any_v():
+    """With no binary terms the objective IS a linear assignment, so the
+    LAP bound equals the optimum at any V — the hillclimber path (V far
+    beyond exhaustive/bnb reach) must then certify: lb == ub == optimum."""
+    V = 25
+    rng = random.Random("lap-unary")
+    unary = {(i, j): rng.uniform(0.0, 4.0) for i in range(V) for j in range(V)}
+    _, lap_opt = myalign.solve_lap(myalign._cap_matrix(unary, {}, V))
+    _, lb, ub = myalign.solve_hillclimb(unary, {}, V, seed=3)
+    assert abs(ub - lap_opt) < 1e-9
+    # the LAP-seeded start makes the climb hit the assignment optimum
+    assert abs(lb - ub) < 1e-9, (lb, ub)
+
+
+def test_bnb_root_certification_skips_search():
+    """When the LAP root bound meets the warm-start incumbent the B&B
+    returns the certified optimum with a zero node budget — proof the
+    certificate came from the bound, not the search."""
+    certified_at_root = 0
+    for i in range(20):
+        rng = random.Random(f"lap-root:{i}")
+        s1 = generate_penman(rng, max_nodes=10, max_depth=4)
+        s2 = generate_penman(rng, max_nodes=10, max_depth=4)
+        g1 = list(READER.string2graph(s1))
+        g2 = list(READER.string2graph(s2))
+        full = myalign.process_pair(g1, g2, myalign.AlignConfig(solver="bnb"))
+        starved = myalign.process_pair(
+            g1,
+            g2,
+            myalign.AlignConfig(solver="bnb", bnb_node_budget=0, bnb_escalation=0),
+        )
+        if starved["upper_bound"] <= starved["lower_bound"] + 1e-9:
+            certified_at_root += 1
+            # a root certificate must agree with the full search optimum
+            assert abs(starved["lower_bound"] - full["lower_bound"]) < 1e-9
+    assert certified_at_root >= 3
