@@ -716,6 +716,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_hyperplane_topk"] = _hyperplane
 
+    def _ivf(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        cents = similarity.unit_centroids(emb, n_cells=8)
+        return similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), cents, k=5, nprobe=2
+        )
+
+    q["emb_ivf_topk"] = _ivf
+
     # ---- events: sessionization + rollup ---------------------------------
     q["events_sessionize"] = lambda spark, sf: events.sessionize(
         _read(spark, sf, "events")
@@ -1218,6 +1227,7 @@ SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rk <= 5
         "emb_lsh_buckets": _lsh_bucket_sql(8),
         "emb_bucketed_topk": _bucketed_topk_sql(4, 5),
         "emb_hyperplane_topk": _hyperplane_topk_sql(5),
+        "emb_ivf_topk": _ivf_topk_sql(8, 2, 5),
         "events_sessionize": """
 WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
 m AS (SELECT user_id, event_id, ep,
@@ -1299,6 +1309,41 @@ sc AS (SELECT query_id, neighbor_id,
        ELSE list_dot_product(qv, cv)
             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS sim
   FROM s),
+r AS (SELECT query_id, neighbor_id, sim,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM sc)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rk <= {k}
+"""
+
+
+def _ivf_topk_sql(n_cells: int, nprobe: int, k: int) -> str:
+    """Oracle for the IVF-flat ANN path: the codebook is the ``n_cells``
+    lowest-id vectors L2-normalized (the same left-to-right float64
+    arithmetic as similarity.unit_centroids, so cell assignments are
+    bit-identical), assignment is argmax dot (ties to the lower cell id),
+    queries probe their ``nprobe`` nearest cells."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS cv
+         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_cells})),
+sims AS (SELECT e.vec_id, e.v, cent.cid, list_dot_product(e.v, cent.cv) AS s
+         FROM e CROSS JOIN cent),
+asn AS (SELECT vec_id, v, cid AS cell FROM
+        (SELECT vec_id, v, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rr
+         FROM sims) WHERE rr = 1),
+qp AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM
+       (SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS pr
+        FROM sims WHERE vec_id % 50 = 0) WHERE pr <= {nprobe}),
+cand AS (SELECT q.query_id, q.qv, a.vec_id AS neighbor_id, a.v AS cv
+         FROM qp q JOIN asn a USING (cell) WHERE a.vec_id <> q.query_id),
+sc AS (SELECT query_id, neighbor_id,
+  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0
+       ELSE list_dot_product(qv, cv)
+            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS sim
+  FROM cand),
 r AS (SELECT query_id, neighbor_id, sim,
       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM sc)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rk <= {k}

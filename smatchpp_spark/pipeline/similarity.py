@@ -272,3 +272,123 @@ def bucketed_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse-quantizer cells + nprobe search
+# --------------------------------------------------------------------------
+
+def unit_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse codebook: the ``n_cells`` lowest-id
+    vectors, L2-normalized driver-side.
+
+    Production IVF trains its codebook offline (k-means over a sample)
+    and ships it to the query plan as a constant — exactly what this
+    returns; the seed-selection stand-in keeps the whole operator
+    deterministic and cross-engine replayable.  Normalization uses a
+    left-to-right float64 sum so an oracle engine recomputing
+    ``v / sqrt(Σ v²)`` gets bit-identical centroids.
+    """
+    import math
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), _to_double(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_cells)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        v = [float(x) for x in r.v]
+        n = math.sqrt(sum(x * x for x in v))
+        out.append([x / n for x in v] if n > 0 else v)
+    return out
+
+
+def _cell_structs(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """(similarity, -cell_id) structs — ranking by dot with UNIT centroids
+    equals ranking by cosine (the per-row ||v|| factor is a shared
+    positive constant), so no per-row norm is recomputed per centroid
+    (projection collapse would inline it K times)."""
+    return [
+        F.struct(dot(_plane_lit(c), vec).alias("s"), F.lit(-i).alias("n"))
+        for i, c in enumerate(centroids)
+    ]
+
+
+def cell_assign(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """IVF cell id: argmax cosine over the codebook, ties to the lower
+    cell id — a single ``array_max`` over (sim, -id) structs (one
+    aggregation-free pass, each dot product evaluated exactly once)."""
+    vec = _to_double(vec_col) if isinstance(vec_col, str) else vec_col
+    return (-F.array_max(F.array(*_cell_structs(vec, centroids)))["n"]).alias(
+        "cell"
+    )
+
+
+def probe_cells(
+    vec_col: Column | str, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest cells for a query vector, nearest first
+    (sim desc, cell id asc — consistent with ``cell_assign``'s argmax)."""
+    vec = _to_double(vec_col) if isinstance(vec_col, str) else vec_col
+    ranked = F.reverse(F.array_sort(F.array(*_cell_structs(vec, centroids))))
+    return F.transform(
+        F.slice(ranked, 1, min(nprobe, len(centroids))), lambda s: -s["n"]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: score only corpus vectors whose cell
+    is among the query's ``nprobe`` nearest cells.
+
+    100 TB shape: the corpus computes its cell inside the scan projection
+    (whole-stage codegen, zero extra shuffle, the codebook rides the plan
+    as literals); the exploded query side is tiny and broadcast, so the
+    only exchange is the per-query top-k window over candidates — a
+    ``|corpus| * nprobe / n_cells`` row subset.  ``nprobe == n_cells``
+    degrades gracefully to the exact ``cosine_topk`` semantics (tested).
+    For codebooks too large to inline (>~1k cells), swap the literal
+    array for a broadcast centroid table + ``min(struct())`` argmax — the
+    operator contract is unchanged.
+
+    Cells are disjoint per corpus row and probes are distinct per query,
+    so no candidate deduplication pass is needed (unlike multi-probe LSH).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(vec_col).alias("qv"),
+        F.explode(probe_cells(vec_col, centroids, nprobe)).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(vec_col).alias("cv"),
+        cell_assign(vec_col, centroids),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine_sim"))
+    )

@@ -499,3 +499,69 @@ def test_decode_16bit_pgm():
     expect = (gray16.astype(np.float64) * (255.0 / 65535)).astype(np.uint8)
     assert np.array_equal(img[:, :, 0], expect)
     assert img.shape == (2, 2, 3)
+
+
+def test_ivf_topk_exact_at_full_probe_and_recall(spark):
+    """IVF-flat ANN: (a) probing every cell reproduces the exact
+    brute-force top-k bit-for-bit (same tie rules); (b) cell assignment
+    is a partition of the corpus; (c) nprobe=2 of 8 cells keeps a sane
+    recall@5 on isotropic vectors while scoring only a fraction of the
+    corpus."""
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    cents = similarity.unit_centroids(emb, n_cells=8)
+    assert len(cents) == 8
+    for c in cents:
+        assert np.isclose(np.linalg.norm(c), 1.0)
+
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    full = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=8).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+    assert sorted(map(key, exact)) == sorted(map(key, full))
+
+    # partition property: every corpus row lands in exactly one cell
+    cells = emb.select(
+        "vec_id", similarity.cell_assign("embedding", cents)
+    ).collect()
+    assert len(cells) == 200
+    assert all(0 <= r["cell"] < 8 for r in cells)
+
+    approx = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1 for r in approx if r["neighbor_id"] in truth.get(r["query_id"], set())
+    )
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.3, recall  # 2/8 cells probed; exact path is the fallback
+
+
+def test_ivf_probe_cells_ordering(spark):
+    """probe_cells must rank cells by similarity desc with ties to the
+    lower cell id — consistent with cell_assign's argmax (the query's
+    own cell is always probed first)."""
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.unit_centroids(emb, n_cells=4)
+    rows = emb.select(
+        "vec_id",
+        similarity.cell_assign("embedding", cents),
+        similarity.probe_cells("embedding", cents, 4).alias("probes"),
+    ).collect()
+    c64 = np.array(cents)
+    for r in rows:
+        assert r["probes"][0] == r["cell"]
+        assert sorted(r["probes"]) == [0, 1, 2, 3]
+        sims = c64 @ np.array(vecs[r["vec_id"]], dtype=np.float64)
+        order = sorted(range(4), key=lambda i: (-sims[i], i))
+        assert list(r["probes"]) == order
