@@ -50,6 +50,14 @@ CHECKS = {
         ("PushedFilters: [IsNotNull(vec_id)]",
          "query-side filter reaches the parquet scan"),
     ],
+    "emb_ivf_topk": [
+        ("BroadcastExchange",
+         "the exploded (query × nprobe cells) side broadcasts — the "
+         "corpus computes its cell inside the scan projection and never "
+         "shuffles for candidate generation"),
+        ("PushedFilters: [IsNotNull(vec_id)]",
+         "predicate pushdown reaches the parquet scan"),
+    ],
     "bootstrap_ci": [
         ("BroadcastExchange",
          "bucket-offset spine (≤1024 rows) broadcasts back to the pairs"),
