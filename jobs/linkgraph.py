@@ -27,7 +27,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--op", required=True,
                    choices=["pagerank", "components", "components_twophase",
                             "labelprop", "triangles", "degrees"])
-    p.add_argument("--edges", required=True, help="parquet dir of the edge table")
+    p.add_argument("--edges", required=True,
+                   help="parquet dir of the edge table, or (with "
+                        "--edges-table) a catalog table name")
+    p.add_argument("--edges-table", action="store_true",
+                   help="read --edges as a catalog table — REQUIRED to keep "
+                        "a bucketed layout (sources/bucketed.py): equi-joins "
+                        "and aggs on the bucket key then run exchange-free")
     p.add_argument("--src-col", default="src")
     p.add_argument("--dst-col", default="dst")
     p.add_argument("--checkpoint-dir", default=None)
@@ -55,7 +61,11 @@ def main() -> None:
 
     spark = get_spark(app_name=f"smatchpp-linkgraph-{args.op}", master=args.master)
 
-    edges = spark.read.parquet(args.edges).select(
+    src = (
+        spark.table(args.edges) if args.edges_table
+        else spark.read.parquet(args.edges)
+    )
+    edges = src.select(
         F.col(args.src_col).alias("src"), F.col(args.dst_col).alias("dst")
     )
 

@@ -92,8 +92,10 @@ class SolverFactory:
     analog).  Reference names map to the closest certified equivalent:
     ``ilp`` / ``ilp_backed`` → branch-and-bound (certified optimum +
     honest (lb, ub) — the ILP contract, solvers.py:417-454; the ``mip``
-    dependency is unavailable offline); ``lp`` / ``rilp`` raise, as the
-    reference itself marks rilp experimental (solvers.py:539-548)."""
+    dependency is unavailable offline); ``lp`` → hillclimber whose LAP
+    relaxation bound + repaired-alignment rescore meet the LP contract
+    (solvers.py:457-511); ``rilp`` raises, as the reference itself marks
+    it experimental (solvers.py:539-548)."""
 
     NAMES = {
         "auto": "auto",
@@ -103,6 +105,11 @@ class SolverFactory:
         "dummy": "dummy",
         "ilp": "bnb",
         "ilp_backed": "bnb",
+        # the reference LP contract (solvers.py:457-511) is a finite
+        # relaxation upper bound + a repaired feasible alignment re-scored
+        # for the lower bound — the hillclimber path delivers exactly that
+        # via the Gilmore-Lawler LAP bound and the LAP-seeded climb
+        "lp": "hillclimber",
     }
 
     @classmethod

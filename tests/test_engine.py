@@ -195,6 +195,9 @@ def test_registry_factories(spark):
 
     assert registry.SolverFactory.get_solver("ilp") == "bnb"
     assert registry.SolverFactory.get_solver("hillclimber") == "hillclimber"
+    # lp resolves: the LAP relaxation bound + repaired-alignment rescore
+    # on the hillclimber path meet the reference LP contract
+    assert registry.SolverFactory.get_solver("lp") == "hillclimber"
     with _pytest.raises(NotImplementedError):
         registry.SolverFactory.get_solver("rilp")
 

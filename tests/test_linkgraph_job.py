@@ -96,3 +96,26 @@ def test_pyfiles_zip_importable(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "zip-import-ok" in out.stdout
+
+
+def test_linkgraph_job_bucketed_table_input(spark, tmp_path, monkeypatch, capsys):
+    """--edges-table reads the bucketed catalog table (degrees on a
+    bucketed-by-src table: the groupBy runs exchange-free, same rows)."""
+    from smatchpp_spark.sources.bucketed import write_bucketed
+
+    pairs = [(i % 10, (i * 3 + 1) % 25) for i in range(100)]
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+    write_bucketed(df, "t_job_edges", ["src"], n_buckets=4,
+                   path=str(tmp_path / "bkt"))
+    try:
+        out = str(tmp_path / "deg")
+        s = _run_job(
+            monkeypatch, capsys,
+            ["--op", "degrees", "--edges", "t_job_edges", "--edges-table",
+             "-o", out],
+        )
+        assert s["rows"] == len({v for p in pairs for v in p})
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_job_edges")
