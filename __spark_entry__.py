@@ -363,6 +363,45 @@ def _pagerank_sql(iters: int, alpha: float = ALPHA, edge_sql: str | None = None)
     return "\n".join(parts)
 
 
+def _personalized_pagerank_sql(iters: int, alpha: float = ALPHA) -> str:
+    """Personalized PageRank oracle: teleport uniform over the source set
+    (part vertices with l_partkey % 40 = 0), restart AND dangling mass
+    follow the teleport vector.  Literals are emitted with Python repr so
+    ``1 - alpha`` is the same float64 the Spark operator uses."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
+        "outd AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),",
+        "w AS (SELECT e.src, e.dst, 1.0 / outd.od AS w FROM e JOIN outd ON outd.vertex = e.src),",
+        "srcs AS (SELECT DISTINCT 'p' || l_partkey AS vertex FROM lineitem WHERE l_partkey % 40 = 0),",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcs JOIN v USING (vertex)),",
+        "tpv AS (SELECT v.vertex, CASE WHEN s.vertex IS NOT NULL "
+        "THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS tp "
+        "FROM v LEFT JOIN srcs s ON s.vertex = v.vertex),",
+        "r0 AS (SELECT vertex, tp AS rank FROM tpv),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k-1}"
+        parts.append(
+            f"d{k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {p} "
+            f"WHERE vertex NOT IN (SELECT vertex FROM outd)),"
+        )
+        parts.append(
+            f"s{k} AS (SELECT w.dst AS vertex, SUM(r.rank * w.w) AS in_sum "
+            f"FROM {p} r JOIN w ON w.src = r.vertex GROUP BY w.dst),"
+        )
+        parts.append(
+            f"r{k} AS (SELECT t.vertex, "
+            f"({1.0 - alpha!r} + {alpha!r} * (SELECT dm FROM d{k})) * t.tp "
+            f"+ {alpha!r} * COALESCE(s{k}.in_sum, 0.0) AS rank "
+            f"FROM tpv t LEFT JOIN s{k} ON s{k}.vertex = t.vertex),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _lpa_sql(iters: int) -> str:
     parts = [
         f"WITH e AS ({SQL_E_SUPP}),",
@@ -498,6 +537,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.ranks.select("vertex", F.round("rank", 9).alias("rank"))
 
     q["pagerank_hetero"] = _pr_hetero
+
+    def _pr_pers(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        srcs = (
+            li.filter(F.col("l_partkey") % 40 == 0)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                    "vertex"
+                )
+            )
+            .distinct()
+        )
+        r = pagerank(
+            _e_op(spark, sf), alpha=ALPHA, tol=-1.0, max_supersteps=PR_STEPS,
+            sources=srcs,
+        )
+        return r.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_personalized"] = _pr_pers
 
     def _cc(spark, sf):
         return connected_components(_e_cust(spark, sf)).components
@@ -799,6 +857,7 @@ FROM ends GROUP BY vertex
 """,
         "pagerank_fixed": _pagerank_sql(PR_STEPS),
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
+        "pagerank_personalized": _personalized_pagerank_sql(PR_STEPS),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),
 und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

@@ -59,6 +59,7 @@ def pagerank(
     input_lineage: str = "",
     adjacency: bool = False,
     max_fanout: int = 100_000,
+    sources: "list | DataFrame | None" = None,
 ) -> PageRankResult:
     """``adjacency=True`` stores the static join side pre-grouped: one row
     per (src, hub-bucket) with a dst array instead of one row per edge,
@@ -73,10 +74,19 @@ def pagerank(
     overhead it saves, because the per-edge static table is already
     hash-partitioned once and never reshuffles.  Per-edge is therefore
     the default; adjacency remains for memory-bound static tables (array
-    rows compress the src column away) and is held to the same oracle."""
+    rows compress the src column away) and is held to the same oracle.
+
+    ``sources`` switches to PERSONALIZED PageRank: the teleport vector is
+    uniform over the source set (a small Python list inlined as a
+    predicate, or a DataFrame of vertex ids joined in — use the DataFrame
+    form when the set itself is big).  Initial rank, the (1-α) restart
+    and the dangling mass all follow the teleport vector, the standard
+    random-surfer-with-preferences model; vertices unreachable from the
+    sources converge to rank 0."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    personalized = sources is not None
 
     out_deg = edges.groupBy(F.col("src").alias("vertex")).agg(
         F.count(F.lit(1)).alias("out_deg")
@@ -89,10 +99,32 @@ def pagerank(
         _vertices(edges)
         .join(out_deg, "vertex", "left")
         .select("vertex", F.col("out_deg").isNull().alias("dangling"))
-        .repartition(num_partitions, "vertex")
-        .persist()
     )
-    n = vertices.count()
+    if personalized:
+        if isinstance(sources, DataFrame):
+            s = (
+                sources.select(F.col(sources.columns[0]).alias("vertex"))
+                .distinct()
+                .withColumn("is_src", F.lit(True))
+            )
+            vertices = vertices.join(s, "vertex", "left").withColumn(
+                "is_src", F.coalesce("is_src", F.lit(False))
+            )
+        else:
+            vertices = vertices.withColumn(
+                "is_src", F.col("vertex").isin(list(sources))
+            )
+    vertices = vertices.repartition(num_partitions, "vertex").persist()
+    if personalized:
+        row = vertices.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_src").cast("long")).alias("ns"),
+        ).collect()[0]
+        n, n_src = row["n"], row["ns"] or 0
+        if n > 0 and n_src == 0:
+            raise ValueError("personalized pagerank: no source vertex in graph")
+    else:
+        n = vertices.count()
     if n == 0:
         return PageRankResult(
             ranks=spark.createDataFrame([], "vertex long, rank double"),
@@ -136,25 +168,38 @@ def pagerank(
         )
         n_edges = contrib_edges.count()
 
-    init = vertices.select(
-        "vertex", "dangling", F.lit(1.0 / n).alias("rank"),
-        F.lit(float("nan")).alias("prev_rank"),
-    )
+    if personalized:
+        tp = F.when(F.col("is_src"), F.lit(1.0 / n_src)).otherwise(F.lit(0.0))
+        init = vertices.select(
+            "vertex", "dangling", tp.alias("tp"), tp.alias("rank"),
+            F.lit(float("nan")).alias("prev_rank"),
+        )
+    else:
+        init = vertices.select(
+            "vertex", "dangling", F.lit(1.0 / n).alias("rank"),
+            F.lit(float("nan")).alias("prev_rank"),
+        )
 
     def step(state: DataFrame, k: int) -> DataFrame:
         # one action per superstep: dangling mass is a scan-aggregation
         # of the (checkpointed) state broadcast as a 1-row scalar, and
         # the previous rank rides along in the output so convergence is
         # a scan of the new state, not a separate old⋈new join job
-        base_df = (
-            state.filter("dangling")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            .select(
+        dm_df = state.filter("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        if personalized:
+            # per-vertex restart mass is (1-α + α·dm) · tp — the scalar
+            # factor broadcasts, the teleport column rides the state
+            base_df = dm_df.select(
+                (F.lit(1.0 - alpha) + F.lit(alpha) * F.col("dm")).alias("base")
+            )
+        else:
+            base_df = dm_df.select(
                 (
                     F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.col("dm") / F.lit(float(n))
                 ).alias("base")
             )
-        )
         if adjacency:
             contribs = (
                 state.select(F.col("vertex").alias("src"), "rank")
@@ -177,6 +222,24 @@ def pagerank(
                 .join(contrib_edges, "src")
                 .groupBy(F.col("dst").alias("vertex"))
                 .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
+            )
+        if personalized:
+            return (
+                state.select(
+                    "vertex", "dangling", "tp", F.col("rank").alias("old_rank")
+                )
+                .join(contribs, "vertex", "left")
+                .crossJoin(F.broadcast(base_df))
+                .select(
+                    "vertex",
+                    "dangling",
+                    "tp",
+                    (
+                        F.col("base") * F.col("tp")
+                        + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))
+                    ).alias("rank"),
+                    F.col("old_rank").alias("prev_rank"),
+                )
             )
         return (
             state.select("vertex", "dangling", F.col("rank").alias("old_rank"))

@@ -343,3 +343,53 @@ def test_two_phase_components_matches_oracle_and_hashmin(spark):
         r.vertex: r.component for r in tp.components.collect()
     }
     assert tp.supersteps < hm.supersteps
+
+
+def test_personalized_pagerank_vs_numpy(spark):
+    """Personalized PR (teleport uniform over a source set; restart and
+    dangling mass follow the teleport vector): allclose vs a numpy power
+    iteration, total mass 1, and zero rank on vertices unreachable from
+    the sources."""
+    from smatchpp_spark.operators.pagerank import pagerank
+
+    rng = np.random.RandomState(3)
+    E = sorted(
+        {(int(a), int(b)) for a, b in rng.randint(0, 30, size=(120, 2)) if a != b}
+    )
+    # an isolated 2-cycle unreachable from the sources
+    E += [(100, 101), (101, 100)]
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in E], "src string, dst string"
+    )
+    S = ["0", "5", "7"]
+    res = pagerank(edges, alpha=0.85, tol=-1.0, max_supersteps=12, sources=S)
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+
+    verts = sorted({v for e in E for v in e})
+    idx = {str(v): i for i, v in enumerate(verts)}
+    n = len(verts)
+    t = np.zeros(n)
+    for s in S:
+        t[idx[s]] = 1 / len(S)
+    outd = np.zeros(n)
+    for a, b in E:
+        outd[idx[str(a)]] += 1
+    r = t.copy()
+    for _ in range(12):
+        dm = r[outd == 0].sum()
+        new = (0.15 + 0.85 * dm) * t
+        for a, b in E:
+            new[idx[str(b)]] += 0.85 * r[idx[str(a)]] / outd[idx[str(a)]]
+        r = new
+    assert max(abs(got[str(v)] - r[idx[str(v)]]) for v in verts) < 1e-9
+    assert sum(got.values()) == pytest.approx(1.0)
+    assert got["100"] == 0.0 and got["101"] == 0.0
+
+    # DataFrame source-set form matches the list form
+    sdf = spark.createDataFrame([(s,) for s in S], "vertex string")
+    res2 = pagerank(edges, alpha=0.85, tol=-1.0, max_supersteps=12, sources=sdf)
+    got2 = {r["vertex"]: r["rank"] for r in res2.ranks.collect()}
+    assert got == got2
+
+    with pytest.raises(ValueError):
+        pagerank(edges, max_supersteps=2, sources=["no-such-vertex"])
