@@ -402,6 +402,38 @@ def _personalized_pagerank_sql(iters: int, alpha: float = ALPHA) -> str:
     return "\n".join(parts)
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """k-core oracle: ``rounds`` unrolled peels over the distinct
+    undirected edge view (simple-graph degrees).  Peeling is monotone and
+    idempotent at the fixpoint, so as long as the Spark operator runs at
+    most ``rounds`` peels (early-stopping only at the fixpoint), the
+    unrolled form is exactly equal whether or not it converged."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        # MATERIALIZED: each round references the previous edge set three
+        # times — plain CTEs would inline 3^rounds parquet scans
+        "u0 AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e) "
+        "WHERE a <> b),",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"u{i-1}"
+        parts.append(
+            f"d{i} AS (SELECT a AS v, COUNT(*) AS deg FROM {p} GROUP BY a),"
+        )
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE deg >= {k}),"
+        )
+        parts.append(
+            f"u{i} AS MATERIALIZED (SELECT u.a, u.b FROM {p} u "
+            f"JOIN k{i} x ON u.a = x.v JOIN k{i} y ON u.b = y.v),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT DISTINCT a AS vertex FROM u{rounds}"
+    )
+    return "\n".join(parts)
+
+
 def _lpa_sql(iters: int) -> str:
     parts = [
         f"WITH e AS ({SQL_E_SUPP}),",
@@ -561,6 +593,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components(_e_cust(spark, sf)).components
 
     q["connected_components"] = _cc
+
+    def _kcore(spark, sf):
+        from smatchpp_spark.operators.kcore import k_core
+
+        return k_core(_e_op(spark, sf), k=3, max_rounds=12).vertices
+
+    q["kcore_membership"] = _kcore
 
     def _cc2(spark, sf):
         from smatchpp_spark.operators.components import two_phase_components
@@ -858,6 +897,7 @@ FROM ends GROUP BY vertex
         "pagerank_fixed": _pagerank_sql(PR_STEPS),
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "pagerank_personalized": _personalized_pagerank_sql(PR_STEPS),
+        "kcore_membership": _kcore_sql(3, 12),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),
 und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

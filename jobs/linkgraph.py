@@ -26,7 +26,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="distributed link-graph analytics")
     p.add_argument("--op", required=True,
                    choices=["pagerank", "components", "components_twophase",
-                            "labelprop", "triangles", "degrees"])
+                            "labelprop", "triangles", "degrees", "kcore"])
+    p.add_argument("--k", type=int, default=3, help="kcore: the core order")
     p.add_argument("--edges", required=True,
                    help="parquet dir of the edge table, or (with "
                         "--edges-table) a catalog table name")
@@ -40,6 +41,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-supersteps", type=int, default=100)
     p.add_argument("--alpha", type=float, default=0.85, help="pagerank damping")
+    p.add_argument("--sources", default=None,
+                   help="pagerank: comma-separated teleport vertices, or "
+                        "@/path/to/parquet with a vertex column — switches "
+                        "to personalized pagerank")
     p.add_argument("--tol", type=float, default=1e-10,
                    help="pagerank convergence threshold (max |delta rank|)")
     p.add_argument("--adjacency", action="store_true",
@@ -73,6 +78,12 @@ def main() -> None:
     if args.op == "pagerank":
         from smatchpp_spark.operators.pagerank import pagerank
 
+        sources = None
+        if args.sources:
+            if args.sources.startswith("@"):
+                sources = spark.read.parquet(args.sources[1:])
+            else:
+                sources = args.sources.split(",")
         res = pagerank(
             edges,
             alpha=args.alpha,
@@ -82,6 +93,7 @@ def main() -> None:
             resume=args.resume,
             adjacency=args.adjacency,
             max_fanout=args.max_fanout,
+            sources=sources,
         )
         out, summary["supersteps"], summary["converged"] = (
             res.ranks, res.supersteps, res.converged
@@ -123,6 +135,13 @@ def main() -> None:
         res = triangle_count(edges)
         out = res.per_vertex
         summary["total_triangles"] = res.total
+    elif args.op == "kcore":
+        from smatchpp_spark.operators.kcore import k_core
+
+        res = k_core(edges, k=args.k, max_rounds=args.max_supersteps)
+        out, summary["supersteps"], summary["converged"] = (
+            res.vertices, res.rounds, res.converged
+        )
     else:  # degrees
         from smatchpp_spark.operators.degrees import degrees
 

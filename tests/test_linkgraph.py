@@ -393,3 +393,54 @@ def test_personalized_pagerank_vs_numpy(spark):
 
     with pytest.raises(ValueError):
         pagerank(edges, max_supersteps=2, sources=["no-such-vertex"])
+
+
+def _py_kcore(pairs, k):
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in nbrs.items() if len(ns) < k]:
+            for u in nbrs.pop(v):
+                nbrs[u].discard(v)
+            changed = True
+    return set(nbrs)
+
+
+def test_kcore_vs_python_oracle(spark):
+    from smatchpp_spark.operators.kcore import k_core
+
+    rng = random.Random("kcore")
+    pairs = {(rng.randrange(40), rng.randrange(40)) for _ in range(140)}
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+    for k in (2, 3, 4):
+        res = k_core(edges, k)
+        assert res.converged
+        got = {r["vertex"] for r in res.vertices.collect()}
+        want = {str(v) for v in _py_kcore(pairs, k)}
+        assert got == want, (k, got ^ want)
+
+
+def test_kcore_clique_plus_tail(spark):
+    """A 5-clique with a pendant path: the 4-core is exactly the clique,
+    the 5-core is empty, multi-edges don't inflate degrees."""
+    from smatchpp_spark.operators.kcore import k_core
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    dup = [(0, 1)] * 3  # multiplicity must not count
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in clique + tail + dup],
+        "src string, dst string",
+    )
+    four = k_core(edges, 4)
+    assert {r["vertex"] for r in four.vertices.collect()} == {str(i) for i in range(5)}
+    assert four.converged
+    assert k_core(edges, 5).vertices.count() == 0
