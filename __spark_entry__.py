@@ -434,6 +434,35 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return "\n".join(parts)
 
 
+def _bfs_sql(depth: int) -> str:
+    """Multi-source undirected BFS oracle: ``depth`` unrolled min-distance
+    relaxations (min over paths of length ≤ i IS the BFS wave at round i;
+    rounds past the fixpoint are no-ops, matching the operator's early
+    stop).  Seeds: part vertices with l_partkey % 100 = 0."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "ue AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION ALL SELECT dst, src FROM e),",
+        "v AS (SELECT DISTINCT src AS vertex FROM ue),",
+        "srcs AS (SELECT DISTINCT 'p' || l_partkey AS vertex FROM lineitem "
+        "WHERE l_partkey % 100 = 0),",
+        "r0 AS MATERIALIZED (SELECT s.vertex, CAST(0 AS BIGINT) AS distance "
+        "FROM srcs s JOIN v USING (vertex)),",
+    ]
+    for i in range(1, depth + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vertex, MIN(distance) AS distance "
+            f"FROM (SELECT vertex, distance FROM {p} "
+            f"UNION ALL SELECT ue.dst AS vertex, r.distance + 1 AS distance "
+            f"FROM {p} r JOIN ue ON ue.src = r.vertex) GROUP BY vertex),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, distance FROM r{depth}"
+    )
+    return "\n".join(parts)
+
+
 def _lpa_sql(iters: int) -> str:
     parts = [
         f"WITH e AS ({SQL_E_SUPP}),",
@@ -600,6 +629,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return k_core(_e_op(spark, sf), k=3, max_rounds=12).vertices
 
     q["kcore_membership"] = _kcore
+
+    def _bfs(spark, sf):
+        from smatchpp_spark.operators.bfs import bfs_distances
+
+        li = _read(spark, sf, "lineitem")
+        seeds = (
+            li.filter(F.col("l_partkey") % 100 == 0)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                    "vertex"
+                )
+            )
+            .distinct()
+        )
+        return bfs_distances(
+            _e_op(spark, sf), seeds, max_depth=6, directed=False
+        ).distances
+
+    q["bfs_distances"] = _bfs
 
     def _cc2(spark, sf):
         from smatchpp_spark.operators.components import two_phase_components
@@ -898,6 +946,7 @@ FROM ends GROUP BY vertex
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "pagerank_personalized": _personalized_pagerank_sql(PR_STEPS),
         "kcore_membership": _kcore_sql(3, 12),
+        "bfs_distances": _bfs_sql(6),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),
 und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

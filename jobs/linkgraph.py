@@ -26,7 +26,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="distributed link-graph analytics")
     p.add_argument("--op", required=True,
                    choices=["pagerank", "components", "components_twophase",
-                            "labelprop", "triangles", "degrees", "kcore"])
+                            "labelprop", "triangles", "degrees", "kcore",
+                            "bfs"])
     p.add_argument("--k", type=int, default=3, help="kcore: the core order")
     p.add_argument("--edges", required=True,
                    help="parquet dir of the edge table, or (with "
@@ -44,7 +45,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--sources", default=None,
                    help="pagerank: comma-separated teleport vertices, or "
                         "@/path/to/parquet with a vertex column — switches "
-                        "to personalized pagerank")
+                        "to personalized pagerank; bfs: the seed set "
+                        "(required)")
+    p.add_argument("--undirected", action="store_true",
+                   help="bfs: expand edges in both directions")
     p.add_argument("--tol", type=float, default=1e-10,
                    help="pagerank convergence threshold (max |delta rank|)")
     p.add_argument("--adjacency", action="store_true",
@@ -135,6 +139,22 @@ def main() -> None:
         res = triangle_count(edges)
         out = res.per_vertex
         summary["total_triangles"] = res.total
+    elif args.op == "bfs":
+        from smatchpp_spark.operators.bfs import bfs_distances
+
+        if not args.sources:
+            raise SystemExit("--op bfs requires --sources")
+        if args.sources.startswith("@"):
+            seeds = spark.read.parquet(args.sources[1:])
+        else:
+            seeds = args.sources.split(",")
+        res = bfs_distances(
+            edges, seeds, max_depth=args.max_supersteps,
+            directed=not args.undirected,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.distances, res.rounds, res.converged
+        )
     elif args.op == "kcore":
         from smatchpp_spark.operators.kcore import k_core
 

@@ -444,3 +444,54 @@ def test_kcore_clique_plus_tail(spark):
     assert {r["vertex"] for r in four.vertices.collect()} == {str(i) for i in range(5)}
     assert four.converged
     assert k_core(edges, 5).vertices.count() == 0
+
+
+def _py_bfs(pairs, sources, directed=True):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    verts = {v for e in pairs for v in e}
+    dist = {s: 0 for s in sources if s in verts}
+    frontier = set(dist)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = set()
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = d
+                    nxt.add(u)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_distances_vs_python_oracle(spark):
+    from smatchpp_spark.operators.bfs import bfs_distances
+
+    rng = random.Random("bfs")
+    pairs = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(150)})
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+    S = [0, 3, "not-a-vertex"]
+    for directed in (True, False):
+        res = bfs_distances(
+            edges, [str(s) for s in S], max_depth=30, directed=directed
+        )
+        assert res.converged
+        got = {r["vertex"]: r["distance"] for r in res.distances.collect()}
+        want = {
+            str(v): d
+            for v, d in _py_bfs(pairs, [0, 3], directed=directed).items()
+        }
+        assert got == want, directed
+
+    # DataFrame seed form, truncated depth: only distances <= max_depth
+    sdf = spark.createDataFrame([("0",)], "vertex string")
+    res = bfs_distances(edges, sdf, max_depth=2)
+    got = {r["vertex"]: r["distance"] for r in res.distances.collect()}
+    full = {str(v): d for v, d in _py_bfs(pairs, [0]).items()}
+    assert got == {v: d for v, d in full.items() if d <= 2}
