@@ -53,7 +53,10 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> KCoreResult:
     ``converged=False`` with the partially-peeled set — an upper bound on
     the true core, never an under-approximation."""
     alive = undirected_simple(edges).localCheckpoint(eager=True)
-    n_alive = alive.select("a").distinct().count()
+    # stop test = EDGE-row count (a narrow scan of the checkpointed
+    # blocks, no extra shuffle): every alive vertex carries ≥1 edge row,
+    # so the edge set is unchanged iff no vertex was peeled — a fixpoint
+    n_alive = alive.count()
     rounds = 0
     converged = n_alive == 0
     while not converged and rounds < max_rounds:
@@ -65,13 +68,11 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> KCoreResult:
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        n_next = nxt.select("a").distinct().count()
+        n_next = nxt.count()
         rounds += 1
         if n_next == n_alive:
             converged = True
         else:
-            # a vertex can survive the degree filter but lose neighbors to
-            # it — only the shrinking alive-set count proves the fixpoint
             alive, n_alive = nxt, n_next
             converged = n_next == 0
     return KCoreResult(
