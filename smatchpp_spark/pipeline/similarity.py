@@ -325,6 +325,8 @@ def cell_assign(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     """IVF cell id: argmax cosine over the codebook, ties to the lower
     cell id — a single ``array_max`` over (sim, -id) structs (one
     aggregation-free pass, each dot product evaluated exactly once)."""
+    if not centroids:
+        raise ValueError("ivf: empty codebook (corpus had no vectors?)")
     vec = _to_double(vec_col) if isinstance(vec_col, str) else vec_col
     return (-F.array_max(F.array(*_cell_structs(vec, centroids)))["n"]).alias(
         "cell"
@@ -336,6 +338,8 @@ def probe_cells(
 ) -> Column:
     """The ``nprobe`` nearest cells for a query vector, nearest first
     (sim desc, cell id asc — consistent with ``cell_assign``'s argmax)."""
+    if not centroids:
+        raise ValueError("ivf: empty codebook (corpus had no vectors?)")
     vec = _to_double(vec_col) if isinstance(vec_col, str) else vec_col
     ranked = F.reverse(F.array_sort(F.array(*_cell_structs(vec, centroids))))
     return F.transform(

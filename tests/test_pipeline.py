@@ -565,3 +565,10 @@ def test_ivf_probe_cells_ordering(spark):
         sims = c64 @ np.array(vecs[r["vec_id"]], dtype=np.float64)
         order = sorted(range(4), key=lambda i: (-sims[i], i))
         assert list(r["probes"]) == order
+
+
+def test_ivf_empty_codebook_raises(spark):
+    with pytest.raises(ValueError):
+        similarity.cell_assign("embedding", [])
+    with pytest.raises(ValueError):
+        similarity.probe_cells("embedding", [], 2)

@@ -74,6 +74,8 @@ def main() -> None:
     from smatchpp_spark.operators.labelprop import label_propagation
     from smatchpp_spark.operators.pagerank import pagerank
     from smatchpp_spark.operators.standardize import amr_standardize
+    from smatchpp_spark.operators.bfs import bfs_distances
+    from smatchpp_spark.operators.kcore import k_core
     from smatchpp_spark.operators.triangles import triangle_count
     from smatchpp_spark.pipeline import dedup, similarity
     from smatchpp_spark.sources.penman import parse_edges
@@ -125,10 +127,19 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {}
 
+    # best-of-2 per (query, scale): the first execution of a plan shape
+    # pays its whole-stage-codegen compile (measured: ivf's 8x64-literal
+    # cell expression ~7s) and this box has noisy-neighbor windows — the
+    # min of two back-to-back runs isolates the plan's true cost, which
+    # is what the exponent fit needs
     def timed(name: str, scale: int, fn) -> None:
-        t0 = time.monotonic()
-        fn()
-        sec = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            wall = time.monotonic() - t0
+            best = wall if best is None else min(best, wall)
+        sec = round(best, 3)
         results.setdefault(name, {})[scale] = sec
         print(f"  {name} @ {scale}x: {sec}s", file=sys.stderr)
 
@@ -158,6 +169,24 @@ def main() -> None:
         timed("emb_topk", scale, lambda: similarity.cosine_topk(
             inp["emb"], emb_queries, k=5
         ).count())
+        timed("emb_ivf_topk", scale, lambda: similarity.ivf_topk(
+            inp["emb"],
+            emb_queries,
+            similarity.unit_centroids(inp["emb"], n_cells=8),
+            k=5,
+            nprobe=2,
+        ).count())
+        timed("kcore_3", scale, lambda: k_core(
+            e_op, k=3, max_rounds=12
+        ).vertices.count())
+        # seeds scale WITH the graph (suffix '00' ⟺ partkey % 100 == 0 in
+        # every prefixed copy) — the realistic read-side pattern
+        timed("bfs_undirected", scale, lambda: bfs_distances(
+            e_op,
+            e_op.select("dst").distinct().filter(F.col("dst").rlike("00$")),
+            max_depth=6,
+            directed=False,
+        ).distances.count())
         e_op.unpersist()
 
     fits = {}
