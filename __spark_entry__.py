@@ -334,13 +334,26 @@ def _h(expr: str) -> str:
     return duckdb_hash64_sql(expr)
 
 
-def _pagerank_sql(iters: int, alpha: float = ALPHA, edge_sql: str | None = None) -> str:
+def _pagerank_sql(
+    iters: int,
+    alpha: float = ALPHA,
+    edge_sql: str | None = None,
+    weighted: bool = False,
+) -> str:
+    # weighted: the edge CTE must expose a ``wt`` column; a source spreads
+    # rank as wt / Σ_src wt (operator parity: pagerank(weight_col=...))
+    outd = (
+        "outd AS (SELECT src AS vertex, SUM(wt) AS od FROM e GROUP BY src),"
+        if weighted
+        else "outd AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),"
+    )
+    wexpr = "e.wt / outd.od" if weighted else "1.0 / outd.od"
     parts = [
         f"WITH e AS ({edge_sql or SQL_E_OP}),",
         "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
-        "outd AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),",
-        "w AS (SELECT e.src, e.dst, 1.0 / outd.od AS w FROM e JOIN outd ON outd.vertex = e.src),",
+        outd,
+        f"w AS (SELECT e.src, e.dst, {wexpr} AS w FROM e JOIN outd ON outd.vertex = e.src),",
         "r0 AS (SELECT vertex, 1.0 / (SELECT n FROM nn) AS rank FROM v),",
     ]
     for k in range(1, iters + 1):
@@ -617,6 +630,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.ranks.select("vertex", F.round("rank", 9).alias("rank"))
 
     q["pagerank_personalized"] = _pr_pers
+
+    def _pr_weighted(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        we = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            F.col("l_quantity").cast("double").alias("wt"),
+        )
+        r = pagerank(
+            we, alpha=ALPHA, tol=-1.0, max_supersteps=PR_STEPS, weight_col="wt"
+        )
+        return r.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_weighted"] = _pr_weighted
 
     def _cc(spark, sf):
         return connected_components(_e_cust(spark, sf)).components
@@ -945,6 +972,12 @@ FROM ends GROUP BY vertex
         "pagerank_fixed": _pagerank_sql(PR_STEPS),
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "pagerank_personalized": _personalized_pagerank_sql(PR_STEPS),
+        "pagerank_weighted": _pagerank_sql(
+            PR_STEPS,
+            edge_sql="SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst, "
+            "CAST(l_quantity AS DOUBLE) AS wt FROM lineitem",
+            weighted=True,
+        ),
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
         "connected_components": f"""

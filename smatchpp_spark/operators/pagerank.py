@@ -60,6 +60,7 @@ def pagerank(
     adjacency: bool = False,
     max_fanout: int = 100_000,
     sources: "list | DataFrame | None" = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """``adjacency=True`` stores the static join side pre-grouped: one row
     per (src, hub-bucket) with a dst array instead of one row per edge,
@@ -82,23 +83,36 @@ def pagerank(
     form when the set itself is big).  Initial rank, the (1-α) restart
     and the dangling mass all follow the teleport vector, the standard
     random-surfer-with-preferences model; vertices unreachable from the
-    sources converge to rank 0."""
+    sources converge to rank 0.
+
+    ``weight_col`` switches to WEIGHTED PageRank: a source distributes
+    its rank proportionally to its positive edge weights (w_e / Σ_src w)
+    instead of uniformly.  Weights must be positive (callers filter).
+    Composes with ``sources``; not with ``adjacency``."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     personalized = sources is not None
+    if weight_col is not None and adjacency:
+        raise ValueError("weight_col does not compose with adjacency=True")
 
-    out_deg = edges.groupBy(F.col("src").alias("vertex")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
+    if weight_col is None:
+        out_deg = edges.groupBy(F.col("src").alias("vertex")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+    else:
+        out_deg = edges.groupBy(F.col("src").alias("vertex")).agg(
+            F.sum(F.col(weight_col).cast("double")).alias("out_w")
+        )
     # vertex table carries the dangling flag so the per-step dangling
     # mass is a plain column aggregation over the state — a semi-join
     # against a dangling table would rebuild its broadcast hash table on
     # the driver EVERY superstep, a serial cost that caps scaling
+    deg_col = "out_deg" if weight_col is None else "out_w"
     vertices = (
         _vertices(edges)
         .join(out_deg, "vertex", "left")
-        .select("vertex", F.col("out_deg").isNull().alias("dangling"))
+        .select("vertex", F.col(deg_col).isNull().alias("dangling"))
     )
     if personalized:
         if isinstance(sources, DataFrame):
@@ -158,6 +172,17 @@ def pagerank(
         n_edges = (
             contrib_edges.agg(F.sum(F.size("dsts"))).collect()[0][0] or 0
         )  # also forces the persist
+    elif weight_col is not None:
+        contrib_edges = (
+            edges.select(
+                "src", "dst", F.col(weight_col).cast("double").alias("ew")
+            )
+            .join(out_deg.withColumnRenamed("vertex", "src"), "src")
+            .select("src", "dst", (F.col("ew") / F.col("out_w")).alias("w"))
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        n_edges = contrib_edges.count()
     else:
         contrib_edges = (
             edges.select("src", "dst")

@@ -495,3 +495,51 @@ def test_bfs_distances_vs_python_oracle(spark):
     got = {r["vertex"]: r["distance"] for r in res.distances.collect()}
     full = {str(v): d for v, d in _py_bfs(pairs, [0]).items()}
     assert got == {v: d for v, d in full.items() if d <= 2}
+
+
+def test_weighted_pagerank_vs_numpy(spark):
+    """Weighted PR: rank spreads proportional to edge weight; uniform
+    weights reproduce the unweighted result exactly."""
+    from smatchpp_spark.operators.pagerank import pagerank
+
+    rng = np.random.RandomState(9)
+    E = sorted(
+        {(int(a), int(b)) for a, b in rng.randint(0, 25, size=(90, 2)) if a != b}
+    )
+    W = {e: float(rng.randint(1, 6)) for e in E}
+    edges = spark.createDataFrame(
+        [(str(a), str(b), W[(a, b)]) for a, b in E],
+        "src string, dst string, wt double",
+    )
+    res = pagerank(edges, alpha=0.85, tol=-1.0, max_supersteps=10, weight_col="wt")
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+
+    verts = sorted({v for e in E for v in e})
+    idx = {str(v): i for i, v in enumerate(verts)}
+    n = len(verts)
+    outw = np.zeros(n)
+    for (a, b), w in W.items():
+        outw[idx[str(a)]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dm = r[outw == 0].sum()
+        new = np.full(n, 0.15 / n + 0.85 * dm / n)
+        for (a, b), w in W.items():
+            new[idx[str(b)]] += 0.85 * r[idx[str(a)]] * w / outw[idx[str(a)]]
+        r = new
+    assert max(abs(got[str(v)] - r[idx[str(v)]]) for v in verts) < 1e-9
+    assert sum(got.values()) == pytest.approx(1.0)
+
+    from pyspark.sql import functions as SF
+
+    uw = pagerank(edges.select("src", "dst"), alpha=0.85, tol=-1.0, max_supersteps=10)
+    w1 = pagerank(
+        edges.withColumn("wt", SF.lit(1.0)),
+        alpha=0.85, tol=-1.0, max_supersteps=10, weight_col="wt",
+    )
+    gu = {r["vertex"]: r["rank"] for r in uw.ranks.collect()}
+    gw = {r["vertex"]: r["rank"] for r in w1.ranks.collect()}
+    assert max(abs(gu[v] - gw[v]) for v in gu) < 1e-12
+
+    with pytest.raises(ValueError):
+        pagerank(edges, weight_col="wt", adjacency=True)
