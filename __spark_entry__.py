@@ -415,6 +415,30 @@ def _personalized_pagerank_sql(iters: int, alpha: float = ALPHA) -> str:
     return "\n".join(parts)
 
 
+def _tri_approx_sql(p: float) -> str:
+    """DOULION approximate triangles oracle: the deterministic md5
+    sample (portable_hash64 mirror) of the canonical edge set, exact
+    corner counting on it, estimate = count · p^-3 (repr-exact float)."""
+    from smatchpp_spark.functions.hashing import duckdb_hash64_sql
+
+    h = duckdb_hash64_sql("a || '|' || b")
+    threshold = int(round(p * 1_000_000))
+    scale = 1.0 / p**3
+    return f"""
+WITH raw AS ({SQL_E_CO}),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),
+s AS MATERIALIZED (SELECT a, b FROM c WHERE {h} % 1000000 < {threshold}),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM s e1 JOIN s e2 ON e2.a = e1.b
+                  JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT v1 AS vertex FROM tri UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri)
+SELECT vertex, COUNT(*) AS triangles,
+       ROUND(COUNT(*) * {scale!r}, 6) AS triangles_est
+FROM corners GROUP BY vertex
+"""
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """k-core oracle: ``rounds`` unrolled peels over the distinct
     undirected edge view (simple-graph degrees).  Peeling is monotone and
@@ -692,6 +716,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return triangle_count(_e_co(spark, sf)).per_vertex
 
     q["triangle_counts"] = _tri
+
+    def _tri_approx(spark, sf):
+        from smatchpp_spark.operators.triangles import triangle_count_approx
+
+        return triangle_count_approx(
+            _e_co(spark, sf), sample_rate=0.2, portable=True
+        ).per_vertex
+
+    q["triangle_counts_approx"] = _tri_approx
 
     # ---- superstep metrics/lineage sink contract ------------------------
     def _superstep_metrics(spark, sf):
@@ -1021,6 +1054,7 @@ corners AS (SELECT v1 AS vertex FROM tri UNION ALL SELECT v2 FROM tri
             UNION ALL SELECT v3 FROM tri)
 SELECT vertex, COUNT(*) AS triangles FROM corners GROUP BY vertex
 """,
+        "triangle_counts_approx": _tri_approx_sql(0.2),
         "reentrancies": f"""
 WITH t AS ({SQL_TRIPLES}),
 vars AS (SELECT DISTINCT graph_id, src AS node FROM t WHERE rel = ':instance'),

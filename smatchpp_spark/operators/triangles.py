@@ -108,3 +108,55 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> Trian
     oriented.unpersist()
     canonical.unpersist()
     return TriangleResult(per_vertex)
+
+
+class ApproxTriangleResult:
+    def __init__(self, per_vertex: DataFrame, sample_rate: float):
+        # per_vertex: (vertex, triangles sampled, triangles_est double)
+        self.per_vertex = per_vertex
+        self.sample_rate = sample_rate
+
+    @property
+    def total_estimate(self) -> float:
+        """Σ sampled corners / 3, scaled by p^-3 — the DOULION estimator
+        of the true triangle count."""
+        row = self.per_vertex.agg(F.sum("triangles").alias("c")).collect()[0]
+        return (row["c"] or 0) / 3.0 / self.sample_rate**3
+
+
+def triangle_count_approx(
+    edges: DataFrame,
+    sample_rate: float = 0.2,
+    num_partitions: int | None = None,
+    portable: bool = True,
+) -> ApproxTriangleResult:
+    """DOULION-style approximate triangle counting (Tsourakakis et al.,
+    KDD'09 — public algorithm): keep each undirected edge with
+    probability p, count triangles EXACTLY on the sample, scale counts by
+    p^-3 (each surviving triangle needed its 3 edges kept).  Unbiased,
+    and the wedge-join work drops by ~p² — the scale path for graphs
+    where exact counting's Σd² cost is the bottleneck (our own 1x→10x
+    sweep puts exact triangles at the highest exponent, 0.82).
+
+    Sampling is DETERMINISTIC: an edge survives iff
+    ``hash(canonical 'a|b' key) mod 1e6 < p·1e6`` — rerunning, resuming,
+    or replaying in another engine selects the identical sample
+    (``portable=True`` uses the md5-based cross-engine hash; False uses
+    xxhash64 for the 100 TB fast path)."""
+    from smatchpp_spark.functions.hashing import hash64
+
+    lo = F.least(F.col("src"), F.col("dst"))
+    hi = F.greatest(F.col("src"), F.col("dst"))
+    key = F.concat(lo, F.lit("|"), hi)
+    threshold = int(round(sample_rate * 1_000_000))
+    sampled = edges.filter(
+        F.pmod(hash64(key, portable=portable), F.lit(1_000_000)) < threshold
+    )
+    exact = triangle_count(sampled, num_partitions=num_partitions)
+    scale = 1.0 / sample_rate**3
+    per_vertex = exact.per_vertex.select(
+        "vertex",
+        "triangles",
+        F.round(F.col("triangles") * F.lit(scale), 6).alias("triangles_est"),
+    )
+    return ApproxTriangleResult(per_vertex=per_vertex, sample_rate=sample_rate)

@@ -543,3 +543,45 @@ def test_weighted_pagerank_vs_numpy(spark):
 
     with pytest.raises(ValueError):
         pagerank(edges, weight_col="wt", adjacency=True)
+
+
+def test_triangle_count_approx_deterministic_and_unbiased(spark):
+    """DOULION sampling: p=1 reproduces the exact counts; at p<1 the
+    surviving edge set is the hash-deterministic sample (replicated in
+    pure python via md5) and the sampled counts equal exact counting on
+    that sample."""
+    import hashlib
+
+    from smatchpp_spark.operators.triangles import (
+        triangle_count,
+        triangle_count_approx,
+    )
+
+    pairs = powerlaw_graph(n=120, m=700, seed=5)
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+
+    full = triangle_count_approx(edges, sample_rate=1.0)
+    exact = triangle_count(edges)
+    got_full = {r["vertex"]: r["triangles"] for r in full.per_vertex.collect()}
+    got_exact = {r["vertex"]: r["triangles"] for r in exact.per_vertex.collect()}
+    assert got_full == got_exact
+    assert full.total_estimate == pytest.approx(exact.total)
+
+    p = 0.5
+    approx = triangle_count_approx(edges, sample_rate=p)
+
+    def survives(a, b):
+        lo, hi = sorted((str(a), str(b)))
+        h = int(hashlib.md5(f"{lo}|{hi}".encode()).hexdigest()[:15], 16)
+        return h % 1_000_000 < int(round(p * 1_000_000))
+
+    kept = [(a, b) for a, b in pairs if survives(a, b)]
+    want_total = triangles_oracle(kept)
+    got = {r["vertex"]: r["triangles"] for r in approx.per_vertex.collect()}
+    assert sum(got.values()) == 3 * want_total
+    assert approx.total_estimate == pytest.approx(want_total / p**3)
+    # the estimate is in the right ballpark of the true count (loose:
+    # the variance bound is what the paper provides, not a guarantee)
+    assert 0 < approx.total_estimate < 10 * exact.total
