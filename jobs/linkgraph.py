@@ -151,6 +151,7 @@ def main() -> None:
         res = bfs_distances(
             edges, seeds, max_depth=args.max_supersteps,
             directed=not args.undirected,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         )
         out, summary["supersteps"], summary["converged"] = (
             res.distances, res.rounds, res.converged
@@ -158,7 +159,10 @@ def main() -> None:
     elif args.op == "kcore":
         from smatchpp_spark.operators.kcore import k_core
 
-        res = k_core(edges, k=args.k, max_rounds=args.max_supersteps)
+        res = k_core(
+            edges, k=args.k, max_rounds=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
         out, summary["supersteps"], summary["converged"] = (
             res.vertices, res.rounds, res.converged
         )

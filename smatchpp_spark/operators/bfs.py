@@ -21,6 +21,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smatchpp_spark.operators.supersteps import SuperstepRunner
+
 
 @dataclass
 class BFSResult:
@@ -34,11 +36,19 @@ def bfs_distances(
     sources: "list | DataFrame",
     max_depth: int = 20,
     directed: bool = True,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> BFSResult:
     """Hop distances from ``sources`` (list of ids or a DataFrame whose
     first column is the vertex id).  Seeds not present in the graph are
     ignored; unreached vertices are absent from the output (callers that
-    want ∞ rows left-join against the vertex table)."""
+    want ∞ rows left-join against the vertex table).
+
+    Runs through SuperstepRunner: the reached table (vertex, distance)
+    IS the superstep state — the round-r frontier is derivable as the
+    ``distance == r-1`` slice, so checkpoint/resume needs no second
+    table; metrics + per-partition lineage follow the same contract as
+    the other iterative operators."""
     spark = edges.sparkSession
     step_edges = edges.select("src", "dst")
     if not directed:
@@ -59,29 +69,32 @@ def bfs_distances(
         frontier = vertices.join(seed, "vertex", "left_semi")
     else:
         frontier = vertices.filter(F.col("vertex").isin(list(sources)))
-    frontier = frontier.localCheckpoint(eager=True)
+    init = frontier.withColumn("distance", F.lit(0).cast("long"))
 
-    reached = frontier.withColumn("distance", F.lit(0).cast("long"))
-    reached = reached.localCheckpoint(eager=True)
-    rounds = 0
-    converged = frontier.count() == 0
-    while not converged and rounds < max_depth:
-        rounds += 1
+    def step(state: DataFrame, r: int) -> DataFrame:
+        wave = state.filter(F.col("distance") == r - 1).select("vertex")
         nxt = (
-            frontier.join(
-                step_edges, frontier["vertex"] == step_edges["src"]
-            )
+            wave.join(step_edges, wave["vertex"] == step_edges["src"])
             .select(F.col("dst").alias("vertex"))
             .distinct()
-            .join(reached, "vertex", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(state, "vertex", "left_anti")
         )
-        if nxt.count() == 0:
-            converged = True
-            break
-        reached = reached.unionByName(
-            nxt.withColumn("distance", F.lit(rounds).cast("long"))
-        ).localCheckpoint(eager=True)
-        frontier = nxt
+        return state.unionByName(
+            nxt.withColumn("distance", F.lit(r).cast("long"))
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return float(new.count() - old.count())
+
+    runner = SuperstepRunner(
+        spark,
+        op="bfs",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_depth,
+        tol=0.0,
+    )
+    res = runner.run(init, step, delta, resume=resume)
     step_edges.unpersist()
-    return BFSResult(distances=reached, rounds=rounds, converged=converged)
+    return BFSResult(
+        distances=res.state, rounds=res.supersteps, converged=res.converged
+    )

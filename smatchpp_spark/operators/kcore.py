@@ -28,6 +28,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smatchpp_spark.operators.supersteps import SuperstepRunner
+
 
 @dataclass
 class KCoreResult:
@@ -47,36 +49,49 @@ def undirected_simple(edges: DataFrame) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> KCoreResult:
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> KCoreResult:
     """Vertices of the k-core.  Early-stops at the fixpoint (no vertex
     lost in a round); otherwise runs ``max_rounds`` and reports
     ``converged=False`` with the partially-peeled set — an upper bound on
-    the true core, never an under-approximation."""
-    alive = undirected_simple(edges).localCheckpoint(eager=True)
-    # stop test = EDGE-row count (a narrow scan of the checkpointed
-    # blocks, no extra shuffle): every alive vertex carries ≥1 edge row,
-    # so the edge set is unchanged iff no vertex was peeled — a fixpoint
-    n_alive = alive.count()
-    rounds = 0
-    converged = n_alive == 0
-    while not converged and rounds < max_rounds:
-        deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    the true core, never an under-approximation.
+
+    Runs through SuperstepRunner: per-round state (the surviving edge
+    set) checkpoints under ``checkpoint_dir`` with metrics + lineage and
+    resumes mid-peel, same contract as pagerank/components/labelprop.
+    The stop test is the EDGE-row count delta: every alive vertex
+    carries ≥1 edge row, so the edge set is unchanged iff no vertex was
+    peeled — a fixpoint."""
+    spark = edges.sparkSession
+    init = undirected_simple(edges)
+
+    def step(state: DataFrame, _round: int) -> DataFrame:
+        deg = state.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("v"))
-        nxt = (
-            alive.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+        return (
+            state.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
-        n_next = nxt.count()
-        rounds += 1
-        if n_next == n_alive:
-            converged = True
-        else:
-            alive, n_alive = nxt, n_next
-            converged = n_next == 0
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return float(old.count() - new.count())
+
+    runner = SuperstepRunner(
+        spark,
+        op=f"kcore_{k}",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_rounds,
+        tol=0.0,
+    )
+    res = runner.run(init, step, delta, resume=resume)
     return KCoreResult(
-        vertices=alive.select(F.col("a").alias("vertex")).distinct(),
-        rounds=rounds,
-        converged=converged,
+        vertices=res.state.select(F.col("a").alias("vertex")).distinct(),
+        rounds=res.supersteps,
+        converged=res.converged,
     )

@@ -585,3 +585,35 @@ def test_triangle_count_approx_deterministic_and_unbiased(spark):
     # the estimate is in the right ballpark of the true count (loose:
     # the variance bound is what the paper provides, not a guarantee)
     assert 0 < approx.total_estimate < 10 * exact.total
+
+
+def test_kcore_and_bfs_checkpoint_resume_identical(spark, tmp_path):
+    """kcore/bfs now run through SuperstepRunner: a resumed run from a
+    committed checkpoint reproduces the converged output exactly and the
+    metrics sink exists (same contract as pagerank/components)."""
+    import os
+
+    from smatchpp_spark.operators.bfs import bfs_distances
+    from smatchpp_spark.operators.kcore import k_core
+
+    pairs = powerlaw_graph(n=80, m=400, seed=13)
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+    ck = str(tmp_path / "kc")
+    r1 = k_core(edges, 3, checkpoint_dir=ck)
+    r2 = k_core(edges, 3, checkpoint_dir=ck, resume=True)
+    s1 = {r["vertex"] for r in r1.vertices.collect()}
+    s2 = {r["vertex"] for r in r2.vertices.collect()}
+    assert r1.converged and s1 == s2
+    assert s1 == {str(v) for v in _py_kcore(pairs, 3)}
+    assert os.path.exists(f"{ck}/kcore_3/metrics.jsonl")
+
+    cb = str(tmp_path / "bfs")
+    b1 = bfs_distances(edges, ["0", "1"], checkpoint_dir=cb)
+    b2 = bfs_distances(edges, ["0", "1"], checkpoint_dir=cb, resume=True)
+    d1 = {r["vertex"]: r["distance"] for r in b1.distances.collect()}
+    d2 = {r["vertex"]: r["distance"] for r in b2.distances.collect()}
+    assert b1.converged and d1 == d2
+    assert d1 == {str(v): d for v, d in _py_bfs(pairs, [0, 1]).items()}
+    assert os.path.exists(f"{cb}/bfs/metrics.jsonl")
