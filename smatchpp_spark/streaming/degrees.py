@@ -59,3 +59,61 @@ def stream_degrees(edges: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed trending vertices (streaming in-degree spikes)
+# --------------------------------------------------------------------------
+
+TREND_WINDOW = "1 minute"
+
+
+def window_indegree(
+    edges: DataFrame,
+    ts_col: str = "ts",
+    window: str = TREND_WINDOW,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Per-tumbling-window in-degree per destination vertex — the
+    "trending links" primitive (which pages gained citations THIS
+    minute, not cumulatively).
+
+    Works on a batch OR streaming frame: with a streaming input pass a
+    ``watermark`` (bounds state, finalizes windows, append sink); with a
+    batch frame pass ``watermark=None`` — the aggregation is identical,
+    which is the parity contract tested in tests/test_streaming.py.
+    Top-k per window is a cheap post-sink rank (``trending_topk``): rank
+    inside an unfinalized streaming window is not expressible in append
+    mode, and ranking the sink keeps the streaming state to one counter
+    per (window, vertex)."""
+    edges = edges.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if watermark is not None:
+        edges = edges.withWatermark(ts_col, watermark)
+    return (
+        edges.groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col("dst").alias("vertex"),
+        )
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_ep"),
+            "vertex",
+            "in_deg",
+        )
+    )
+
+
+def trending_topk(window_counts: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k vertices by in-degree per window over a (window_ep, vertex,
+    in_deg) frame (the sink of ``window_indegree``); deterministic ties
+    by vertex id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_ep").orderBy(
+        F.desc("in_deg"), F.asc("vertex")
+    )
+    return (
+        window_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("window_ep", "vertex", "in_deg", F.col("rk").alias("rank"))
+    )

@@ -127,3 +127,59 @@ def test_stream_degrees_stateful_matches_batch(spark):
         r["vertex"]: (r["in_deg"], r["out_deg"]) for r in degrees(both).collect()
     }
     assert got == expect
+
+
+def test_stream_window_indegree_matches_batch(spark):
+    """Windowed trending: the streaming aggregation (watermarked, two
+    micro-batches) finalizes the same (window, vertex, in_deg) rows as
+    the batch form, and trending_topk ranks deterministically."""
+    from smatchpp_spark.streaming.degrees import trending_topk, window_indegree
+
+    def ts(m, s):
+        return f"2026-01-01 10:{m:02d}:{s:02d}"
+
+    batch1 = [("a", "x", ts(0, 5)), ("b", "x", ts(0, 20)), ("c", "y", ts(0, 40))]
+    batch2 = [("d", "x", ts(1, 10)), ("e", "y", ts(1, 30)), ("f", "y", ts(1, 50)),
+              # late arrival inside the watermark for window 10:00
+              ("g", "y", ts(0, 59))]
+    schema = "src string, dst string, ts string"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "edges")
+        ckpt = os.path.join(tmp, "ckpt")
+        spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            window_indegree(stream)
+            .writeStream.format("memory")
+            .queryName("trend_mem")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.table("trend_mem").collect()
+        # update mode re-emits windows; the max per key is the final count
+        got: dict = {}
+        for r in rows:
+            key = (r["window_ep"], r["vertex"])
+            got[key] = max(got.get(key, 0), r["in_deg"])
+
+    both = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        (r["window_ep"], r["vertex"]): r["in_deg"]
+        for r in window_indegree(both, watermark=None).collect()
+    }
+    assert got == expect
+
+    top = trending_topk(window_indegree(both, watermark=None), k=1).collect()
+    by_window = {r["window_ep"]: (r["vertex"], r["in_deg"]) for r in top}
+    wins = sorted(by_window)
+    # window 10:00: x (a,b) and y (c + late g) tie at 2 → vertex-id tie-break
+    assert by_window[wins[0]] == ("x", 2)
+    # window 10:01: y (e,f) beats x (d)
+    assert by_window[wins[1]] == ("y", 2)
