@@ -76,7 +76,10 @@ def main() -> None:
     from smatchpp_spark.operators.standardize import amr_standardize
     from smatchpp_spark.operators.bfs import bfs_distances
     from smatchpp_spark.operators.kcore import k_core
-    from smatchpp_spark.operators.triangles import triangle_count
+    from smatchpp_spark.operators.triangles import (
+        triangle_count,
+        triangle_count_approx,
+    )
     from smatchpp_spark.pipeline import dedup, similarity
     from smatchpp_spark.sources.penman import parse_edges
 
@@ -160,6 +163,9 @@ def main() -> None:
             e_op, max_supersteps=5
         ).labels.count())
         timed("triangle_counts", scale, lambda: triangle_count(inp["e_co"]).total)
+        timed("triangle_counts_approx_p02", scale, lambda: triangle_count_approx(
+            inp["e_co"], sample_rate=0.2, portable=False
+        ).total_estimate)
         timed("parse_standardize", scale, lambda: amr_standardize(
             parse_edges(corpus_dataframe(spark, inp["corpus_n"], seed=42))
         ).count())
