@@ -58,10 +58,18 @@ from smatchpp_spark.pipeline import dedup, events, similarity, text
 PR_STEPS = 5
 LPA_STEPS = 2
 ALPHA = 0.85
-# fixed path shared by the superstep_metrics query and its oracle (the
-# oracle SQL is a static string, so the path cannot depend on sf_dir;
-# the Spark query rewrites the dir from scratch on every run)
-SUPERSTEP_CKPT_DIR = "/tmp/smatchpp_spark_contract_ckpt"
+# path shared by the superstep_metrics query and its oracle.  Scoped
+# per-user (plus an env-overridable token for concurrent runs) so two
+# drivers on a multi-user host cannot rmtree each other's checkpoint
+# mid-query; within one driver run the Spark query writes and the
+# DuckDB oracle reads the same stable path.
+import getpass as _getpass
+import os as _os
+
+_CKPT_TOKEN = _os.environ.get(
+    "SMATCHPP_SPARK_CKPT_TOKEN", _getpass.getuser()
+)
+SUPERSTEP_CKPT_DIR = f"/tmp/smatchpp_spark_contract_ckpt_{_CKPT_TOKEN}"
 
 
 # --------------------------------------------------------------------------

@@ -392,6 +392,16 @@ def bootstrap_scores(
     if method != "bca":
         raise ValueError(f"unknown bootstrap method {method!r}")
 
+    if n < 2:
+        # the jackknife divides by (n - 1); with a single pair the BCa
+        # acceleration is undefined — return the documented degenerate
+        # [0, 100] fallback per statistic (mirrors bca_interval's
+        # degenerate behavior) instead of DIVIDE_BY_ZERO under ANSI.
+        return spark.createDataFrame(
+            [(c, 0.0, 100.0) for c in ("f1", "p", "r")],
+            "stat string, lo double, hi double",
+        )
+
     reps_rows = per_rep.select("f1", "p", "r").collect()
     tot = stats.agg(
         *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]

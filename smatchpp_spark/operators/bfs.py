@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smatchpp_spark.operators.supersteps import SuperstepRunner
+from smatchpp_spark.operators.supersteps import SuperstepRunner, row_count_delta
 
 
 @dataclass
@@ -83,8 +83,9 @@ def bfs_distances(
             nxt.withColumn("distance", F.lit(r).cast("long"))
         )
 
-    def delta(old: DataFrame, new: DataFrame) -> float:
-        return float(new.count() - old.count())
+    # reached rows only grow; row_count_delta carries last round's count
+    # forward so each depth runs one count job, not two
+    delta = row_count_delta(sign=-1)
 
     runner = SuperstepRunner(
         spark,

@@ -181,16 +181,18 @@ def two_phase_components(
         the (distinct) edge sets are equal, up to a negligible 64-bit
         collision chance.  One scan + map-side-combined global agg; no
         join shuffle (the old version ran TWO anti-join counts per round
-        on the full edge set purely for the stop test).  Hashes are
-        reduced mod 2^32 so sums of 10^12 edges stay within long range.
-        Returns 0.0 on equality, else |count diff| (≥1.0 floor) as the
-        metrics delta."""
-        m32 = F.lit(2**32)
+        on the full edge set purely for the stop test).  The ±hash
+        columns are summed as decimal(38,0): exact to 10^38, so even
+        10^12 edges × full-64-bit hashes cannot overflow (a plain long
+        sum would exceed 2^63 around 2^31 rows and throw under ANSI
+        mode — the Spark 4 default this repo targets).  Returns 0.0 on
+        equality, else |count diff| (≥1.0 floor) as the metrics delta."""
+        dec = "decimal(38,0)"
         def tagged(df: DataFrame, sign: int) -> DataFrame:
             return df.select(
                 F.lit(sign).alias("s"),
-                (F.lit(sign) * F.pmod(F.xxhash64("a", "b", F.lit(1)), m32)).alias("h1"),
-                (F.lit(sign) * F.pmod(F.xxhash64("a", "b", F.lit(2)), m32)).alias("h2"),
+                (F.lit(sign) * F.xxhash64("a", "b", F.lit(1)).cast(dec)).alias("h1"),
+                (F.lit(sign) * F.xxhash64("a", "b", F.lit(2)).cast(dec)).alias("h2"),
             )
         row = (
             tagged(new, 1)

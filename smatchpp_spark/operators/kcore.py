@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smatchpp_spark.operators.supersteps import SuperstepRunner
+from smatchpp_spark.operators.supersteps import SuperstepRunner, row_count_delta
 
 
 @dataclass
@@ -79,8 +79,9 @@ def k_core(
             .select("a", "b")
         )
 
-    def delta(old: DataFrame, new: DataFrame) -> float:
-        return float(old.count() - new.count())
+    # edge rows only shrink; row_count_delta carries last round's count
+    # forward so each round runs one count job, not two
+    delta = row_count_delta(sign=1)
 
     runner = SuperstepRunner(
         spark,

@@ -201,3 +201,27 @@ def changed_count_delta(col: str) -> Callable[[DataFrame, DataFrame], float]:
         return joined.filter(F.col("_new") != F.col("_old")).count()
 
     return fn
+
+
+def row_count_delta(sign: int = 1) -> Callable[[DataFrame, DataFrame], float]:
+    """Row-count difference between consecutive superstep states,
+    carrying each round's materialized count forward so every superstep
+    runs ONE count job, not two — ``old`` at round k IS ``new`` at round
+    k-1, so recounting it is a wasted scan (same fix class as the
+    connected-components signed-hash stop test).
+
+    ``sign=+1``: ``|old| - |new|`` (monotone-shrinking state, e.g.
+    k-core peeling).  ``sign=-1``: ``|new| - |old|`` (monotone-growing
+    state, e.g. BFS reached set).  The first call counts both sides
+    (there is no prior round to reuse); resume behaves identically."""
+    memo: dict = {"prev": None}
+
+    def fn(old: DataFrame, new: DataFrame) -> float:
+        prev = memo["prev"]
+        if prev is None:
+            prev = old.count()
+        cur = new.count()
+        memo["prev"] = cur
+        return float(sign * (prev - cur))
+
+    return fn

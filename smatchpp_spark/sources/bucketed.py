@@ -56,6 +56,12 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
 
 def plan_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains any shuffle exchange —
-    the testable contract of bucketed co-location."""
+    the testable contract of bucketed co-location.  Matches the broad
+    ``Exchange `` operator prefix (hash, range, AND single-partition
+    exchanges all break co-location) while excluding
+    ``BroadcastExchange``, which is a broadcast, not a shuffle."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" in plan
+    return any(
+        "Exchange" in line and "BroadcastExchange" not in line
+        for line in plan.splitlines()
+    )

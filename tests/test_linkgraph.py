@@ -617,3 +617,31 @@ def test_kcore_and_bfs_checkpoint_resume_identical(spark, tmp_path):
     assert b1.converged and d1 == d2
     assert d1 == {str(v): d for v, d in _py_bfs(pairs, [0, 1]).items()}
     assert os.path.exists(f"{cb}/bfs/metrics.jsonl")
+
+
+def test_row_count_delta_reuses_prior_count(spark, monkeypatch):
+    """Each superstep's delta must run exactly ONE count job: the old
+    state's count is last round's new count, carried in the memo."""
+    from smatchpp_spark.operators.supersteps import row_count_delta
+
+    calls = {"n": 0}
+    s0 = spark.range(10).toDF("v")
+    cls = type(s0)  # the concrete (classic/connect) DataFrame class
+    real_count = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return real_count(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+
+    s1 = spark.range(7).toDF("v")
+    s2 = spark.range(4).toDF("v")
+    d = row_count_delta(sign=1)
+    assert d(s0, s1) == 3.0
+    assert calls["n"] == 2  # first round counts both sides
+    assert d(s1, s2) == 3.0
+    assert calls["n"] == 3  # second round reuses s1's memoized count
+
+    g = row_count_delta(sign=-1)
+    assert g(s2, s0) == 6.0  # growth sign (BFS reached set)
