@@ -384,16 +384,29 @@ def _pagerank_sql(
     return "\n".join(parts)
 
 
-def _personalized_pagerank_sql(iters: int, alpha: float = ALPHA) -> str:
+def _personalized_pagerank_sql(
+    iters: int,
+    alpha: float = ALPHA,
+    edge_sql: str | None = None,
+    weighted: bool = False,
+) -> str:
     """Personalized PageRank oracle: teleport uniform over the source set
     (part vertices with l_partkey % 40 = 0), restart AND dangling mass
     follow the teleport vector.  Literals are emitted with Python repr so
-    ``1 - alpha`` is the same float64 the Spark operator uses."""
+    ``1 - alpha`` is the same float64 the Spark operator uses.
+    ``weighted=True``: the edge CTE must expose ``wt``; rank spreads as
+    wt / Σ_src wt (operator parity: pagerank(sources=…, weight_col=…))."""
+    outd = (
+        "outd AS (SELECT src AS vertex, SUM(wt) AS od FROM e GROUP BY src),"
+        if weighted
+        else "outd AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),"
+    )
+    wexpr = "e.wt / outd.od" if weighted else "1.0 / outd.od"
     parts = [
-        f"WITH e AS ({SQL_E_OP}),",
+        f"WITH e AS ({edge_sql or SQL_E_OP}),",
         "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
-        "outd AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),",
-        "w AS (SELECT e.src, e.dst, 1.0 / outd.od AS w FROM e JOIN outd ON outd.vertex = e.src),",
+        outd,
+        f"w AS (SELECT e.src, e.dst, {wexpr} AS w FROM e JOIN outd ON outd.vertex = e.src),",
         "srcs AS (SELECT DISTINCT 'p' || l_partkey AS vertex FROM lineitem WHERE l_partkey % 40 = 0),",
         "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcs JOIN v USING (vertex)),",
         "tpv AS (SELECT v.vertex, CASE WHEN s.vertex IS NOT NULL "
@@ -677,6 +690,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_weighted"] = _pr_weighted
 
+    def _pr_weighted_pers(spark, sf):
+        # weight_col ∘ sources composition: quantity-weighted spread +
+        # teleport restricted to the %40 part set (pagerank.py:91)
+        li = _read(spark, sf, "lineitem")
+        we = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            F.col("l_quantity").cast("double").alias("wt"),
+        )
+        srcs = (
+            li.filter(F.col("l_partkey") % 40 == 0)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                    "vertex"
+                )
+            )
+            .distinct()
+        )
+        r = pagerank(
+            we, alpha=ALPHA, tol=-1.0, max_supersteps=PR_STEPS,
+            weight_col="wt", sources=srcs,
+        )
+        return r.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_weighted_personalized"] = _pr_weighted_pers
+
     def _cc(spark, sf):
         return connected_components(_e_cust(spark, sf)).components
 
@@ -946,6 +985,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(spark, sf, "events")
     )
 
+    def _trending(spark, sf):
+        # batch replay of the windowed streaming trending operator
+        # (streaming/degrees.py:71,106): per-minute in-degree of the
+        # event_type vertex + post-sink top-3 rank — same aggregation
+        # the watermarked streaming form runs (parity pytest)
+        from smatchpp_spark.streaming.degrees import trending_topk, window_indegree
+
+        ev = _read(spark, sf, "events").select(
+            "ts",
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        wc = window_indegree(ev, watermark=None)
+        return trending_topk(wc, k=3).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
+
+    q["events_trending_topk"] = _trending
+
     # ---- rows-only: full Penman parse → AMR standardize → per-graph sizes
     def _amr(spark, sf):
         from smatchpp_spark.corpus import corpus_dataframe
@@ -1014,6 +1072,12 @@ FROM ends GROUP BY vertex
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "pagerank_personalized": _personalized_pagerank_sql(PR_STEPS),
         "pagerank_weighted": _pagerank_sql(
+            PR_STEPS,
+            edge_sql="SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst, "
+            "CAST(l_quantity AS DOUBLE) AS wt FROM lineitem",
+            weighted=True,
+        ),
+        "pagerank_weighted_personalized": _personalized_pagerank_sql(
             PR_STEPS,
             edge_sql="SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst, "
             "CAST(l_quantity AS DOUBLE) AS wt FROM lineitem",
@@ -1468,6 +1532,17 @@ FROM s GROUP BY 1, 2
 SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_ep,
        event_type, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "events_trending_topk": """
+WITH wc AS (SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS window_ep,
+                   event_type AS vertex, COUNT(*) AS in_deg
+            FROM events GROUP BY 1, 2),
+r AS (SELECT window_ep, vertex, in_deg,
+             row_number() OVER (PARTITION BY window_ep
+                                ORDER BY in_deg DESC, vertex ASC) AS rank
+      FROM wc)
+SELECT window_ep, vertex, in_deg, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
 """,
     }
 

@@ -81,7 +81,28 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> Trian
     oriented = (
         oriented_edges(edges).repartition(num_partitions, "lo").persist()
     )
+    per_vertex = _count_wedges(oriented, canonical)
+    oriented.unpersist()
+    canonical.unpersist()
+    return TriangleResult(per_vertex)
 
+
+def triangle_count_prepared(
+    oriented: DataFrame, canonical: DataFrame
+) -> TriangleResult:
+    """Triangle count over CALLER-PREPARED inputs: ``oriented`` with
+    columns (lo, hi) as produced by ``oriented_edges`` and ``canonical``
+    with (a, b) as produced by canonical dedup — e.g. tables written
+    once with ``sources.bucketed.write_bucketed(..., ["lo"])`` so the
+    wedge self-join reads bucket-to-bucket with ZERO exchange on its
+    inputs (plan-tested in tests/test_bucketed.py).  At 10^12-edge scale
+    the orientation pass is a one-time storage cost amortized over every
+    recount/resume; only the closing-edge join and the corner agg
+    shuffle."""
+    return TriangleResult(_count_wedges(oriented, canonical))
+
+
+def _count_wedges(oriented: DataFrame, canonical: DataFrame) -> DataFrame:
     e1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("v"))
     e2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("w"))
     # each unordered wedge exactly once via strict id order on the endpoints
@@ -104,10 +125,7 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> Trian
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    per_vertex = per_corner.localCheckpoint(eager=True)
-    oriented.unpersist()
-    canonical.unpersist()
-    return TriangleResult(per_vertex)
+    return per_corner.localCheckpoint(eager=True)
 
 
 class ApproxTriangleResult:
@@ -123,12 +141,34 @@ class ApproxTriangleResult:
         row = self.per_vertex.agg(F.sum("triangles").alias("c")).collect()[0]
         return (row["c"] or 0) / 3.0 / self.sample_rate**3
 
+    @property
+    def total_estimate_stderr(self) -> float:
+        """Standard error of ``total_estimate`` — closed form in the
+        sampled count S and p, for users sizing ``sample_rate``.
+
+        A triangle survives with probability p³, so S ≈ Binomial(t, p³)
+        and Var(T̂) = Var(S)/p⁶ = t·p³(1-p³)/p⁶; plugging in t̂ = S/p³
+        gives stderr = √(S·(1-p³)) / p³.  This is the
+        independent-triangle term of the public DOULION variance
+        (Tsourakakis et al., KDD'09) — exact when no two triangles share
+        an edge; edge-sharing triangle pairs add a positive covariance
+        term (2k(p⁵-p⁶)/p⁶), so on clustered graphs treat this as a
+        lower bound (tested against the empirical spread over
+        hash-offset resamples)."""
+        import math
+
+        row = self.per_vertex.agg(F.sum("triangles").alias("c")).collect()[0]
+        s = (row["c"] or 0) / 3.0
+        p3 = self.sample_rate**3
+        return math.sqrt(s * (1.0 - p3)) / p3
+
 
 def triangle_count_approx(
     edges: DataFrame,
     sample_rate: float = 0.2,
     num_partitions: int | None = None,
     portable: bool = True,
+    sample_offset: int = 0,
 ) -> ApproxTriangleResult:
     """DOULION-style approximate triangle counting (Tsourakakis et al.,
     KDD'09 — public algorithm): keep each undirected edge with
@@ -142,12 +182,17 @@ def triangle_count_approx(
     ``hash(canonical 'a|b' key) mod 1e6 < p·1e6`` — rerunning, resuming,
     or replaying in another engine selects the identical sample
     (``portable=True`` uses the md5-based cross-engine hash; False uses
-    xxhash64 for the 100 TB fast path)."""
+    xxhash64 for the 100 TB fast path).  ``sample_offset`` salts the
+    hash key to draw an independent resample (offset 0 keeps the
+    historical key exactly) — used to measure the estimator's empirical
+    spread against ``total_estimate_stderr``."""
     from smatchpp_spark.functions.hashing import hash64
 
     lo = F.least(F.col("src"), F.col("dst"))
     hi = F.greatest(F.col("src"), F.col("dst"))
     key = F.concat(lo, F.lit("|"), hi)
+    if sample_offset:
+        key = F.concat(key, F.lit(f"|{sample_offset}"))
     threshold = int(round(sample_rate * 1_000_000))
     sampled = edges.filter(
         F.pmod(hash64(key, portable=portable), F.lit(1_000_000)) < threshold

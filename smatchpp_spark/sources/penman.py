@@ -136,6 +136,20 @@ def write_penman(edges: DataFrame, hide_root: bool = True) -> DataFrame:
     )
 
 
+def _goodmami_graph_triples(
+    gmpm, content: str, explicate_root: bool
+) -> list[tuple]:
+    """The wrapper's per-graph transform, factored out so the contract
+    (decode → triple list → ROOT_OF_GRAPH prepend) is unit-testable with
+    a stub ``penman`` module even where the real library is absent
+    (VERDICT r3 #8); ``gmpm`` is whatever ``import penman`` yielded."""
+    g = gmpm.decode(content)
+    triples = list(g.triples)
+    if explicate_root and triples:
+        triples = [("ROOT_OF_GRAPH", ":root", triples[0][0])] + triples
+    return triples
+
+
 def goodmami_parse_edges(
     corpus: DataFrame,
     content_col: str = "content",
@@ -180,12 +194,7 @@ def goodmami_parse_edges(
             rels: list[str] = []
             dsts: list[str] = []
             for gid, content in zip(pdf["graph_id"], pdf["content"]):
-                g = gmpm.decode(content)
-                triples = list(g.triples)
-                if explicate_root and triples:
-                    triples = [
-                        ("ROOT_OF_GRAPH", ":root", triples[0][0])
-                    ] + triples
+                triples = _goodmami_graph_triples(gmpm, content, explicate_root)
                 for pos, (s, r, t) in enumerate(triples):
                     gids.append(gid)
                     poss.append(pos)

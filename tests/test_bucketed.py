@@ -69,3 +69,40 @@ def test_bucketed_aggregation_has_no_exchange(spark, edges, tmp_path, no_broadca
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS t_edges_bkt2")
+
+
+def test_bucketed_triangle_wedge_join_has_no_exchange(
+    spark, edges, tmp_path, no_broadcast
+):
+    """Triangle counting over a pre-oriented edge table stored bucketed
+    by the wedge pivot (lo): the wedge self-join plans ZERO exchange on
+    its inputs (bucket-to-bucket), and triangle_count_prepared over the
+    bucketed layout matches the one-shot triangle_count exactly."""
+    from smatchpp_spark.operators.triangles import (
+        _canonical_undirected,
+        oriented_edges,
+        triangle_count,
+        triangle_count_prepared,
+    )
+
+    oriented = oriented_edges(edges)
+    canonical = _canonical_undirected(edges)
+    write_bucketed(
+        oriented, "t_tri_oriented", ["lo"], n_buckets=8,
+        path=str(tmp_path / "ori"),
+    )
+    try:
+        b = read_bucketed(spark, "t_tri_oriented")
+        e1 = b.select(F.col("lo").alias("pivot"), F.col("hi").alias("v"))
+        e2 = b.select(F.col("lo").alias("pivot"), F.col("hi").alias("w"))
+        wedge = e1.join(e2, "pivot").filter(F.col("v") < F.col("w"))
+        assert not plan_has_exchange(wedge)
+
+        got = triangle_count_prepared(b, canonical)
+        want = triangle_count(edges)
+        assert got.total == want.total
+        g = {(r.vertex, r.triangles) for r in got.per_vertex.collect()}
+        w = {(r.vertex, r.triangles) for r in want.per_vertex.collect()}
+        assert g == w
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_tri_oriented")

@@ -645,3 +645,99 @@ def test_row_count_delta_reuses_prior_count(spark, monkeypatch):
 
     g = row_count_delta(sign=-1)
     assert g(s2, s0) == 6.0  # growth sign (BFS reached set)
+
+
+def test_pagerank_variant_compositions_vs_numpy(spark):
+    """The two untested compositions (VERDICT r3 #3): (a) personalized +
+    adjacency storage must match the per-edge personalized path exactly
+    (same dataflow, different static-side layout); (b) weighted +
+    personalized matches a numpy power iteration combining both
+    semantics."""
+    from smatchpp_spark.operators.pagerank import pagerank
+
+    rng = np.random.RandomState(17)
+    E = sorted(
+        {(int(a), int(b)) for a, b in rng.randint(0, 28, size=(110, 2)) if a != b}
+    )
+    W = {e: float(rng.randint(1, 5)) for e in E}
+    S = ["1", "4", "9"]
+
+    # (a) personalized + adjacency == personalized per-edge
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in E], "src string, dst string"
+    )
+    per_edge = pagerank(edges, alpha=0.85, tol=-1.0, max_supersteps=8, sources=S)
+    adj = pagerank(
+        edges, alpha=0.85, tol=-1.0, max_supersteps=8, sources=S, adjacency=True
+    )
+    g1 = {r["vertex"]: r["rank"] for r in per_edge.ranks.collect()}
+    g2 = {r["vertex"]: r["rank"] for r in adj.ranks.collect()}
+    assert set(g1) == set(g2)
+    assert max(abs(g1[v] - g2[v]) for v in g1) < 1e-12
+
+    # (b) weighted + personalized vs numpy
+    wedges = spark.createDataFrame(
+        [(str(a), str(b), W[(a, b)]) for a, b in E],
+        "src string, dst string, wt double",
+    )
+    res = pagerank(
+        wedges, alpha=0.85, tol=-1.0, max_supersteps=8,
+        sources=S, weight_col="wt",
+    )
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+
+    verts = sorted({v for e in E for v in e})
+    idx = {str(v): i for i, v in enumerate(verts)}
+    n = len(verts)
+    t = np.zeros(n)
+    for s in S:
+        t[idx[s]] = 1 / len(S)
+    outw = np.zeros(n)
+    for (a, b), w in W.items():
+        outw[idx[str(a)]] += w
+    r = t.copy()
+    for _ in range(8):
+        dm = r[outw == 0].sum()
+        new = (0.15 + 0.85 * dm) * t
+        for (a, b), w in W.items():
+            new[idx[str(b)]] += 0.85 * r[idx[str(a)]] * w / outw[idx[str(a)]]
+        r = new
+    assert max(abs(got[str(v)] - r[idx[str(v)]]) for v in verts) < 1e-9
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_triangle_approx_stderr_matches_empirical_spread(spark):
+    """total_estimate_stderr (closed-form DOULION variance, independent-
+    triangle term) must agree with the empirical spread of the estimator
+    over 10 independent hash-offset resamples to within a small factor —
+    it may undershoot on clustered graphs (shared-edge covariance) but
+    must be the right order of magnitude."""
+    from smatchpp_spark.operators.triangles import (
+        triangle_count,
+        triangle_count_approx,
+    )
+
+    pairs = powerlaw_graph(n=250, m=2200, seed=13)
+    edges = _edges_df(spark, pairs)
+    true_total = triangle_count(edges).total
+    assert true_total > 50  # fixture sanity: enough triangles to sample
+
+    p = 0.5
+    ests, errs = [], []
+    for off in range(10):
+        r = triangle_count_approx(
+            edges, sample_rate=p, portable=False, sample_offset=off
+        )
+        ests.append(r.total_estimate)
+        errs.append(r.total_estimate_stderr)
+    emp = float(np.std(ests, ddof=1))
+    pred = float(np.mean(errs))
+    assert pred > 0
+    # right order of magnitude: within 3x either way
+    assert pred / 3 <= emp <= pred * 3, (emp, pred, ests)
+    # unbiasedness sanity: mean of resamples near truth (within 4 stderr)
+    assert abs(np.mean(ests) - true_total) <= 4 * max(emp, pred)
+    # offset=0 keeps the historical deterministic sample
+    a = triangle_count_approx(edges, sample_rate=p, portable=False)
+    b = triangle_count_approx(edges, sample_rate=p, portable=False, sample_offset=0)
+    assert a.total_estimate == b.total_estimate

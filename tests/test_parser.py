@@ -167,3 +167,53 @@ def test_goodmami_reader_guard_or_parity(spark):
     }
     # goodmami uses ':instance' role spelling like ours; same triple set
     assert got == expected
+
+
+def test_goodmami_wrapper_transform_with_stub_module(spark, monkeypatch):
+    """The goodmami wrapper's transform logic, exercised offline with a
+    stub `penman` injected into sys.modules (the real lib is optional
+    and absent here): root-triple prepend, triple passthrough order,
+    guard bypass, and the output schema contract."""
+    import sys
+    import types
+
+    from smatchpp_spark.sources.penman import (
+        _goodmami_graph_triples,
+        goodmami_parse_edges,
+    )
+
+    class _G:
+        def __init__(self, triples):
+            self.triples = triples
+
+    stub = types.ModuleType("penman")
+    decoded = {
+        "(a / ant :mod (s / small))": _G(
+            [("a", ":instance", "ant"), ("s", ":instance", "small"),
+             ("a", ":mod", "s")]
+        ),
+        "(e / empty)": _G([("e", ":instance", "empty")]),
+        "()": _G([]),
+    }
+    stub.decode = lambda text: decoded[text]
+
+    # pure transform: ROOT_OF_GRAPH prepend points at the first triple's
+    # source (goodmami puts the top variable first), empty stays empty
+    t = _goodmami_graph_triples(stub, "(a / ant :mod (s / small))", True)
+    assert t[0] == ("ROOT_OF_GRAPH", ":root", "a")
+    assert t[1:] == decoded["(a / ant :mod (s / small))"].triples
+    assert _goodmami_graph_triples(stub, "()", True) == []
+    no_root = _goodmami_graph_triples(stub, "(e / empty)", False)
+    assert no_root == [("e", ":instance", "empty")]
+
+    # with the stub in sys.modules the import guard passes and the plan
+    # carries the parse_edges output contract (schema; lazy — the stub
+    # never has to reach Spark's worker subprocesses)
+    monkeypatch.setitem(sys.modules, "penman", stub)
+    corpus = spark.createDataFrame(
+        [("(a / ant :mod (s / small))",)], "content string"
+    )
+    df = goodmami_parse_edges(corpus)
+    assert [f.name for f in df.schema.fields] == [
+        "graph_id", "pos", "src", "rel", "dst"
+    ]

@@ -572,3 +572,81 @@ def test_ivf_empty_codebook_raises(spark):
         similarity.cell_assign("embedding", [])
     with pytest.raises(ValueError):
         similarity.probe_cells("embedding", [], 2)
+
+
+def test_ivf_kmeans_codebook_beats_seed_codebook_on_clustered_data(spark):
+    """Spherical k-means codebook (kmeans_centroids) vs the lowest-id
+    seed codebook (unit_centroids) on CLUSTERED vectors: at equal
+    nprobe, the trained codebook's recall@5 must be strictly higher —
+    the whole point of training is that cells align with the data's
+    cluster structure.  Also: unit centroids, determinism of the
+    sample/init, and exact parity at nprobe = n_cells."""
+    rng = np.random.RandomState(23)
+    n_clusters, per, dim = 8, 40, 16
+    centers = rng.randn(n_clusters, dim) * 4.0
+    vecs = np.vstack([
+        centers[c] + rng.randn(per, dim) * 0.3 for c in range(n_clusters)
+    ]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") % 16 == 0)
+
+    km = similarity.kmeans_centroids(emb, n_cells=8, n_iter=5, seed=7)
+    seedbook = similarity.unit_centroids(emb, n_cells=8)
+    assert len(km) == 8
+    for c in km:
+        assert np.isclose(np.linalg.norm(c), 1.0)
+
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(v) for v in truth.values())
+
+    def recall(cents, nprobe):
+        got = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=nprobe)
+        hits = sum(
+            1
+            for r in got.collect()
+            if r["neighbor_id"] in truth.get(r["query_id"], set())
+        )
+        return hits / total
+
+    r_km, r_seed = recall(km, 1), recall(seedbook, 1)
+    assert r_km > r_seed, (r_km, r_seed)
+    assert r_km >= 0.8, r_km  # cells should align with true clusters
+
+    # full-probe with the trained codebook still reproduces exact top-k
+    full = similarity.ivf_topk(emb, queries, km, k=5, nprobe=8).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+    assert sorted(map(key, full)) == sorted(map(key, exact))
+
+    # sample + init determinism: same seed → same init rows → (FP-order
+    # effects aside) the same codebook cells; assert assignments agree
+    km2 = similarity.kmeans_centroids(emb, n_cells=8, n_iter=5, seed=7)
+    a1 = emb.select("vec_id", similarity.cell_assign("embedding", km)).collect()
+    a2 = emb.select("vec_id", similarity.cell_assign("embedding", km2)).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+
+
+def test_ivf_kmeans_sample_fraction_and_empty(spark):
+    """sample_fraction trains on the deterministic hash-sample only;
+    an empty corpus raises the codebook error."""
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(120, 8).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    km = similarity.kmeans_centroids(
+        emb, n_cells=4, n_iter=3, sample_fraction=0.5, seed=11
+    )
+    assert len(km) == 4
+    cells = emb.select(similarity.cell_assign("embedding", km)).collect()
+    assert {r["cell"] for r in cells} <= {0, 1, 2, 3}
+
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty codebook"):
+        similarity.kmeans_centroids(empty, n_cells=4)
