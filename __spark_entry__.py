@@ -436,6 +436,59 @@ def _personalized_pagerank_sql(
     return "\n".join(parts)
 
 
+def _hyperball_sql(rounds: int = 3) -> str:
+    """Unrolled HyperBall oracle over the supplier↔nation graph:
+    registers as (vertex, ri, val) rows, portable md5 hash (the exact
+    ``hyperball(portable=True)`` registers), ``rounds`` element-wise-max
+    merges, one NF estimate per round with the standard HLL raw /
+    linear-counting estimator (alpha_64 = 0.709)."""
+    from smatchpp_spark.functions.hashing import duckdb_hash64_sql
+
+    h = duckdb_hash64_sql("vertex")
+    parts = [
+        "WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,",
+        "                    s_suppkey % 2 = 0 AS even FROM supplier),",
+        "e AS MATERIALIZED (SELECT sv AS src, nv AS dst FROM sup",
+        "     UNION SELECT nv, sv FROM sup WHERE even),",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
+        f"hh AS (SELECT vertex, {h} AS h FROM v),",
+        # p=6, m=64, 60-bit portable hash: j = h % 64, w = h // 64,
+        # rho = 55 if w = 0 else 54 - floor(log2(w))
+        "init AS (SELECT vertex, CAST(h % 64 AS INT) AS j,",
+        "         CASE WHEN h // 64 = 0 THEN 55",
+        "              ELSE 54 - CAST(floor(log2(h // 64)) AS INT) END AS rho",
+        "         FROM hh),",
+        "r0 AS MATERIALIZED (SELECT i.vertex, g.ri, ",
+        "     CASE WHEN g.ri = i.j THEN i.rho ELSE 0 END AS val",
+        "     FROM init i CROSS JOIN (SELECT CAST(range AS INT) AS ri",
+        "                             FROM range(64)) g),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT vertex, ri, MAX(val) AS val FROM ("
+            f"SELECT e.src AS vertex, r.ri, r.val FROM e JOIN r{k-1} r ON r.vertex = e.dst "
+            f"UNION ALL SELECT vertex, ri, val FROM r{k-1}) GROUP BY vertex, ri),"
+        )
+    ests = []
+    for k in range(0, rounds + 1):
+        ests.append(
+            f"est{k} AS (SELECT {k} AS r, ROUND(SUM(est), 3) AS nf_estimate FROM ("
+            f"SELECT vertex,"
+            " CASE WHEN (0.709 * 64 * 64 / SUM(POW(2.0, -val))) <= 160.0"
+            "       AND COUNT(*) FILTER (val = 0) > 0"
+            " THEN 64.0 * ln(64.0 / (COUNT(*) FILTER (val = 0)))"
+            " ELSE 0.709 * 64 * 64 / SUM(POW(2.0, -val)) END AS est"
+            f" FROM r{k} GROUP BY vertex))"
+        )
+    parts.append(",\n".join(ests))
+    parts.append(
+        " UNION ALL ".join(
+            f"SELECT r, nf_estimate FROM est{k}" for k in range(0, rounds + 1)
+        )
+    )
+    return "\n".join(parts)
+
+
 def _tri_approx_sql(p: float) -> str:
     """DOULION approximate triangles oracle: the deterministic md5
     sample (portable_hash64 mirror) of the canonical edge set, exact
@@ -720,6 +773,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components(_e_cust(spark, sf)).components
 
     q["connected_components"] = _cc
+
+    # ---- graph statistics (operators/graphstats.py) ---------------------
+    def _clustering(spark, sf):
+        from smatchpp_spark.operators.graphstats import clustering_coefficient
+
+        return clustering_coefficient(_e_co(spark, sf))
+
+    q["clustering_coefficient"] = _clustering
+
+    def _assort(spark, sf):
+        from smatchpp_spark.operators.graphstats import degree_assortativity
+
+        return degree_assortativity(_e_co(spark, sf))
+
+    q["degree_assortativity"] = _assort
+
+    def _recip(spark, sf):
+        from smatchpp_spark.operators.graphstats import reciprocity
+
+        li = _read(spark, sf, "lineitem")
+        fwd = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        back = li.filter(F.col("l_linenumber") == 1).select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"),
+        )
+        return reciprocity(fwd.unionByName(back))
+
+    q["reciprocity"] = _recip
+
+    def _modul(spark, sf):
+        from smatchpp_spark.operators.graphstats import modularity
+
+        e = _e_co(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("vertex"))
+            .unionByName(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        labels = verts.select(
+            "vertex",
+            F.concat(
+                F.lit("g"),
+                F.pmod(
+                    F.expr("CAST(substring(vertex, 2) AS BIGINT)"), F.lit(8)
+                ).cast("string"),
+            ).alias("label"),
+        )
+        return modularity(e, labels)
+
+    q["graph_modularity"] = _modul
+
+    def _linkpred(spark, sf):
+        from smatchpp_spark.operators.linkpred import linkpred_scores
+
+        # common-neighbors method: integer-valued scores, so the
+        # cross-engine sum is exact in any order; AA/RA (irrational
+        # weights) are pytest-covered.  Graph: the order↔part bipartite
+        # subset (l_orderkey % 7), where part pairs score by shared
+        # orders and vice versa; max_pivot_degree=6 genuinely excludes
+        # ~14% of pivots at sf0.01, exercising the hub cap both sides.
+        li = _read(spark, sf, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+        e = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        return linkpred_scores(
+            e, method="common_neighbors", max_pivot_degree=6
+        )
+
+    q["linkpred_common_neighbors"] = _linkpred
+
+    def _scc(spark, sf):
+        from smatchpp_spark.operators.scc import strongly_connected_components
+
+        # cyclic digraph: every supplier → its nation, plus nation →
+        # supplier back-edges for even supplier keys.  SCCs are then
+        # {nation ∪ its even suppliers} (mutual via the nation hub) and
+        # singletons for odd suppliers — structurally known, so the
+        # oracle states the expected partition directly ('n…' sorts
+        # before 's…', making each nation its SCC's min id).
+        s = _read(spark, sf, "supplier")
+        fwd = s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        )
+        back = s.filter(F.col("s_suppkey") % 2 == 0).select(
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("dst"),
+        )
+        return strongly_connected_components(
+            fwd.unionByName(back), max_rounds=10
+        ).components
+
+    q["strongly_connected_components"] = _scc
+
+    def _hyperball(spark, sf):
+        from smatchpp_spark.operators.hyperball import hyperball
+
+        # same cyclic supplier↔nation graph as the SCC row; out-ball
+        # growth completes in 2 rounds (s→n at r1, n→even-suppliers at
+        # r2) + 1 fixpoint-certification round, so the NF curve is the
+        # fixed r=0..3 — the oracle unrolls exactly those 3 merges over
+        # the portable md5 register hash (hyperball.py `portable=True`)
+        s = _read(spark, sf, "supplier")
+        fwd = s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        )
+        back = s.filter(F.col("s_suppkey") % 2 == 0).select(
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("dst"),
+        )
+        res = hyperball(
+            fwd.unionByName(back), p=6, max_rounds=10, portable=True
+        )
+        return res.neighborhood_function
+
+    q["hyperball_nf"] = _hyperball
 
     def _kcore(spark, sf):
         from smatchpp_spark.operators.kcore import k_core
@@ -1077,6 +1251,105 @@ FROM ends GROUP BY vertex
             "CAST(l_quantity AS DOUBLE) AS wt FROM lineitem",
             weighted=True,
         ),
+        "clustering_coefficient": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS vertex, COUNT(*) AS degree FROM und GROUP BY a),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM c e1 JOIN c e2 ON e2.a = e1.b
+                  JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT v1 AS vertex FROM tri UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri),
+tc AS (SELECT vertex, COUNT(*) AS triangles FROM corners GROUP BY vertex)
+SELECT d.vertex, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(2.0 * COALESCE(t.triangles, 0)
+                       / (CAST(d.degree AS DOUBLE) * (d.degree - 1.0)), 9)
+            ELSE 0.0 END AS coefficient
+FROM deg d LEFT JOIN tc t USING (vertex)
+""",
+        "degree_assortativity": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS MATERIALIZED (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY a),
+stubs AS (SELECT da.d AS x, db.d AS y
+          FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM stubs)
+SELECT n AS n_stubs,
+       CASE WHEN (sxx/n - (sx/n)*(sx/n)) > 0 AND (syy/n - (sy/n)*(sy/n)) > 0
+            THEN ROUND((sxy/n - (sx/n)*(sy/n))
+                       / sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))), 9)
+       END AS assortativity
+FROM mom
+""",
+        "reciprocity": """
+WITH fwd AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem),
+back AS (SELECT 'p' || l_partkey AS src, 'o' || l_orderkey AS dst
+         FROM lineitem WHERE l_linenumber = 1),
+e AS MATERIALIZED (SELECT DISTINCT src, dst
+                   FROM (SELECT * FROM fwd UNION ALL SELECT * FROM back)
+                   WHERE src <> dst)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM e
+             WHERE EXISTS (SELECT 1 FROM e e2
+                           WHERE e2.src = e.dst AND e2.dst = e.src)) AS BIGINT)
+           AS n_reciprocal,
+       ROUND(CAST((SELECT COUNT(*) FROM e
+                   WHERE EXISTS (SELECT 1 FROM e e2
+                                 WHERE e2.src = e.dst AND e2.dst = e.src)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM e), 9) AS reciprocity
+""",
+        "graph_modularity": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+tagged AS MATERIALIZED (
+  SELECT a, b,
+         'g' || (CAST(substr(a, 2) AS BIGINT) % 8) AS la,
+         'g' || (CAST(substr(b, 2) AS BIGINT) % 8) AS lb
+  FROM und),
+m AS (SELECT COUNT(*) / 2.0 AS m FROM tagged),
+per_c AS (SELECT la, COUNT(*) AS deg_sum,
+                 SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS intra
+          FROM tagged GROUP BY la)
+SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       ROUND(SUM(intra / 2.0 / (SELECT m FROM m)
+                 - POW(deg_sum / (2.0 * (SELECT m FROM m)), 2)), 9) AS modularity
+FROM per_c
+""",
+        "hyperball_nf": _hyperball_sql(),
+        "strongly_connected_components": """
+WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,
+                    s_suppkey % 2 = 0 AS even
+             FROM supplier)
+SELECT sv AS vertex, CASE WHEN even THEN nv ELSE sv END AS scc FROM sup
+UNION ALL
+SELECT DISTINCT nv AS vertex, nv AS scc FROM sup
+""",
+        "linkpred_common_neighbors": """
+WITH raw AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+             FROM lineitem WHERE l_orderkey % 7 = 0),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS MATERIALIZED (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS z, COUNT(*) AS dz FROM und GROUP BY a),
+piv AS (SELECT z FROM deg WHERE dz >= 2 AND dz <= 6),
+nbrs AS (SELECT und.a AS z, und.b AS n FROM und JOIN piv ON piv.z = und.a),
+pairs AS (SELECT e1.n AS u, e2.n AS v
+          FROM nbrs e1 JOIN nbrs e2 ON e1.z = e2.z AND e1.n < e2.n),
+scored AS (SELECT u, v, ROUND(CAST(COUNT(*) AS DOUBLE), 9) AS score
+           FROM pairs GROUP BY u, v)
+SELECT s.u, s.v, s.score FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
+""",
         "pagerank_weighted_personalized": _personalized_pagerank_sql(
             PR_STEPS,
             edge_sql="SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst, "

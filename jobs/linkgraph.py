@@ -2,6 +2,7 @@
 
   spark-submit --py-files smatchpp_spark.zip jobs/linkgraph.py \
       --op pagerank|components|components_twophase|labelprop|triangles|degrees \
+           |kcore|bfs|scc|hyperball|clustering|linkpred \
       --edges <parquet dir with (src, dst)> \
       [--src-col src] [--dst-col dst] \
       [--checkpoint-dir /ckpt] [--resume] [--max-supersteps N] \
@@ -27,7 +28,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--op", required=True,
                    choices=["pagerank", "components", "components_twophase",
                             "labelprop", "triangles", "degrees", "kcore",
-                            "bfs"])
+                            "bfs", "scc", "hyperball", "clustering",
+                            "linkpred"])
+    p.add_argument("--method", default="adamic_adar",
+                   help="linkpred: common_neighbors | adamic_adar | "
+                        "resource_allocation")
+    p.add_argument("--top-k", type=int, default=None,
+                   help="linkpred: keep only the global best pairs")
+    p.add_argument("--max-pivot-degree", type=int, default=None,
+                   help="linkpred: drop super-hub pivots (skew cap)")
     p.add_argument("--k", type=int, default=3, help="kcore: the core order")
     p.add_argument("--edges", required=True,
                    help="parquet dir of the edge table, or (with "
@@ -165,6 +174,41 @@ def main() -> None:
         )
         out, summary["supersteps"], summary["converged"] = (
             res.vertices, res.rounds, res.converged
+        )
+    elif args.op == "scc":
+        from smatchpp_spark.operators.scc import strongly_connected_components
+
+        res = strongly_connected_components(
+            edges, max_rounds=args.max_supersteps
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.components, res.rounds, res.converged
+        )
+    elif args.op == "hyperball":
+        from smatchpp_spark.operators.hyperball import hyperball
+
+        res = hyperball(
+            edges, max_rounds=args.max_supersteps,
+            directed=not args.undirected,
+        )
+        out = res.balls
+        summary["supersteps"] = res.rounds
+        summary["converged"] = res.converged
+        summary["effective_diameter"] = res.effective_diameter
+        summary["nf_curve"] = [
+            [int(r.r), float(r.nf_estimate)]
+            for r in res.neighborhood_function.collect()
+        ]
+    elif args.op == "clustering":
+        from smatchpp_spark.operators.graphstats import clustering_coefficient
+
+        out = clustering_coefficient(edges)
+    elif args.op == "linkpred":
+        from smatchpp_spark.operators.linkpred import linkpred_scores
+
+        out = linkpred_scores(
+            edges, method=args.method, top_k=args.top_k,
+            max_pivot_degree=args.max_pivot_degree,
         )
     else:  # degrees
         from smatchpp_spark.operators.degrees import degrees

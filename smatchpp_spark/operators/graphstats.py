@@ -1,0 +1,201 @@
+"""Whole-graph and per-vertex structural statistics.
+
+Beyond the reference's operator set (same contract style as its
+util.py:107-138 degree filters): the standard link-graph quality metrics
+a 10^12-file web/code graph pipeline reports next to PageRank/CC —
+local clustering coefficient, degree assortativity, edge reciprocity,
+and community modularity.  Every operator here is a one-or-two-shuffle
+DataFrame aggregation with an exact ANSI-SQL oracle (contract rows in
+__spark_entry__.py); nothing iterates.
+
+100 TB shapes:
+  * clustering coefficient — reuses the triangle operator's per-vertex
+    counts (degree-oriented wedge join, the skew-safe plan) plus one
+    degree aggregation and a key join;
+  * assortativity — two degree joins + one global moment aggregation
+    (map-side combined; the result is a single row);
+  * reciprocity — self-join of the directed edge set on the swapped key,
+    counted (left-semi, no row explosion);
+  * modularity — one groupBy per community plus a global scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smatchpp_spark.operators.kcore import undirected_simple
+from smatchpp_spark.operators.triangles import triangle_count
+
+
+def clustering_coefficient(
+    edges: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected
+    simple graph: ``2·T(v) / (d(v)·(d(v)−1))``, 0.0 where ``d(v) < 2``.
+
+    Output (vertex, degree long, triangles long, coefficient double);
+    every vertex of the graph appears (triangle-free vertices included —
+    the per-vertex triangle table is sparse, so this left-joins from the
+    degree side).
+    """
+    und = undirected_simple(edges)  # (a, b) both directions, distinct
+    deg = und.groupBy(F.col("a").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tri = triangle_count(edges, num_partitions=num_partitions).per_vertex
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tri, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                    / (d * (d - 1.0)),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of the endpoint degrees over the undirected edge list —
+    positive = hubs link to hubs (social-graph shape), negative = hubs
+    link to leaves (web/code-graph shape).
+
+    Computed over each undirected edge counted ONCE with both endpoint
+    orderings contributing symmetrically (the standard convention:
+    correlate over the 2·|E| directed stubs).  One row out:
+    (n_stubs long, assortativity double — null for degree-regular
+    graphs, where the variance is 0).
+    """
+    und = undirected_simple(edges)  # (a, b): both stub directions
+    deg = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    stubs = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "dx"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "dy"), "b")
+        .select(
+            F.col("dx").cast("double").alias("x"),
+            F.col("dy").cast("double").alias("y"),
+        )
+    )
+    mom = stubs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    return mom.select(
+        F.col("n").alias("n_stubs"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 9)
+        ).alias("assortativity"),
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Fraction of directed edges whose reverse edge also exists
+    (self-loops excluded, multi-edges collapsed).  One row out:
+    (n_edges long, n_reciprocal long, reciprocity double)."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n = e.count()
+    r = e.join(rev, ["src", "dst"], "left_semi").count()
+    e.unpersist()
+    spark = edges.sparkSession
+    frac = round(r / n, 9) if n else 0.0
+    return spark.createDataFrame(
+        [(n, r, frac)],
+        "n_edges long, n_reciprocal long, reciprocity double",
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex partition over the undirected
+    simple graph: ``Q = Σ_c ( m_c/m − (D_c/(2m))² )`` with ``m`` total
+    undirected edges, ``m_c`` intra-community edges, ``D_c`` the summed
+    degree of community ``c`` — the standard quality score for the LPA
+    communities (labelprop.py).
+
+    ``labels``: (vertex, label).  Vertices missing from ``labels`` form
+    their own singleton communities (label = vertex).  One row out:
+    (n_edges long, n_communities long, modularity double).
+
+    Plan: degree agg + one broadcast-or-shuffle join of labels onto each
+    edge endpoint + two groupBys over communities — no iteration, safe
+    at any scale where CC/LPA themselves run.
+    """
+    und = undirected_simple(edges)  # both directions
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("v"),
+        F.col(labels.columns[1]).alias("lbl"),
+    ).distinct()
+
+    tagged = (
+        und.join(
+            lab.withColumnRenamed("v", "a").withColumnRenamed("lbl", "la"),
+            "a",
+            "left",
+        )
+        .join(
+            lab.withColumnRenamed("v", "b").withColumnRenamed("lbl", "lb"),
+            "b",
+            "left",
+        )
+        .select(
+            "a",
+            "b",
+            F.coalesce("la", F.col("a")).alias("la"),
+            F.coalesce("lb", F.col("b")).alias("lb"),
+        )
+        .persist()
+    )
+    # m: each undirected edge appears twice in `und`
+    m = tagged.count() / 2.0
+    spark = edges.sparkSession
+    if m == 0:
+        tagged.unpersist()
+        return spark.createDataFrame(
+            [(0, 0, 0.0)],
+            "n_edges long, n_communities long, modularity double",
+        )
+    # D_c: summed degree per community (each stub row contributes 1 to
+    # its a-endpoint's degree); m_c: intra edges (stub pairs / 2)
+    per_c = tagged.groupBy("la").agg(
+        F.count(F.lit(1)).alias("deg_sum"),
+        F.sum((F.col("la") == F.col("lb")).cast("long")).alias("intra_stubs"),
+    )
+    row = per_c.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum(
+            F.col("intra_stubs").cast("double") / F.lit(2.0) / F.lit(m)
+            - F.pow(F.col("deg_sum").cast("double") / F.lit(2.0 * m), 2)
+        ).alias("q"),
+    ).collect()[0]
+    tagged.unpersist()
+    return spark.createDataFrame(
+        [(int(m), int(row["nc"]), round(float(row["q"]), 9))],
+        "n_edges long, n_communities long, modularity double",
+    )

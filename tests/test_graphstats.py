@@ -1,0 +1,420 @@
+"""Graph statistics + link prediction vs pure-python oracles."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+
+
+def _und(pairs):
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    return nbrs
+
+
+def _rand_pairs(n, m, seed):
+    rng = random.Random(seed)
+    return sorted(
+        {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    )
+
+
+def test_clustering_coefficient_vs_python(spark):
+    from smatchpp_spark.operators.graphstats import clustering_coefficient
+
+    pairs = _rand_pairs(40, 260, seed=5)
+    nbrs = _und(pairs)
+    got = {
+        r.vertex: (r.degree, r.triangles, r.coefficient)
+        for r in clustering_coefficient(_edges_df(spark, pairs)).collect()
+    }
+    assert set(got) == {str(v) for v in nbrs}
+    for v, nb in nbrs.items():
+        d = len(nb)
+        t = sum(len(nbrs[x] & nb) for x in nb) // 2
+        coef = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        gd, gt, gc = got[str(v)]
+        assert gd == d and gt == t, v
+        assert gc == pytest.approx(coef, abs=1e-9), v
+    # a triangle's corners have coefficient 1; a path midpoint 0
+    tri = clustering_coefficient(
+        _edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    ).collect()
+    by_v = {r.vertex: r.coefficient for r in tri}
+    assert by_v["1"] == by_v["2"] == 1.0
+    assert by_v["4"] == 0.0
+
+
+def test_degree_assortativity_vs_numpy(spark):
+    from smatchpp_spark.operators.graphstats import degree_assortativity
+
+    pairs = _rand_pairs(30, 160, seed=9)
+    nbrs = _und(pairs)
+    xs, ys = [], []
+    for a, nb in nbrs.items():
+        for b in nb:  # both stub directions, matching the operator
+            xs.append(len(nbrs[a]))
+            ys.append(len(nbrs[b]))
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    row = degree_assortativity(_edges_df(spark, pairs)).collect()[0]
+    assert row.n_stubs == len(xs)
+    assert row.assortativity == pytest.approx(want, abs=1e-6)
+
+    # degree-regular graph (ring): zero variance -> null
+    ring = [(i, (i + 1) % 10) for i in range(10)]
+    assert degree_assortativity(_edges_df(spark, ring)).collect()[0].assortativity is None
+
+    # star: perfectly disassortative (r = -1)
+    star = [(0, i) for i in range(1, 8)]
+    r = degree_assortativity(_edges_df(spark, star)).collect()[0].assortativity
+    assert r == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_reciprocity(spark):
+    from smatchpp_spark.operators.graphstats import reciprocity
+
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 4), (1, 2)]
+    row = reciprocity(_edges_df(spark, pairs)).collect()[0]
+    # distinct non-loop edges: (1,2),(2,1),(2,3),(3,4),(4,3) -> 5
+    assert row.n_edges == 5
+    assert row.n_reciprocal == 4  # (1,2),(2,1),(3,4),(4,3)
+    assert row.reciprocity == pytest.approx(0.8)
+
+
+def test_modularity_vs_python(spark):
+    from smatchpp_spark.operators.graphstats import modularity
+
+    # two 4-cliques joined by one bridge edge
+    pairs = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                pairs.append((base + i, base + j))
+    pairs.append((0, 10))
+    edges = _edges_df(spark, pairs)
+    labels = spark.createDataFrame(
+        [(str(v + b), "c" + str(b)) for b in (0, 10) for v in range(4)],
+        "vertex string, label string",
+    )
+    row = modularity(edges, labels).collect()[0]
+
+    nbrs = _und(pairs)
+    m = sum(len(nb) for nb in nbrs.values()) / 2
+    lab = {str(v + b): "c" + str(b) for b in (0, 10) for v in range(4)}
+    q = 0.0
+    for c in set(lab.values()):
+        members = {v for v, l in lab.items() if l == c}
+        dc = sum(len(nbrs[int(v)]) for v in members)
+        mc = (
+            sum(
+                1
+                for v in members
+                for w in nbrs[int(v)]
+                if str(w) in members
+            )
+            / 2
+        )
+        q += mc / m - (dc / (2 * m)) ** 2
+    assert row.n_edges == int(m)
+    assert row.n_communities == 2
+    assert row.modularity == pytest.approx(q, abs=1e-9)
+
+    # perfect partition of disconnected cliques scores higher than the
+    # everything-in-one-community partition
+    one = spark.createDataFrame(
+        [(str(v + b), "all") for b in (0, 10) for v in range(4)],
+        "vertex string, label string",
+    )
+    q_one = modularity(edges, one).collect()[0].modularity
+    assert row.modularity > q_one
+    # vertices missing from the label table become singleton communities
+    empty = spark.createDataFrame([], "vertex string, label string")
+    q_sing = modularity(edges, empty).collect()[0]
+    assert q_sing.n_communities == 8
+
+
+def _py_linkpred(pairs, method, exclude_existing=True, max_pivot=None):
+    nbrs = _und(pairs)
+    scores = {}
+    for z, nb in nbrs.items():
+        dz = len(nb)
+        if dz < 2 or (max_pivot is not None and dz > max_pivot):
+            continue
+        w = (
+            1.0
+            if method == "common_neighbors"
+            else (1.0 / math.log(dz) if method == "adamic_adar" else 1.0 / dz)
+        )
+        snb = sorted(nb, key=str)
+        for i, u in enumerate(snb):
+            for v in snb[i + 1 :]:
+                if str(u) < str(v):
+                    key = (str(u), str(v))
+                else:
+                    key = (str(v), str(u))
+                scores[key] = scores.get(key, 0.0) + w
+    if exclude_existing:
+        existing = set()
+        for a, b in pairs:
+            if a == b:
+                continue
+            existing.add(tuple(sorted((str(a), str(b)))))
+        scores = {k: v for k, v in scores.items() if k not in existing}
+    return scores
+
+
+def test_linkpred_all_methods_vs_python(spark):
+    from smatchpp_spark.operators.linkpred import linkpred_scores
+
+    pairs = _rand_pairs(30, 140, seed=3)
+    edges = _edges_df(spark, pairs)
+    for method in ("common_neighbors", "adamic_adar", "resource_allocation"):
+        got = {
+            (r.u, r.v): r.score
+            for r in linkpred_scores(edges, method=method).collect()
+        }
+        want = _py_linkpred(pairs, method)
+        assert set(got) == set(want), method
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-8), (method, k)
+
+    with pytest.raises(ValueError):
+        linkpred_scores(edges, method="nope")
+
+
+def test_linkpred_topk_and_pivot_cap(spark):
+    from smatchpp_spark.operators.linkpred import linkpred_scores
+
+    pairs = _rand_pairs(25, 120, seed=8)
+    edges = _edges_df(spark, pairs)
+    allrows = linkpred_scores(edges, method="adamic_adar").collect()
+    top = linkpred_scores(edges, method="adamic_adar", top_k=5).collect()
+    want = sorted(allrows, key=lambda r: (-r.score, r.u, r.v))[:5]
+    assert [(r.u, r.v, r.score) for r in top] == [
+        (r.u, r.v, r.score) for r in want
+    ]
+
+    # pivot cap: dropping hub pivots only removes their contributions
+    capped = {
+        (r.u, r.v): r.score
+        for r in linkpred_scores(
+            edges, method="adamic_adar", max_pivot_degree=6
+        ).collect()
+    }
+    want_capped = _py_linkpred(pairs, "adamic_adar", max_pivot=6)
+    assert set(capped) == set(want_capped)
+    for k in want_capped:
+        assert capped[k] == pytest.approx(want_capped[k], abs=1e-8)
+
+    # keep-existing mode scores adjacent pairs too
+    withex = linkpred_scores(
+        edges, method="common_neighbors", exclude_existing=False
+    ).collect()
+    want_all = _py_linkpred(pairs, "common_neighbors", exclude_existing=False)
+    assert {(r.u, r.v) for r in withex} == set(want_all)
+
+
+def _py_tarjan(pairs):
+    """SCC oracle: iterative Tarjan; returns {vertex: min-id of its SCC}."""
+    adj = {}
+    verts = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, []).append(b)
+        verts.add(a)
+        verts.add(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recursed = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recursed = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recursed:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    out = {}
+    for comp in sccs:
+        m = min(str(x) for x in comp)
+        for x in comp:
+            out[str(x)] = m
+    return out
+
+
+def test_scc_vs_tarjan(spark):
+    from smatchpp_spark.operators.scc import strongly_connected_components
+
+    # hand case: two 3-cycles bridged by a one-way edge + a DAG tail
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7)]
+    res = strongly_connected_components(_edges_df(spark, pairs))
+    got = {r.vertex: r.scc for r in res.components.collect()}
+    assert res.converged
+    assert got == _py_tarjan(pairs)
+    assert got["1"] == got["2"] == got["3"] == "1"
+    assert got["4"] == got["5"] == got["6"] == "4"
+    assert got["7"] == "7"
+
+    # random sparse digraph (cycles + DAG parts)
+    for seed in (2, 4):
+        pairs = _rand_pairs(28, 90, seed=seed)
+        res = strongly_connected_components(
+            _edges_df(spark, pairs), max_rounds=30
+        )
+        assert res.converged
+        got = {r.vertex: r.scc for r in res.components.collect()}
+        assert got == _py_tarjan(pairs), seed
+
+
+def test_scc_round_cap_reports_partial(spark):
+    from smatchpp_spark.operators.scc import strongly_connected_components
+
+    # a directed path peels one basin per round: 1 round cannot finish
+    path = [(i, i + 1) for i in range(6)]
+    res = strongly_connected_components(_edges_df(spark, path), max_rounds=1)
+    assert not res.converged
+    rows = {r.vertex: r.scc for r in res.components.collect()}
+    assert rows["0"] == "0"  # global min always peels
+    assert sum(1 for v in rows.values() if v is None) > 0
+    assert len(rows) == 7  # every vertex present, labelled or null
+
+
+def _py_neighborhood_function(pairs, directed=True):
+    """Exact NF(r) = Σ_v |B(v, r)| via BFS from every vertex."""
+    adj = {}
+    verts = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+        verts.add(a)
+        verts.add(b)
+    curves = {}
+    for v in verts:
+        dist = {v: 0}
+        frontier = [v]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        curves[v] = dist
+    nf = []
+    r = 0
+    while True:
+        total = sum(
+            sum(1 for d in c.values() if d <= r) for c in curves.values()
+        )
+        nf.append(total)
+        if nf[-1] == nf[-2] if len(nf) > 1 else False:
+            nf.pop()
+            break
+        r += 1
+    return nf
+
+
+def test_hyperball_nf_vs_exact_bfs(spark):
+    """HyperBall NF(r) within the single-sketch HLL error bound of the
+    exact BFS neighborhood function at every r (the per-ball errors
+    CORRELATE across vertices — every ball shares the same element
+    hash — so the sum does NOT get a √V reduction; the honest bound is
+    the per-sketch 1.04/√m — the test runs m=256 ≈ 6.5%, and the
+    operator's p=6 default is the documented 13% cheap mode), effective
+    diameter within ±1
+    round, and the run is deterministic (hash registers, no RNG)."""
+    from smatchpp_spark.operators.hyperball import hyperball
+
+    pairs = _rand_pairs(60, 240, seed=21)
+    edges = _edges_df(spark, pairs)
+    res = hyperball(edges, p=8, max_rounds=30, directed=True)
+    assert res.converged
+    got = {int(r.r): r.nf_estimate for r in res.neighborhood_function.collect()}
+
+    exact = _py_neighborhood_function(pairs, directed=True)
+    for r, want in enumerate(exact):
+        assert got[r] == pytest.approx(want, rel=0.10), (r, got[r], want)
+    # the curve settles at the exact curve's length (±1: the sketch
+    # needs one extra round to certify its own fixpoint)
+    assert abs(res.rounds - len(exact)) <= 1
+
+    # effective diameter vs exact
+    final = exact[-1]
+    want_eff = next(r for r, v in enumerate(exact) if v >= 0.9 * final)
+    assert res.effective_diameter is not None
+    assert abs(res.effective_diameter - want_eff) <= 1
+
+    # determinism
+    res2 = hyperball(edges, p=8, max_rounds=30, directed=True)
+    got2 = {int(r.r): r.nf_estimate for r in res2.neighborhood_function.collect()}
+    assert got == got2
+
+
+def test_hyperball_undirected_ball_sizes(spark):
+    """Undirected HyperBall on two disjoint cliques: every ball
+    converges to its component size (within HLL error)."""
+    from smatchpp_spark.operators.hyperball import hyperball
+
+    pairs = []
+    for base, k in ((0, 8), (100, 5)):
+        for i in range(k):
+            for j in range(i + 1, k):
+                pairs.append((base + i, base + j))
+    res = hyperball(_edges_df(spark, pairs), p=6, directed=False)
+    assert res.converged
+    for r in res.balls.collect():
+        want = 8 if int(r.vertex) < 100 else 5
+        assert r.ball_size == pytest.approx(want, rel=0.25), r

@@ -119,3 +119,40 @@ def test_linkgraph_job_bucketed_table_input(spark, tmp_path, monkeypatch, capsys
         assert s["rows"] == len({v for p in pairs for v in p})
     finally:
         spark.sql("DROP TABLE IF EXISTS t_job_edges")
+
+
+def test_linkgraph_job_new_ops(spark, tmp_path, monkeypatch, capsys):
+    """The r4 op additions drive end-to-end through the job surface:
+    scc, hyperball (NF curve in the summary), clustering, linkpred."""
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (2, 5)]
+    epath = _write_edges(spark, tmp_path, pairs)
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "scc", "--edges", epath, "-o", str(tmp_path / "scc")],
+    )
+    assert s["converged"] and s["rows"] == 5
+    comp = {r.vertex: r.scc for r in spark.read.parquet(str(tmp_path / "scc")).collect()}
+    assert comp["1"] == comp["2"] == comp["3"] == "1"
+    assert comp["4"] == comp["5"] == "4"
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "hyperball", "--edges", epath, "-o", str(tmp_path / "hb")],
+    )
+    assert s["converged"] and s["rows"] == 5
+    assert s["effective_diameter"] is not None
+    assert [r for r, _ in s["nf_curve"]] == list(range(len(s["nf_curve"])))
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "clustering", "--edges", epath, "-o", str(tmp_path / "cl")],
+    )
+    assert s["rows"] == 5
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "linkpred", "--edges", epath, "--method", "common_neighbors",
+         "--top-k", "3", "-o", str(tmp_path / "lp")],
+    )
+    assert 0 < s["rows"] <= 3

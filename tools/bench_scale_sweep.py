@@ -64,7 +64,13 @@ def main() -> None:
         app_name="smatchpp-spark-scale-sweep",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        # 12g: the 10x wedge join peaks near the 8g default once the
+        # sweep's larger query set retains its localCheckpoint blocks
+        # (r4: triangles@10x OOMed at 8g after the 3 pagerank variants)
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "12g"),
+        },
     )
 
     import __spark_entry__ as em
@@ -80,6 +86,7 @@ def main() -> None:
         triangle_count,
         triangle_count_approx,
     )
+    from smatchpp_spark.functions.scores import bootstrap_scores
     from smatchpp_spark.pipeline import dedup, similarity
     from smatchpp_spark.sources.penman import parse_edges
 
@@ -109,6 +116,25 @@ def main() -> None:
         emb10 = c if emb10 is None else emb10.unionByName(c)
     emb_queries = emb1.filter(F.col("vec_id") % 50 == 0)
 
+    # per-pair 4-vector stats for the bootstrap sweep: deterministic
+    # columns off lineitem keys; 10x = disjoint pair_id-offset copies
+    li1 = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stats1 = li1.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pair_id"),
+        (F.pmod(F.col("l_partkey"), 7) + 1).cast("double").alias("matchsum_x"),
+        (F.pmod(F.col("l_partkey"), 7) + 1).cast("double").alias("matchsum_y"),
+        (F.pmod(F.col("l_partkey"), 7) + 1 + F.pmod(F.col("l_suppkey"), 5))
+        .cast("double").alias("xlen"),
+        (F.pmod(F.col("l_partkey"), 7) + 1 + F.pmod(F.col("l_orderkey"), 4))
+        .cast("double").alias("ylen"),
+    )
+    stats10 = None
+    for i in range(SCALE):
+        c = stats1.withColumn(
+            "pair_id", F.col("pair_id") + F.lit(i * 1_000_000_000)
+        )
+        stats10 = c if stats10 is None else stats10.unionByName(c)
+
     inputs = {
         1: {
             "e_op": em._e_op(spark, sf_dir),
@@ -117,6 +143,7 @@ def main() -> None:
             "docs": docs1,
             "emb": emb1,
             "corpus_n": 2000,
+            "stats": stats1,
         },
         SCALE: {
             "e_op": replicate_edges(em._e_op(spark, sf_dir), SCALE),
@@ -125,6 +152,7 @@ def main() -> None:
             "docs": docs10,
             "emb": emb10,
             "corpus_n": 2000 * SCALE,
+            "stats": stats10,
         },
     }
 
@@ -145,6 +173,14 @@ def main() -> None:
         sec = round(best, 3)
         results.setdefault(name, {})[scale] = sec
         print(f"  {name} @ {scale}x: {sec}s", file=sys.stderr)
+        # release the finished query's localCheckpoint blocks before the
+        # next one: ContextCleaner frees them on GC, so force both GCs —
+        # without this the retained blocks stack up and the 10x wedge
+        # join OOMs (untimed: runs after the walls are recorded)
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     for scale, inp in inputs.items():
         print(f"-- scale {scale}x --", file=sys.stderr)
@@ -154,6 +190,21 @@ def main() -> None:
 
         timed("pagerank_10steps", scale, lambda: pagerank(
             e_op, alpha=0.85, tol=-1.0, max_supersteps=PR_SUPERSTEPS
+        ).ranks.agg(F.sum("rank")).collect())
+        # variant coverage (VERDICT r3 #10): same dataflow as the fixed
+        # run plus a teleport column / weight normalization — exponents
+        # should track pagerank_10steps
+        seeds = e_op.select("dst").distinct().filter(F.col("dst").rlike("00$"))
+        timed("pagerank_personalized", scale, lambda: pagerank(
+            e_op, alpha=0.85, tol=-1.0, max_supersteps=PR_SUPERSTEPS,
+            sources=seeds,
+        ).ranks.agg(F.sum("rank")).collect())
+        w_edges = e_op.withColumn(
+            "wt", (F.pmod(F.xxhash64("src", "dst"), F.lit(5)) + 1).cast("double")
+        )
+        timed("pagerank_weighted", scale, lambda: pagerank(
+            w_edges, alpha=0.85, tol=-1.0, max_supersteps=PR_SUPERSTEPS,
+            weight_col="wt",
         ).ranks.agg(F.sum("rank")).collect())
         timed("degrees", scale, lambda: degrees(e_op).count())
         timed("connected_components", scale, lambda: connected_components(
@@ -187,6 +238,15 @@ def main() -> None:
         ).vertices.count())
         # seeds scale WITH the graph (suffix '00' ⟺ partkey % 100 == 0 in
         # every prefixed copy) — the realistic read-side pattern
+        timed("bootstrap_bca_macro", scale, lambda: bootstrap_scores(
+            inp["stats"], score_type="macro", method="bca", n_resamples=200
+        ).collect())
+        # the at-scale resample: Poisson weights in the scan projection,
+        # no B×n draw-spine shuffle (multinomial measured superlinear)
+        timed("bootstrap_bca_macro_poisson", scale, lambda: bootstrap_scores(
+            inp["stats"], score_type="macro", method="bca", n_resamples=200,
+            resample="poisson",
+        ).collect())
         timed("bfs_undirected", scale, lambda: bfs_distances(
             e_op,
             e_op.select("dst").distinct().filter(F.col("dst").rlike("00$")),
