@@ -37,6 +37,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="linkpred: keep only the global best pairs")
     p.add_argument("--max-pivot-degree", type=int, default=None,
                    help="linkpred: drop super-hub pivots (skew cap)")
+    p.add_argument("--centrality", action="store_true",
+                   help="hyperball: also accumulate harmonic centrality")
     p.add_argument("--k", type=int, default=3, help="kcore: the core order")
     p.add_argument("--edges", required=True,
                    help="parquet dir of the edge table, or (with "
@@ -189,7 +191,7 @@ def main() -> None:
 
         res = hyperball(
             edges, max_rounds=args.max_supersteps,
-            directed=not args.undirected,
+            directed=not args.undirected, centrality=args.centrality,
         )
         out = res.balls
         summary["supersteps"] = res.rounds

@@ -45,7 +45,7 @@ def _alpha(m: int) -> float:
 @dataclass
 class HyperBallResult:
     neighborhood_function: DataFrame  # (r, nf_estimate double)
-    balls: DataFrame  # (vertex, ball_size double) at the last round
+    balls: DataFrame  # (vertex, ball_size double[, harmonic_centrality])
     effective_diameter: float | None
     rounds: int
     converged: bool  # NF reached its fixpoint before max_rounds
@@ -108,13 +108,22 @@ def hyperball(
     quantile: float = 0.9,
     directed: bool = True,
     portable: bool = False,
+    centrality: bool = False,
 ) -> HyperBallResult:
     """Neighborhood function NF(r) for r = 0..convergence and the
     q-effective diameter (smallest r with NF(r) ≥ q·NF(final)).
 
     ``directed=True`` computes OUT-balls (vertices reachable FROM v);
     the merge therefore pulls each successor's ball INTO its
-    predecessors: B(v, r+1) = B(v, r) ∪ ⋃_{v→w} B(w, r)."""
+    predecessors: B(v, r+1) = B(v, r) ∪ ⋃_{v→w} B(w, r).
+
+    ``centrality=True`` additionally accumulates HARMONIC CENTRALITY —
+    HyperBall's headline application (Boldi & Vigna 2013):
+    ``H(v) = Σ_{u≠v} 1/d(v,u) ≈ Σ_r (|B(v,r)| − |B(v,r−1)|)/r``, the
+    per-round ball increment weighted by 1/r.  The accumulator is one
+    extra double column riding the superstep state — no extra shuffle
+    (it joins the per-round estimates, which the state already holds).
+    Output column ``harmonic_centrality`` on ``balls``."""
     m = 1 << p
     e = (
         edges.select("src", "dst")
@@ -141,6 +150,14 @@ def hyperball(
         ).collect()[0]
         return float(row["nf"] or 0.0)
 
+    if centrality:
+        state = state.select(
+            "vertex",
+            "regs",
+            _estimate(F.col("regs"), m).alias("est"),
+            F.lit(0.0).alias("hc"),
+        ).localCheckpoint(eager=True)
+
     curve = [(0, nf(state))]
     rounds = 0
     converged = False
@@ -156,18 +173,34 @@ def hyperball(
             .groupBy("vertex", "ri")
             .agg(F.max("val").alias("val"))
         )
-        new = (
-            contrib.groupBy("vertex")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ri", "val"))
-                    ),
-                    lambda s: s["val"],
-                ).alias("regs")
-            )
-            .localCheckpoint(eager=True)
+        new = contrib.groupBy("vertex").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ri", "val"))
+                ),
+                lambda s: s["val"],
+            ).alias("regs")
         )
+        if centrality:
+            # harmonic accumulator: ball increment this round / r
+            # (clamped at 0 — the estimator can jitter down an ulp);
+            # one vertex-key join against the previous state, which the
+            # groupBy already partitioned compatibly
+            prev = state.select("vertex", "est", "hc")
+            new = new.join(prev, "vertex").select(
+                "vertex",
+                "regs",
+                _estimate(F.col("regs"), m).alias("est"),
+                (
+                    F.col("hc")
+                    + F.greatest(
+                        _estimate(F.col("regs"), m) - F.col("est"),
+                        F.lit(0.0),
+                    )
+                    / F.lit(float(rounds))
+                ).alias("hc"),
+            )
+        new = new.localCheckpoint(eager=True)
         state.unpersist()
         state = new
         cur = nf(state)
@@ -190,9 +223,13 @@ def hyperball(
             if v >= quantile * final_nf:
                 eff = float(r)
                 break
-    balls = state.select(
-        "vertex", F.round(_estimate(F.col("regs"), m), 3).alias("ball_size")
-    )
+    ball_cols = [
+        "vertex",
+        F.round(_estimate(F.col("regs"), m), 3).alias("ball_size"),
+    ]
+    if centrality:
+        ball_cols.append(F.round(F.col("hc"), 3).alias("harmonic_centrality"))
+    balls = state.select(*ball_cols)
     return HyperBallResult(
         neighborhood_function=nf_df,
         balls=balls,

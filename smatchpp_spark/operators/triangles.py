@@ -175,8 +175,10 @@ def triangle_count_approx(
     probability p, count triangles EXACTLY on the sample, scale counts by
     p^-3 (each surviving triangle needed its 3 edges kept).  Unbiased,
     and the wedge-join work drops by ~p² — the scale path for graphs
-    where exact counting's Σd² cost is the bottleneck (our own 1x→10x
-    sweep puts exact triangles at exponent 0.634, vs 0.22 sampled).
+    where exact counting's Σd² cost is the bottleneck (exact triangles
+    is consistently the highest exponent in our 1x→10x sweep and the
+    sampled path a fraction of it; current numbers in
+    BENCH/SCALE_SWEEP.md).
 
     Sampling is DETERMINISTIC: an edge survives iff
     ``hash(canonical 'a|b' key) mod 1e6 < p·1e6`` — rerunning, resuming,

@@ -418,3 +418,47 @@ def test_hyperball_undirected_ball_sizes(spark):
     for r in res.balls.collect():
         want = 8 if int(r.vertex) < 100 else 5
         assert r.ball_size == pytest.approx(want, rel=0.25), r
+
+
+def test_hyperball_harmonic_centrality_vs_exact(spark):
+    """centrality=True accumulates harmonic centrality H(v) = Σ 1/d(v,u);
+    compared against the exact BFS value with sketch-level tolerance,
+    and the ranking of the clear top vertex must match."""
+    from smatchpp_spark.operators.hyperball import hyperball
+
+    # star core + path tail: hub 0 has clearly dominant centrality
+    pairs = [(0, i) for i in range(1, 10)] + [(9, 10), (10, 11), (11, 12)]
+    res = hyperball(
+        _edges_df(spark, pairs), p=8, directed=True, centrality=True
+    )
+    assert res.converged
+    got = {r.vertex: r.harmonic_centrality for r in res.balls.collect()}
+
+    adj = {}
+    verts = set()
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        verts.add(a)
+        verts.add(b)
+    exact = {}
+    for v in verts:
+        dist = {v: 0}
+        frontier = [v]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        exact[str(v)] = sum(1.0 / dd for u, dd in dist.items() if dd > 0)
+
+    assert set(got) == set(exact)
+    for v in exact:
+        assert got[v] == pytest.approx(exact[v], rel=0.15, abs=0.3), (
+            v, got[v], exact[v],
+        )
+    assert max(got, key=got.get) == max(exact, key=exact.get) == "0"

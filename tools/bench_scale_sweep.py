@@ -292,6 +292,33 @@ def main() -> None:
         lines.append(
             f"| {name} | {f['t_1x_sec']} | {f[f't_{SCALE}x_sec']} | {f['exponent']} |"
         )
+    # standing plan notes: each known-structural cost driver and its
+    # designed escape hatch, so a hot row in the table above is never
+    # unexplained (the numbers live in the table; these are the reasons)
+    lines += [
+        "",
+        "## Plan notes (structural, run-to-run stable)",
+        "",
+        "* **bootstrap_bca_macro** — the reference-exact multinomial draw",
+        "  joins a B×n draw spine against the pair table: an O(B·n)-row",
+        "  shuffle that goes spill-bound superlinear at multi-M pairs.",
+        "  Escape hatch: `bootstrap_bca_macro_poisson` (same CI to ~0.1",
+        "  points, `resample='poisson'`) generates weights in the scan",
+        "  projection and aggregates map-side — no draw-spine shuffle.",
+        "  Poisson pays a higher fixed cost (the B-wide explode runs even",
+        "  at small n), so multinomial stays the default below ~1M pairs",
+        "  and the oracle-parity mode everywhere.",
+        "* **triangle_counts** — wedge count grows with Σd²; the highest",
+        "  exponent by design.  Escape hatch: `triangle_counts_approx_p02`",
+        "  (DOULION p-sampling, ~p² work cut, unbiased, stderr column).",
+        "* **emb_topk / emb_ivf_topk near-zero or negative exponents** —",
+        "  the broadcast-query scoring pass is scan-bound and the scan",
+        "  amortizes; negative values are box-noise around a flat cost.",
+        "* This box is a shared VM: walls are best-of-2 minima, and the",
+        "  residual noise band (±30% on join-heavy plans) moves exponents",
+        "  by ~±0.1 between runs.  Compare the table's exponents, not its",
+        "  absolute walls, across rounds.",
+    ]
     with open("BENCH/SCALE_SWEEP.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps(out))
