@@ -436,6 +436,89 @@ def _personalized_pagerank_sql(
     return "\n".join(parts)
 
 
+def _walks_sql(walk_length: int = 3, seed: int = 7) -> str:
+    """Unrolled random-walk oracle over the supplier↔nation graph:
+    neighbor index via the same (src, dst-ordered) row_number, each
+    step's choice replayed with the portable md5 hash of the identical
+    'walk_id#step#k#seed' key; stopped walks stop extending."""
+    parts = [
+        "WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,",
+        "                    s_suppkey % 2 = 0 AS even FROM supplier),",
+        "e AS (SELECT sv AS src, nv AS dst FROM sup",
+        "      UNION SELECT nv, sv FROM sup WHERE even),",
+        "ee AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),",
+        "nbr AS MATERIALIZED (SELECT src, dst,",
+        "      ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,",
+        "      COUNT(*) OVER (PARTITION BY src) AS deg FROM ee),",
+        "v AS (SELECT src AS vertex FROM ee UNION SELECT dst FROM ee),",
+        "w0 AS (SELECT vertex || '#0' AS walk_id, vertex AS cur,",
+        "       vertex AS path_str, FALSE AS stopped FROM v),",
+    ]
+    for k in range(1, walk_length + 1):
+        h = duckdb_hash64_sql(f"w.walk_id || '#step#{k}#{seed}'")
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT w.walk_id, "
+            f"COALESCE(n.dst, w.cur) AS cur, "
+            f"CASE WHEN n.dst IS NULL THEN w.path_str "
+            f"ELSE w.path_str || '>' || n.dst END AS path_str, "
+            f"(w.stopped OR n.dst IS NULL) AS stopped "
+            f"FROM w{k-1} w LEFT JOIN nbr n "
+            f"ON (NOT w.stopped) AND n.src = w.cur AND n.idx = {h} % n.deg),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT walk_id, "
+        f"split_part(path_str, '>', 1) AS start, path_str FROM w{walk_length}"
+    )
+    return "\n".join(parts)
+
+
+def _dedup_clusters_sql(
+    threshold: float = 0.5, num_hashes: int = 8, band_size: int = 2
+) -> str:
+    """Full dedup-clustering oracle: minhash bands (shared with
+    _neardup_sql) → exact shingle-Jaccard ≥ threshold → recursive
+    min-label connected components → (doc_id, cluster_id,
+    is_canonical)."""
+    sig = _sig_cols(num_hashes)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b // band_size} AS band_idx, "
+        + _h(
+            "("
+            + " || ',' || ".join(
+                f"CAST(sig_{i} AS VARCHAR)" for i in range(b, b + band_size)
+            )
+            + ")"
+        )
+        + " AS band_hash FROM sigs"
+        for b in range(0, num_hashes, band_size)
+    )
+    return f"""
+WITH RECURSIVE t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS MATERIALIZED (SELECT doc_id, {SQL_SHINGLES} AS sh FROM t),
+sigs AS (SELECT doc_id, {sig} FROM s),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+ver AS MATERIALIZED (
+  SELECT da, db FROM cand
+  JOIN s sa ON sa.doc_id = cand.da
+  JOIN s sb ON sb.doc_id = cand.db
+  WHERE CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+        ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) END
+        >= {threshold!r}),
+und AS (SELECT da AS src, db AS dst FROM ver
+        UNION SELECT db, da FROM ver),
+reach(v, l) AS (SELECT src, src FROM und
+                UNION
+                SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.v)
+SELECT v AS doc_id, MIN(l) AS cluster_id, v = MIN(l) AS is_canonical
+FROM reach GROUP BY v
+"""
+
+
 def _hyperball_sql(rounds: int = 3) -> str:
     """Unrolled HyperBall oracle over the supplier↔nation graph:
     registers as (vertex, ri, val) rows, portable md5 hash (the exact
@@ -895,6 +978,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hyperball_nf"] = _hyperball
 
+    def _walks(spark, sf):
+        from smatchpp_spark.operators.walks import random_walks
+
+        # deterministic DeepWalk corpus over the supplier↔nation graph;
+        # portable hash so the oracle replays every step choice exactly
+        s = _read(spark, sf, "supplier")
+        fwd = s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        )
+        back = s.filter(F.col("s_suppkey") % 2 == 0).select(
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("dst"),
+        )
+        w = random_walks(
+            fwd.unionByName(back), walk_length=3, walks_per_vertex=1,
+            seed=7, portable=True,
+        )
+        return w.select(
+            "walk_id", "start", F.array_join("path", ">").alias("path_str")
+        )
+
+    q["random_walks"] = _walks
+
+    def _dup_clusters(spark, sf):
+        from smatchpp_spark.pipeline import dedup
+
+        return dedup.duplicate_clusters(
+            _read(spark, sf, "documents"), threshold=0.5,
+            num_hashes=8, band_size=2, portable=True,
+        )
+
+    q["dedup_clusters"] = _dup_clusters
+
     def _kcore(spark, sf):
         from smatchpp_spark.operators.kcore import k_core
 
@@ -1326,6 +1443,8 @@ SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
 FROM per_c
 """,
         "hyperball_nf": _hyperball_sql(),
+        "random_walks": _walks_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "strongly_connected_components": """
 WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,
                     s_suppkey % 2 = 0 AS even

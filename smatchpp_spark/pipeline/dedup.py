@@ -322,3 +322,49 @@ def neardup_pairs_embedding(
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rounds: int = 30,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS with a canonical representative — the
+    full training-data dedup composition: MinHash-LSH candidates →
+    exact-Jaccard verification (``neardup_pairs_jaccard``) → hash-min
+    connected components over the duplicate-pair graph
+    (operators/components.py) → keep/drop decision per document.
+
+    Output: one row per document that belongs to a duplicate cluster —
+    ``(doc_id, cluster_id, is_canonical)`` with ``cluster_id`` = the
+    minimum doc id in the cluster and ``is_canonical`` true on exactly
+    that id (the standard keep-lowest policy; callers anti-join
+    ``is_canonical = false`` rows to drop duplicates).  Documents with
+    no near-duplicate are absent (they keep themselves trivially).
+
+    Scale shape: the pair graph is SPARSE (LSH-bucketed candidate
+    generation, never all-pairs), so CC over it touches only documents
+    with at least one duplicate — a tiny fraction of the corpus at
+    real-world duplication rates.
+    """
+    from smatchpp_spark.operators.components import connected_components
+
+    pairs = neardup_pairs_jaccard(
+        docs, threshold=threshold, text_col=text_col, id_col=id_col,
+        **minhash_kwargs,
+    )
+    # keep the native id type: min-label CC then yields the NUMERIC
+    # minimum as cluster id for integer ids (a string cast would make
+    # it lexicographic — "10" < "9")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges, max_supersteps=max_rounds)
+    return cc.components.select(
+        F.col("vertex").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("vertex") == F.col("component")).alias("is_canonical"),
+    )

@@ -1,0 +1,128 @@
+"""Random-walk generation + dedup clustering vs pure-python replays."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+
+
+def _portable_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _py_walks(pairs, walk_length, walks_per_vertex, seed):
+    nbrs = {}
+    verts = set()
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        verts.add(a)
+        verts.add(b)
+    out = {}
+    for v in sorted(verts):
+        for w in range(walks_per_vertex):
+            wid = f"{v}#{w}"
+            path = [v]
+            cur = v
+            for k in range(1, walk_length + 1):
+                nb = sorted(nbrs.get(cur, ()))
+                if not nb:
+                    break
+                h = _portable_hash(f"{wid}#step#{k}#{seed}")
+                cur = nb[h % len(nb)]
+                path.append(cur)
+            out[wid] = path
+    return out
+
+
+def test_random_walks_match_python_replay(spark):
+    """Every walk — id, start, full path — reproduces the pure-python
+    replay of the same hash draws (portable mode); walks truncate at
+    dead ends; walks_per_vertex fans out ids."""
+    from smatchpp_spark.operators.walks import random_walks
+
+    rng = random.Random(4)
+    pairs = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(70)})
+    pairs.append((100, 101))  # 101 is a dead end
+    edges = _edges_df(spark, pairs)
+
+    res = random_walks(
+        edges, walk_length=4, walks_per_vertex=2, seed=9, portable=True
+    )
+    got = {r.walk_id: (r.start, list(r.path)) for r in res.collect()}
+    want = _py_walks(pairs, walk_length=4, walks_per_vertex=2, seed=9)
+    assert set(got) == set(want)
+    for wid, path in want.items():
+        assert got[wid] == (path[0], path), wid
+
+    # dead-end start: the walk is just the start vertex
+    assert got["101#0"] == ("101", ["101"])
+
+    # fast-hash mode: same shape (ids, starts, lengths bounded), still
+    # deterministic run-to-run
+    f1 = random_walks(edges, walk_length=3, seed=9).collect()
+    f2 = random_walks(edges, walk_length=3, seed=9).collect()
+    k = lambda r: (r.walk_id, tuple(r.path))
+    assert sorted(map(k, f1)) == sorted(map(k, f2))
+    assert all(len(r.path) <= 4 for r in f1)
+
+
+def test_random_walks_edges_are_real(spark):
+    """Every consecutive (path[i], path[i+1]) is a real edge."""
+    from smatchpp_spark.operators.walks import random_walks
+
+    rng = random.Random(12)
+    pairs = sorted({(rng.randrange(15), rng.randrange(15)) for _ in range(40)})
+    eset = {(str(a), str(b)) for a, b in pairs if a != b}
+    res = random_walks(
+        _edges_df(spark, pairs), walk_length=5, walks_per_vertex=1, seed=2
+    ).collect()
+    for r in res:
+        for x, y in zip(r.path, r.path[1:]):
+            assert (x, y) in eset, (r.walk_id, r.path)
+
+
+def test_duplicate_clusters(spark):
+    """duplicate_clusters: near-identical docs land in one cluster with
+    the minimum id canonical; unique docs are absent."""
+    from smatchpp_spark.pipeline import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, base.replace("quick", "quick very")),
+            (10, "completely different text about spark dataframes and "
+                 "shuffle partitions in a distributed engine"),
+            (11, "completely different text about spark dataframes and "
+                 "shuffle partitions in a distributed engine today"),
+            (20, "a unique snowflake document with nothing in common "
+                 "with any other row present here at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.duplicate_clusters(
+        docs, threshold=0.4, num_hashes=8, band_size=2
+    ).collect()
+    by_doc = {r.doc_id: (r.cluster_id, r.is_canonical) for r in out}
+    assert 20 not in by_doc  # unique doc keeps itself, absent from output
+    assert by_doc[1] == (1, True)
+    assert by_doc[2] == (1, False)
+    assert by_doc[3] == (1, False)
+    assert by_doc[10] == (10, True)
+    assert by_doc[11] == (10, False)

@@ -64,6 +64,26 @@ CHECKS = {
         ("ReadSchema: struct<o_orderkey:bigint>",
          "stats derivation reads ONE of 9 orders columns"),
     ],
+    "linkpred_common_neighbors": [
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+         "edge derivation reads 2 of 11 lineitem columns"),
+        ("HashAggregate",
+         "pair scores accumulate with map-side partial aggregation"),
+        ("codegen id",
+         "wedge join + score projection stay in whole-stage codegen"),
+    ],
+    "clustering_coefficient": [
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+         "the co-purchase wedge pipeline scans only the 2 key columns"),
+        ("HashAggregate",
+         "degree and corner counts combine map-side (hub-safe)"),
+    ],
+    "degree_assortativity": [
+        ("HashAggregate",
+         "the whole statistic is ONE global moment aggregation — "
+         "partials combine map-side, a single row reaches the driver"),
+        ("codegen id", "moment arithmetic inside whole-stage codegen"),
+    ],
     "multimodal_features": [
         ("ReadSchema: struct<doc_id:bigint,text:string>",
          "only (doc_id, text) reach the Arrow kernel; payload metadata "
