@@ -657,20 +657,41 @@ def _bfs_sql(depth: int) -> str:
     return "\n".join(parts)
 
 
-def _lpa_sql(iters: int) -> str:
+def _lpa_sql(iters: int, weighted: bool = False) -> str:
+    # weighted: votes = Σ edge weight (parallel + reverse edges sum),
+    # mirroring label_propagation(weight_col=...)
+    if weighted:
+        edge = (
+            "SELECT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst, "
+            "CAST(s_suppkey % 4 + 1 AS DOUBLE) AS wt FROM supplier"
+        )
+        und = (
+            "und AS (SELECT vertex, nbr, SUM(w) AS w FROM ("
+            "SELECT src AS vertex, dst AS nbr, wt AS w FROM e "
+            "UNION ALL SELECT dst, src, wt FROM e) GROUP BY vertex, nbr),"
+        )
+        votes = "SUM(w)"
+    else:
+        edge = SQL_E_SUPP
+        und = (
+            "und AS (SELECT src AS vertex, dst AS nbr FROM e "
+            "UNION SELECT dst, src FROM e),"
+        )
+        votes = "COUNT(*)"
     parts = [
-        f"WITH e AS ({SQL_E_SUPP}),",
-        "und AS (SELECT src AS vertex, dst AS nbr FROM e UNION SELECT dst, src FROM e),",
+        f"WITH e AS ({edge}),",
+        und,
         "v AS (SELECT DISTINCT vertex FROM und),",
         "l0 AS (SELECT vertex, vertex AS label FROM v),",
     ]
+    mcols = "u.vertex, l.label" + (", u.w" if weighted else "")
     for k in range(1, iters + 1):
         p = f"l{k-1}"
         parts.append(
-            f"m{k} AS (SELECT u.vertex, l.label FROM {p} l JOIN und u ON u.nbr = l.vertex),"
+            f"m{k} AS (SELECT {mcols} FROM {p} l JOIN und u ON u.nbr = l.vertex),"
         )
         parts.append(
-            f"c{k} AS (SELECT vertex, label, COUNT(*) AS votes FROM m{k} GROUP BY vertex, label),"
+            f"c{k} AS (SELECT vertex, label, {votes} AS votes FROM m{k} GROUP BY vertex, label),"
         )
         parts.append(
             f"p{k} AS (SELECT vertex, label FROM ("
@@ -1049,6 +1070,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(_e_supp(spark, sf), max_supersteps=LPA_STEPS).labels
 
     q["label_propagation"] = _lpa
+
+    def _lpa_weighted(spark, sf):
+        # integer-valued weights keep distributed vote sums float-exact
+        s = _read(spark, sf, "supplier")
+        we = s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+            (F.pmod(F.col("s_suppkey"), F.lit(4)) + 1).cast("double").alias("wt"),
+        )
+        r = label_propagation(we, max_supersteps=LPA_STEPS, weight_col="wt")
+        return r.labels
+
+    q["label_propagation_weighted"] = _lpa_weighted
 
     def _tri(spark, sf):
         return triangle_count(_e_co(spark, sf)).per_vertex
@@ -1508,6 +1542,7 @@ SELECT op,
 FROM per GROUP BY op
 """,
         "label_propagation": _lpa_sql(LPA_STEPS),
+        "label_propagation_weighted": _lpa_sql(LPA_STEPS, weighted=True),
         "triangle_counts": f"""
 WITH raw AS ({SQL_E_CO}),
 c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),

@@ -29,7 +29,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["pagerank", "components", "components_twophase",
                             "labelprop", "triangles", "degrees", "kcore",
                             "bfs", "scc", "hyperball", "clustering",
-                            "linkpred"])
+                            "linkpred", "walks"])
+    p.add_argument("--walk-length", type=int, default=5)
+    p.add_argument("--walks-per-vertex", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
     p.add_argument("--method", default="adamic_adar",
                    help="linkpred: common_neighbors | adamic_adar | "
                         "resource_allocation")
@@ -211,6 +214,13 @@ def main() -> None:
         out = linkpred_scores(
             edges, method=args.method, top_k=args.top_k,
             max_pivot_degree=args.max_pivot_degree,
+        )
+    elif args.op == "walks":
+        from smatchpp_spark.operators.walks import random_walks
+
+        out = random_walks(
+            edges, walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex, seed=args.seed,
         )
     else:  # degrees
         from smatchpp_spark.operators.degrees import degrees

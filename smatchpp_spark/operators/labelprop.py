@@ -41,33 +41,61 @@ def label_propagation(
     resume: bool = False,
     num_partitions: int | None = None,
     input_lineage: str = "",
+    weight_col: str | None = None,
 ) -> LabelPropResult:
+    """``weight_col`` switches to WEIGHTED label propagation: a neighbor
+    votes with its edge weight instead of 1 (parallel and reverse-
+    duplicate edges SUM their weights — the standard collapse).  Weights
+    must be positive; integer-valued weights keep the distributed vote
+    sums float-exact, so ties stay deterministic cross-engine (same
+    reasoning as weighted PageRank's quantity weights)."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    undirected = (
-        edges.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
-        .unionByName(
-            edges.select(F.col("dst").alias("vertex"), F.col("src").alias("nbr"))
+    if weight_col is None:
+        undirected = (
+            edges.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
+            .unionByName(
+                edges.select(F.col("dst").alias("vertex"), F.col("src").alias("nbr"))
+            )
+            .distinct()
+            .repartition(num_partitions, "nbr")
+            .persist()
         )
-        .distinct()
-        .repartition(num_partitions, "nbr")
-        .persist()
-    )
+    else:
+        undirected = (
+            edges.select(
+                F.col("src").alias("vertex"),
+                F.col("dst").alias("nbr"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .unionByName(
+                edges.select(
+                    F.col("dst").alias("vertex"),
+                    F.col("src").alias("nbr"),
+                    F.col(weight_col).cast("double").alias("w"),
+                )
+            )
+            .groupBy("vertex", "nbr")
+            .agg(F.sum("w").alias("w"))
+            .repartition(num_partitions, "nbr")
+            .persist()
+        )
     n_msgs = undirected.count()
     vertices = undirected.select("vertex").distinct()
     init = vertices.select("vertex", F.col("vertex").alias("label"))
 
     def step(state: DataFrame, k: int) -> DataFrame:
-        msgs = (
-            state.withColumnRenamed("vertex", "nbr")
-            .join(undirected, "nbr")
-            .select("vertex", "label")
-        )
-        counted = msgs.groupBy("vertex", "label").agg(
-            F.count(F.lit(1)).alias("votes")
-        )
+        msgs = state.withColumnRenamed("vertex", "nbr").join(undirected, "nbr")
+        if weight_col is None:
+            counted = msgs.select("vertex", "label").groupBy(
+                "vertex", "label"
+            ).agg(F.count(F.lit(1)).alias("votes"))
+        else:
+            counted = msgs.select("vertex", "label", "w").groupBy(
+                "vertex", "label"
+            ).agg(F.sum("w").alias("votes"))
         # most votes wins; ties -> smallest label (deterministic).  One
         # partial-aggregable groupBy: min over struct(-votes, label) is
         # lexicographic — highest vote count first, then the smallest

@@ -741,3 +741,60 @@ def test_triangle_approx_stderr_matches_empirical_spread(spark):
     a = triangle_count_approx(edges, sample_rate=p, portable=False)
     b = triangle_count_approx(edges, sample_rate=p, portable=False, sample_offset=0)
     assert a.total_estimate == b.total_estimate
+
+
+def test_weighted_label_propagation_vs_python(spark):
+    """Weighted LPA: votes = summed edge weight; unit weights reproduce
+    the unweighted run; a heavy edge overrides a count majority."""
+    from pyspark.sql import functions as SF
+
+    from smatchpp_spark.operators.labelprop import label_propagation
+
+    # vertex 9 has two light neighbors in clique A and one heavy edge
+    # into clique B: weighted LPA should pull 9 toward B's label
+    cliqueA = [(1, 2), (1, 3), (2, 3)]
+    cliqueB = [(20, 21), (20, 22), (21, 22)]
+    W = {e: 1.0 for e in cliqueA + cliqueB}
+    W[(1, 9)] = 1.0
+    W[(2, 9)] = 1.0
+    W[(20, 9)] = 10.0
+    edges = spark.createDataFrame(
+        [(str(a), str(b), w) for (a, b), w in W.items()],
+        "src string, dst string, wt double",
+    )
+    # one superstep is fully deterministic: 9 sees labels 1 (w 1),
+    # 2 (w 1), 20 (w 10) -> the heavy edge wins over the count majority
+    one = label_propagation(edges, max_supersteps=1, weight_col="wt")
+    g1 = {r.vertex: r.label for r in one.labels.collect()}
+    assert g1["9"] == "20"
+
+    res = label_propagation(edges, max_supersteps=8, weight_col="wt")
+    got = {r.vertex: r.label for r in res.labels.collect()}
+
+    # python replay of the synchronous weighted rule (ties -> min label)
+    und = {}
+    for (a, b), w in W.items():
+        und.setdefault(str(a), {})[str(b)] = und.get(str(a), {}).get(str(b), 0.0) + w
+        und.setdefault(str(b), {})[str(a)] = und.get(str(b), {}).get(str(a), 0.0) + w
+    labels = {v: v for v in und}
+    for _ in range(8):
+        new = {}
+        for v, nbrs in und.items():
+            votes = {}
+            for u, w in nbrs.items():
+                votes[labels[u]] = votes.get(labels[u], 0.0) + w
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    assert got == labels
+
+    # unit weights == unweighted result
+    uw = label_propagation(
+        edges.select("src", "dst"), max_supersteps=5
+    ).labels.collect()
+    w1 = label_propagation(
+        edges.withColumn("wt", SF.lit(1.0)), max_supersteps=5, weight_col="wt"
+    ).labels.collect()
+    assert sorted(map(tuple, uw)) == sorted(map(tuple, w1))

@@ -156,3 +156,10 @@ def test_linkgraph_job_new_ops(spark, tmp_path, monkeypatch, capsys):
          "--top-k", "3", "-o", str(tmp_path / "lp")],
     )
     assert 0 < s["rows"] <= 3
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "walks", "--edges", epath, "--walk-length", "3",
+         "--walks-per-vertex", "2", "-o", str(tmp_path / "wk")],
+    )
+    assert s["rows"] == 10  # 5 vertices x 2 walks

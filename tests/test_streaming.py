@@ -183,3 +183,43 @@ def test_stream_window_indegree_matches_batch(spark):
     assert by_window[wins[0]] == ("x", 2)
     # window 10:01: y (e,f) beats x (d)
     assert by_window[wins[1]] == ("y", 2)
+
+
+def test_stream_dedup_exact_matches_batch(spark):
+    """Streaming exact dedup (watermark-bounded state) keeps exactly one
+    row per content key and agrees with the batch dropDuplicates form
+    when duplicates arrive within one watermark span."""
+    import datetime as dt
+
+    from smatchpp_spark.streaming.dedup import stream_dedup_exact
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    texts = ["alpha doc", "beta doc", "gamma doc"]
+    for i in range(30):
+        rows.append((i, t0 + dt.timedelta(seconds=10 * i), texts[i % 3]))
+    df = spark.createDataFrame(rows, "row_id long, ts timestamp, text string")
+
+    batch = stream_dedup_exact(df, text_col="text")
+    assert batch.count() == 3
+    assert {r.text for r in batch.collect()} == set(texts)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "docs")
+        df.write.parquet(src)
+        got = _stream_to_memory(
+            spark, src, df.schema,
+            lambda s: stream_dedup_exact(s, text_col="text"),
+            "dedup_mem",
+        )
+        out = got.collect()
+    assert len(out) == 3
+    assert {r.text for r in out} == set(texts)
+
+    # explicit key columns work too; missing both raises
+    byid = stream_dedup_exact(df.withColumn("k", F.col("row_id") % 5), ["k"])
+    assert byid.count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_dedup_exact(df)
