@@ -34,6 +34,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smatchpp_spark.operators.supersteps import SuperstepRunner
+
 # alpha_m bias constant for m = 2^p registers (Flajolet et al. 2007)
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
@@ -109,6 +111,8 @@ def hyperball(
     directed: bool = True,
     portable: bool = False,
     centrality: bool = False,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> HyperBallResult:
     """Neighborhood function NF(r) for r = 0..convergence and the
     q-effective diameter (smallest r with NF(r) ≥ q·NF(final)).
@@ -158,13 +162,10 @@ def hyperball(
             F.lit(0.0).alias("hc"),
         ).localCheckpoint(eager=True)
 
-    curve = [(0, nf(state))]
-    rounds = 0
-    converged = False
-    for rounds in range(1, max_rounds + 1):
-        ex = state.select(
-            "vertex", F.posexplode("regs").alias("ri", "val")
-        )
+    spark = edges.sparkSession
+
+    def step(st: DataFrame, k: int) -> DataFrame:
+        ex = st.select("vertex", F.posexplode("regs").alias("ri", "val"))
         # successor sketches flow to predecessors; own registers union in
         contrib = (
             e.join(ex, e["dst"] == ex["vertex"])
@@ -175,9 +176,7 @@ def hyperball(
         )
         new = contrib.groupBy("vertex").agg(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("ri", "val"))
-                ),
+                F.array_sort(F.collect_list(F.struct("ri", "val"))),
                 lambda s: s["val"],
             ).alias("regs")
         )
@@ -186,7 +185,7 @@ def hyperball(
             # (clamped at 0 — the estimator can jitter down an ulp);
             # one vertex-key join against the previous state, which the
             # groupBy already partitioned compatibly
-            prev = state.select("vertex", "est", "hc")
+            prev = st.select("vertex", "est", "hc")
             new = new.join(prev, "vertex").select(
                 "vertex",
                 "regs",
@@ -197,22 +196,43 @@ def hyperball(
                         _estimate(F.col("regs"), m) - F.col("est"),
                         F.lit(0.0),
                     )
-                    / F.lit(float(rounds))
+                    / F.lit(float(k))
                 ).alias("hc"),
             )
-        new = new.localCheckpoint(eager=True)
-        state.unpersist()
-        state = new
-        cur = nf(state)
-        curve.append((rounds, cur))
-        # HLL registers are monotone; identical NF estimate means every
-        # register hit its fixpoint (the estimate is a deterministic
-        # function of the registers) — in practice register equality
-        if cur == curve[-2][1]:
-            converged = True
-            break
+        return new
 
-    spark = edges.sparkSession
+    # NF curve rides the convergence test: each superstep computes the
+    # new state's NF once, appends it, and stops when it stopped moving
+    # (HLL registers are monotone, so an unchanged estimate means the
+    # register fixpoint).  Runs through SuperstepRunner: per-round regs
+    # checkpoint with metrics/lineage and resume mid-computation like
+    # every other iterative operator; on resume the curve prefix is
+    # rebuilt from the committed states.
+    runner = SuperstepRunner(
+        spark,
+        op="hyperball",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_rounds,
+        tol=0.0,
+    )
+    curve: list[tuple[int, float]] = []
+    if resume and runner.last_committed_superstep() is not None:
+        last = runner.last_committed_superstep()
+        for j in range(0, last + 1):
+            curve.append((j, nf(spark.read.parquet(runner._state_path(j)))))
+    else:
+        curve.append((0, nf(state)))
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        cur = nf(new)
+        prev = curve[-1][1]
+        curve.append((len(curve), cur))
+        return abs(cur - prev)
+
+    res = runner.run(state, step, delta, resume=resume)
+    state = res.state
+    rounds = res.supersteps
+    converged = res.converged
     nf_df = spark.createDataFrame(
         [(r, round(v, 3)) for r, v in curve], "r int, nf_estimate double"
     )

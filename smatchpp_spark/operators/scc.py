@@ -95,56 +95,72 @@ def strongly_connected_components(
     edges: DataFrame,
     max_rounds: int = 20,
     max_label_steps: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> SCCResult:
     """(vertex, scc) with scc = the minimum vertex id in the SCC —
     vertices on no cycle are singleton components labelled by
-    themselves.  Self-loops ignored; multi-edges collapsed."""
+    themselves.  Self-loops ignored; multi-edges collapsed.
+
+    Outer peel rounds run through SuperstepRunner: the superstep state
+    is the full ``(vertex, scc-nullable)`` table (unpeeled vertices
+    carry null), so a crashed run resumes at the committed round with
+    metrics/lineage like every other iterative operator.  The round's
+    surviving edge set is re-derived from the null slice by two
+    semi-joins — one-table state keeps resume trivial, at the cost of
+    one edge-filter job per round (the inner fixpoints then iterate on
+    the filtered localCheckpoint, never re-filtering per step)."""
+    from smatchpp_spark.operators.supersteps import SuperstepRunner
+
     spark = edges.sparkSession
-    e = (
+    e0 = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     verts = (
-        e.select(F.col("src").alias("vertex"))
-        .unionByName(e.select(F.col("dst").alias("vertex")))
+        e0.select(F.col("src").alias("vertex"))
+        .unionByName(e0.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    done: DataFrame | None = None
-    rounds = 0
-    converged = False
-    for rounds in range(1, max_rounds + 1):
-        f = _min_label_fixpoint(verts, e, max_label_steps)
+    init = verts.select(
+        "vertex",
+        F.lit(None).cast(verts.schema["vertex"].dataType).alias("scc"),
+    )
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        rem = state.filter(F.col("scc").isNull()).select("vertex")
+        keep = rem.select(F.col("vertex").alias("kv"))
+        e = (
+            e0.join(keep.withColumnRenamed("kv", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("kv", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        f = _min_label_fixpoint(rem, e, max_label_steps)
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        b = _min_label_fixpoint(verts, rev, max_label_steps)
+        b = _min_label_fixpoint(rem, rev, max_label_steps)
         peeled = (
             f.join(b.withColumnRenamed("lbl", "blbl"), "vertex")
             .filter(F.col("lbl") == F.col("blbl"))
-            .select("vertex", F.col("lbl").alias("scc"))
-            .localCheckpoint(eager=True)
+            .select("vertex", F.col("lbl").alias("new_scc"))
         )
-        done = peeled if done is None else done.unionByName(peeled)
-        remaining = verts.join(peeled, "vertex", "left_anti").localCheckpoint(
-            eager=True
+        return state.join(peeled, "vertex", "left").select(
+            "vertex", F.coalesce("scc", "new_scc").alias("scc")
         )
-        if remaining.isEmpty():
-            converged = True
-            break
-        keep = remaining.select(F.col("vertex").alias("k"))
-        e = (
-            e.join(keep.withColumnRenamed("k", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("k", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        verts = remaining
-    if not converged and done is not None:
-        done = done.unionByName(
-            verts.join(done, "vertex", "left_anti").select(
-                "vertex", F.lit(None).cast(done.schema["scc"].dataType).alias("scc")
-            )
-        )
-    if done is None:
-        done = spark.createDataFrame([], "vertex string, scc string")
-    return SCCResult(components=done, rounds=rounds, converged=converged)
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        # 0 exactly when every vertex is labelled — the fixpoint
+        return float(new.filter(F.col("scc").isNull()).count())
+
+    runner = SuperstepRunner(
+        spark,
+        op="scc",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_rounds,
+        tol=0.0,
+    )
+    res = runner.run(init, step, delta, resume=resume)
+    return SCCResult(
+        components=res.state, rounds=res.supersteps, converged=res.converged
+    )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from smatchpp_spark.functions.hashing import hash64
+from smatchpp_spark.operators.supersteps import SuperstepRunner
 
 
 def neighbor_index(edges: DataFrame) -> DataFrame:
@@ -64,6 +65,8 @@ def random_walks(
     seed: int = 42,
     portable: bool = False,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """One row per walk: ``(walk_id string, start vertex, path
     array<string>)`` — ``path[0]`` is the start vertex and the walk
@@ -71,7 +74,13 @@ def random_walks(
 
     ``walk_id`` = ``"<start>#<w>"`` for w in [0, walks_per_vertex) —
     stable across runs; the step-k neighbor choice is
-    ``hash(walk_id, 'step', k, seed) % deg``."""
+    ``hash(walk_id, 'step', k, seed) % deg``.
+
+    Runs through SuperstepRunner: the walk table is the superstep state,
+    so a crashed generation run resumes at the committed step and (the
+    draws being pure functions of walk_id and k) produces the identical
+    corpus; metrics/lineage follow the engine-wide contract.  Early-
+    stops only when every walk is at a dead end."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -83,7 +92,7 @@ def random_walks(
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
     )
-    state = vertices.select(
+    init = vertices.select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(walks_per_vertex - 1)),
@@ -93,9 +102,9 @@ def random_walks(
         F.col("v").alias("vertex"),
         F.array(F.col("v")).alias("path"),
         F.lit(False).alias("stopped"),
-    ).localCheckpoint(eager=True)
+    )
 
-    for k in range(1, walk_length + 1):
+    def step(state: DataFrame, k: int) -> DataFrame:
         draw = F.pmod(
             hash64(
                 F.concat_ws(
@@ -127,12 +136,22 @@ def random_walks(
                 F.col("dst").isNull().alias("stopped"),
             )
         )
-        state = stepped.unionByName(
-            state.filter(F.col("stopped"))
-        ).localCheckpoint(eager=True)
+        return stepped.unionByName(state.filter(F.col("stopped")))
 
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        # 0 only when every walk is stopped — the single early-exit
+        return float(new.filter(~F.col("stopped")).count())
+
+    runner = SuperstepRunner(
+        spark,
+        op="random_walks",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=walk_length,
+        tol=0.0,
+    )
+    res = runner.run(init, step, delta, resume=resume)
     nbr.unpersist()
-    return state.select(
+    return res.state.select(
         "walk_id",
         F.col("path")[0].alias("start"),
         "path",

@@ -462,3 +462,63 @@ def test_hyperball_harmonic_centrality_vs_exact(spark):
             v, got[v], exact[v],
         )
     assert max(got, key=got.get) == max(exact, key=exact.get) == "0"
+
+
+def test_hyperball_checkpoint_resume_identical(spark, tmp_path):
+    """hyperball through SuperstepRunner: a resumed run reproduces the
+    fresh run's NF curve, ball sizes, and effective diameter exactly,
+    and the metrics sink records every superstep."""
+    import os
+
+    from smatchpp_spark.operators.hyperball import hyperball
+
+    pairs = _rand_pairs(40, 150, seed=6)
+    edges = _edges_df(spark, pairs)
+    ckpt = str(tmp_path / "hb_ckpt")
+
+    fresh = hyperball(edges, p=6, max_rounds=20)
+    assert fresh.converged
+    curve1 = sorted(map(tuple, fresh.neighborhood_function.collect()))
+    balls1 = sorted(map(tuple, fresh.balls.collect()))
+
+    # interrupted run: 2 rounds committed, then resume to convergence
+    partial = hyperball(edges, p=6, max_rounds=2, checkpoint_dir=ckpt)
+    assert not partial.converged
+    assert os.path.exists(f"{ckpt}/hyperball/metrics.jsonl")
+    resumed = hyperball(
+        edges, p=6, max_rounds=20, checkpoint_dir=ckpt, resume=True
+    )
+    curve2 = sorted(map(tuple, resumed.neighborhood_function.collect()))
+    balls2 = sorted(map(tuple, resumed.balls.collect()))
+    assert curve1 == curve2
+    assert balls1 == balls2
+    assert resumed.effective_diameter == fresh.effective_diameter
+    assert resumed.converged
+
+
+def test_scc_checkpoint_resume_identical(spark, tmp_path):
+    """SCC through SuperstepRunner: a 1-round-interrupted run resumed
+    from checkpoint reproduces the fresh run's components exactly."""
+    import os
+
+    from smatchpp_spark.operators.scc import strongly_connected_components
+
+    pairs = _rand_pairs(24, 80, seed=14)
+    edges = _edges_df(spark, pairs)
+    ckpt = str(tmp_path / "scc_ckpt")
+
+    fresh = strongly_connected_components(edges, max_rounds=30)
+    assert fresh.converged
+    want = {r.vertex: r.scc for r in fresh.components.collect()}
+
+    partial = strongly_connected_components(
+        edges, max_rounds=1, checkpoint_dir=ckpt
+    )
+    assert os.path.exists(f"{ckpt}/scc/metrics.jsonl")
+    resumed = strongly_connected_components(
+        edges, max_rounds=30, checkpoint_dir=ckpt, resume=True
+    )
+    got = {r.vertex: r.scc for r in resumed.components.collect()}
+    assert resumed.converged
+    assert got == want
+    assert got == _py_tarjan(pairs)

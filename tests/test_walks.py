@@ -126,3 +126,31 @@ def test_duplicate_clusters(spark):
     assert by_doc[3] == (1, False)
     assert by_doc[10] == (10, True)
     assert by_doc[11] == (10, False)
+
+
+def test_random_walks_checkpoint_resume_identical(spark, tmp_path):
+    """Walk generation resumes mid-corpus: a run interrupted at step 2
+    and resumed produces the identical walk table (draws are pure
+    functions of walk_id and step)."""
+    import os
+
+    from smatchpp_spark.operators.walks import random_walks
+
+    rng = random.Random(31)
+    pairs = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    edges = _edges_df(spark, pairs)
+    ckpt = str(tmp_path / "walks_ckpt")
+
+    full = random_walks(edges, walk_length=5, seed=3, portable=True)
+    want = sorted((r.walk_id, tuple(r.path)) for r in full.collect())
+
+    random_walks(
+        edges, walk_length=2, seed=3, portable=True, checkpoint_dir=ckpt
+    )
+    assert os.path.exists(f"{ckpt}/random_walks/metrics.jsonl")
+    resumed = random_walks(
+        edges, walk_length=5, seed=3, portable=True,
+        checkpoint_dir=ckpt, resume=True,
+    )
+    got = sorted((r.walk_id, tuple(r.path)) for r in resumed.collect())
+    assert got == want
