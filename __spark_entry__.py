@@ -472,6 +472,66 @@ def _walks_sql(walk_length: int = 3, seed: int = 7) -> str:
     return "\n".join(parts)
 
 
+def _node2vec_sql(
+    walk_length: int = 3, seed: int = 11, p: float = 0.5, q: float = 2.0
+) -> str:
+    """Unrolled node2vec oracle: per step the full candidate list (one
+    row per out-neighbor), the return/stay/explore bias via a
+    prev-neighbor join, an ordered-window cumulative weight, and the
+    deterministic u-draw — all replayed with the identical float
+    literals and summation order as the Spark operator."""
+    rp, rq = repr(1.0 / p), repr(1.0 / q)
+    parts = [
+        "WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,",
+        "                    s_suppkey % 2 = 0 AS even FROM supplier),",
+        "e0 AS (SELECT sv AS src, nv AS dst FROM sup",
+        "       UNION SELECT nv, sv FROM sup WHERE even),",
+        "ee AS MATERIALIZED (SELECT DISTINCT src, dst, 1.0 AS ew",
+        "                    FROM e0 WHERE src <> dst),",
+        "v AS (SELECT src AS vertex FROM ee UNION SELECT dst FROM ee),",
+        "w0 AS (SELECT vertex || '#0' AS walk_id, vertex AS cur,",
+        "       CAST(NULL AS VARCHAR) AS prev, vertex AS path_str,",
+        "       FALSE AS stopped FROM v),",
+    ]
+    for k in range(1, walk_length + 1):
+        h = duckdb_hash64_sql(f"w.walk_id || '#step#{k}#{seed}'")
+        parts.append(
+            f"c{k} AS (SELECT w.walk_id, e.dst AS cand, w.cur, w.prev, "
+            f"w.path_str, e.ew * (CASE WHEN w.prev IS NULL THEN 1.0 "
+            f"WHEN e.dst = w.prev THEN {rp} "
+            f"WHEN pn.src IS NOT NULL THEN 1.0 ELSE {rq} END) AS wt, "
+            f"(CAST({h} % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u "
+            f"FROM w{k-1} w JOIN ee e ON e.src = w.cur AND NOT w.stopped "
+            f"LEFT JOIN ee pn ON pn.src = w.prev AND pn.dst = e.dst),"
+        )
+        parts.append(
+            f"r{k} AS (SELECT *, SUM(wt) OVER (PARTITION BY walk_id "
+            f"ORDER BY cand) AS cum, SUM(wt) OVER (PARTITION BY walk_id) "
+            f"AS tot FROM c{k}),"
+        )
+        parts.append(
+            f"pick{k} AS (SELECT walk_id, cand, cur, path_str FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY walk_id "
+            f"ORDER BY cand) AS rn FROM r{k} WHERE cum > u * tot) "
+            f"WHERE rn = 1),"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT w.walk_id, "
+            f"COALESCE(p.cand, w.cur) AS cur, "
+            f"CASE WHEN p.cand IS NULL THEN w.prev ELSE w.cur END AS prev, "
+            f"CASE WHEN p.cand IS NULL THEN w.path_str "
+            f"ELSE w.path_str || '>' || p.cand END AS path_str, "
+            f"(w.stopped OR p.cand IS NULL) AS stopped "
+            f"FROM w{k-1} w LEFT JOIN pick{k} p ON p.walk_id = w.walk_id),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT walk_id, "
+        f"split_part(path_str, '>', 1) AS start, path_str "
+        f"FROM w{walk_length}"
+    )
+    return "\n".join(parts)
+
+
 def _dedup_clusters_sql(
     threshold: float = 0.5, num_hashes: int = 8, band_size: int = 2
 ) -> str:
@@ -1023,6 +1083,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["random_walks"] = _walks
 
+    def _n2v(spark, sf):
+        from smatchpp_spark.operators.walks import biased_random_walks
+
+        s = _read(spark, sf, "supplier")
+        fwd = s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        )
+        back = s.filter(F.col("s_suppkey") % 2 == 0).select(
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("dst"),
+        )
+        w = biased_random_walks(
+            fwd.unionByName(back), walk_length=3, walks_per_vertex=1,
+            seed=11, p=0.5, q=2.0, portable=True,
+        )
+        return w.select(
+            "walk_id", "start", F.array_join("path", ">").alias("path_str")
+        )
+
+    q["node2vec_walks"] = _n2v
+
     def _dup_clusters(spark, sf):
         from smatchpp_spark.pipeline import dedup
 
@@ -1478,6 +1560,7 @@ FROM per_c
 """,
         "hyperball_nf": _hyperball_sql(),
         "random_walks": _walks_sql(),
+        "node2vec_walks": _node2vec_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "strongly_connected_components": """
 WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,

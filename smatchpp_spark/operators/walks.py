@@ -156,3 +156,165 @@ def random_walks(
         F.col("path")[0].alias("start"),
         "path",
     )
+
+
+def _weighted_choice_step(
+    candidates: DataFrame, k: int, seed: int, portable: bool
+) -> DataFrame:
+    """Pick ONE candidate row per walk by deterministic weighted choice:
+    u = hash(walk_id, step, seed) ∈ [0,1); the chosen row is the first
+    (in candidate order) whose cumulative weight exceeds u·Σw.
+
+    Input: (walk_id, cand, w [, carry...]).  The cumulative sum runs in
+    a window partitioned BY WALK — groups are candidate lists (≤ the
+    current vertex's degree), so no global sort and no skew beyond a
+    single hub's neighbor list; the ordered float cumsum is
+    deterministic (fixed candidate order), which keeps the draw
+    engine-replayable."""
+    from pyspark.sql import Window
+
+    u_hash = (
+        hash64(
+            F.concat_ws(
+                "#", F.col("walk_id"), F.lit("step"),
+                F.lit(k).cast("string"), F.lit(str(seed)),
+            ),
+            portable=True,
+        )
+        if portable
+        else F.xxhash64(F.col("walk_id"), F.lit(k), F.lit(seed))
+    )
+    u = (F.pmod(u_hash, F.lit(1_000_000)).cast("double") + 0.5) / 1_000_000.0
+    w_ord = Window.partitionBy("walk_id").orderBy("cand")
+    w_all = Window.partitionBy("walk_id")
+    ranked = candidates.select(
+        "*",
+        F.sum("w").over(w_ord).alias("_cum"),
+        F.sum("w").over(w_all).alias("_tot"),
+        u.alias("_u"),
+    )
+    picked = ranked.filter(
+        F.col("_cum") > F.col("_u") * F.col("_tot")
+    )
+    w_pick = Window.partitionBy("walk_id").orderBy("cand")
+    return (
+        picked.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .drop("_cum", "_tot", "_u", "_rn")
+    )
+
+
+def biased_random_walks(
+    edges: DataFrame,
+    walk_length: int = 5,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    p: float = 1.0,
+    q: float = 1.0,
+    weight_col: str | None = None,
+    portable: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """node2vec-style 2nd-order biased walks (Grover & Leskovec 2016,
+    public algorithm), composable with edge weights:
+
+    * step weight for candidate c from current vertex v with previous
+      vertex t: ``w(c) · bias`` where bias = 1/p if c == t (return),
+      1 if c is a neighbor of t (stay close), 1/q otherwise (explore);
+      the first step has no previous vertex — bias 1 everywhere.
+    * ``weight_col`` multiplies the per-edge weight w(c) in (else 1).
+
+    Unlike ``random_walks`` (uniform — one candidate row per walk per
+    step), the biased step MUST see the whole neighbor distribution:
+    per superstep the candidate join emits Σ_alive deg(cur) rows — the
+    same magnitude as one PageRank superstep's contrib table — then one
+    per-walk windowed cumsum picks the move.  The prev-neighbor test is
+    one more equi-join against the edge set on (prev, cand).  All draws
+    are deterministic hashes: reruns and the pure-python replay test
+    reproduce every walk exactly.
+
+    Output matches ``random_walks``: (walk_id, start, path).
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if weight_col is None:
+        e = edges.select("src", "dst", F.lit(1.0).alias("ew"))
+    else:
+        e = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("ew")
+        )
+    e = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("ew").alias("ew"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    e.count()
+    eset = e.select("src", "dst").persist()
+
+    vertices = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    state = vertices.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1)),
+                lambda w: F.concat(F.col("v"), F.lit("#"), w.cast("string")),
+            )
+        ).alias("walk_id"),
+        F.col("v").alias("vertex"),
+        F.lit(None).cast(vertices.schema["v"].dataType).alias("prev"),
+        F.array(F.col("v")).alias("path"),
+        F.lit(False).alias("stopped"),
+    ).localCheckpoint(eager=True)
+
+    for k in range(1, walk_length + 1):
+        alive = state.filter(~F.col("stopped"))
+        cands = (
+            alive.join(e, alive["vertex"] == e["src"])
+            .select(
+                "walk_id",
+                F.col("dst").alias("cand"),
+                "ew",
+                "prev",
+                F.col("path"),
+            )
+        )
+        # node2vec bias: join (prev, cand) against the edge set once
+        prev_nbr = eset.select(
+            F.col("src").alias("prev"), F.col("dst").alias("cand"),
+            F.lit(True).alias("is_pn"),
+        )
+        cands = cands.join(prev_nbr, ["prev", "cand"], "left").select(
+            "walk_id",
+            "cand",
+            "path",
+            (
+                F.col("ew")
+                * F.when(F.col("prev").isNull(), F.lit(1.0))
+                .when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.coalesce(F.col("is_pn"), F.lit(False)), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+            ).alias("w"),
+        )
+        chosen = _weighted_choice_step(cands, k, seed, portable).select(
+            "walk_id",
+            F.col("cand").alias("vertex"),
+            F.element_at(F.col("path"), -1).alias("prev"),
+            F.concat(F.col("path"), F.array(F.col("cand"))).alias("path"),
+            F.lit(False).alias("stopped"),
+        )
+        dead = alive.join(chosen.select("walk_id"), "walk_id", "left_anti").select(
+            "walk_id", "vertex", "prev", "path", F.lit(True).alias("stopped")
+        )
+        state = chosen.unionByName(dead).unionByName(
+            state.filter(F.col("stopped"))
+        ).localCheckpoint(eager=True)
+
+    e.unpersist()
+    eset.unpersist()
+    return state.select("walk_id", F.col("path")[0].alias("start"), "path")

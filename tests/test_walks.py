@@ -154,3 +154,89 @@ def test_random_walks_checkpoint_resume_identical(spark, tmp_path):
     )
     got = sorted((r.walk_id, tuple(r.path)) for r in resumed.collect())
     assert got == want
+
+
+def _py_biased_walks(pairs, walk_length, seed, p, q, weights=None):
+    """Pure-python replay of biased_random_walks (portable hash)."""
+    ew = {}
+    for i, (a, b) in enumerate(pairs):
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        w = 1.0 if weights is None else weights[i]
+        ew[(a, b)] = ew.get((a, b), 0.0) + w
+    nbrs = {}
+    verts = set()
+    for (a, b), w in ew.items():
+        nbrs.setdefault(a, {})[b] = w
+        verts.add(a)
+        verts.add(b)
+    out = {}
+    for v in sorted(verts):
+        wid = f"{v}#0"
+        path = [v]
+        prev = None
+        cur = v
+        for k in range(1, walk_length + 1):
+            cand = sorted(nbrs.get(cur, {}).items())
+            if not cand:
+                break
+            ws = []
+            for c, w in cand:
+                if prev is None:
+                    bias = 1.0
+                elif c == prev:
+                    bias = 1.0 / p
+                elif (prev, c) in ew:
+                    bias = 1.0
+                else:
+                    bias = 1.0 / q
+                ws.append(w * bias)
+            u = (_portable_hash(f"{wid}#step#{k}#{seed}") % 1_000_000 + 0.5) / 1e6
+            tot = sum(ws)
+            cum = 0.0
+            pick = None
+            for (c, _), w in zip(cand, ws):
+                cum += w
+                if cum > u * tot:
+                    pick = c
+                    break
+            prev = cur
+            cur = pick
+            path.append(cur)
+        out[wid] = path
+    return out
+
+
+def test_biased_walks_match_python_replay(spark):
+    """node2vec biased walks reproduce the pure-python replay exactly —
+    including the return (1/p), stay-close (1), explore (1/q) biases and
+    edge weights — and p=q=1 unweighted gives a valid uniform-ish walk
+    set over real edges."""
+    from smatchpp_spark.operators.walks import biased_random_walks
+
+    rng = random.Random(19)
+    pairs = sorted({(rng.randrange(18), rng.randrange(18)) for _ in range(60)})
+    weights = [float(rng.randint(1, 5)) for _ in pairs]
+    edges = spark.createDataFrame(
+        [(str(a), str(b), w) for (a, b), w in zip(pairs, weights)],
+        "src string, dst string, wt double",
+    )
+
+    for p, q in ((1.0, 1.0), (0.25, 4.0), (4.0, 0.25)):
+        res = biased_random_walks(
+            edges, walk_length=4, walks_per_vertex=1, seed=13,
+            p=p, q=q, weight_col="wt", portable=True,
+        )
+        got = {r.walk_id: list(r.path) for r in res.collect()}
+        want = _py_biased_walks(
+            pairs, walk_length=4, seed=13, p=p, q=q, weights=weights
+        )
+        assert got == want, (p, q)
+
+    # unweighted, p=q=1: all steps follow real edges
+    eset = {(str(a), str(b)) for a, b in pairs if a != b}
+    res = biased_random_walks(edges.select("src", "dst"), walk_length=3, seed=1)
+    for r in res.collect():
+        for x, y in zip(r.path, r.path[1:]):
+            assert (x, y) in eset
