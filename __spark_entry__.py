@@ -532,6 +532,47 @@ def _node2vec_sql(
     return "\n".join(parts)
 
 
+def _jaccard_verify_sql(
+    threshold: float = 0.3, num_hashes: int = 8, band_size: int = 2
+) -> str:
+    """Minhash candidates + exact shingle-Jaccard values ≥ threshold —
+    the verification half of the near-dup pipeline, emitting the scores
+    (single exact division, cross-engine identical)."""
+    sig = _sig_cols(num_hashes)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b // band_size} AS band_idx, "
+        + _h(
+            "("
+            + " || ',' || ".join(
+                f"CAST(sig_{i} AS VARCHAR)" for i in range(b, b + band_size)
+            )
+            + ")"
+        )
+        + " AS band_hash FROM sigs"
+        for b in range(0, num_hashes, band_size)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS MATERIALIZED (SELECT doc_id, {SQL_SHINGLES} AS sh FROM t),
+sigs AS (SELECT doc_id, {sig} FROM s),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id)
+SELECT cand.doc_a, cand.doc_b,
+       ROUND(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))) END, 9) AS jaccard
+FROM cand
+JOIN s sa ON sa.doc_id = cand.doc_a
+JOIN s sb ON sb.doc_id = cand.doc_b
+WHERE CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+      ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) END >= {threshold!r}
+"""
+
+
 def _dedup_clusters_sql(
     threshold: float = 0.5, num_hashes: int = 8, band_size: int = 2
 ) -> str:
@@ -991,6 +1032,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_modularity"] = _modul
 
+    def _deg_hist(spark, sf):
+        from smatchpp_spark.operators.graphstats import degree_histogram
+
+        return degree_histogram(_e_co(spark, sf))
+
+    q["degree_histogram"] = _deg_hist
+
+    def _contract(spark, sf):
+        from smatchpp_spark.operators.graphstats import contract_graph
+
+        e = _e_co(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("vertex"))
+            .unionByName(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        # same deterministic 'g<partkey%8>' partition as graph_modularity
+        labels = verts.select(
+            "vertex",
+            F.concat(
+                F.lit("g"),
+                F.pmod(
+                    F.expr("CAST(substring(vertex, 2) AS BIGINT)"), F.lit(8)
+                ).cast("string"),
+            ).alias("label"),
+        )
+        return contract_graph(e, labels)
+
+    q["graph_contraction"] = _contract
+
     def _linkpred(spark, sf):
         from smatchpp_spark.operators.linkpred import linkpred_scores
 
@@ -1104,6 +1175,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["node2vec_walks"] = _n2v
+
+    def _jaccard_verify(spark, sf):
+        from smatchpp_spark.pipeline import dedup
+
+        pairs = dedup.neardup_pairs_jaccard(
+            _read(spark, sf, "documents"), threshold=0.3,
+            num_hashes=8, band_size=2, portable=True,
+        )
+        return pairs.select(
+            "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
+        )
+
+    q["doc_jaccard_verify"] = _jaccard_verify
 
     def _dup_clusters(spark, sf):
         from smatchpp_spark.pipeline import dedup
@@ -1562,6 +1646,7 @@ FROM per_c
         "random_walks": _walks_sql(),
         "node2vec_walks": _node2vec_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "doc_jaccard_verify": _jaccard_verify_sql(),
         "strongly_connected_components": """
 WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,
                     s_suppkey % 2 = 0 AS even
@@ -1569,6 +1654,24 @@ WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,
 SELECT sv AS vertex, CASE WHEN even THEN nv ELSE sv END AS scc FROM sup
 UNION ALL
 SELECT DISTINCT nv AS vertex, nv AS scc FROM sup
+""",
+        "degree_histogram": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS vertex, COUNT(*) AS degree FROM und GROUP BY a)
+SELECT CAST(floor(ln(CAST(degree AS DOUBLE)) / ln(2.0)) AS INT) AS bucket,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY 1
+""",
+        "graph_contraction": f"""
+WITH raw AS ({SQL_E_CO})
+SELECT 'g' || (CAST(substr(src, 2) AS BIGINT) % 8) AS src,
+       'g' || (CAST(substr(dst, 2) AS BIGINT) % 8) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM raw GROUP BY 1, 2
 """,
         "linkpred_common_neighbors": """
 WITH raw AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst

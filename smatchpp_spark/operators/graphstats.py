@@ -199,3 +199,64 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         [(int(m), int(row["nc"]), round(float(row["q"]), 9))],
         "n_edges long, n_communities long, modularity double",
     )
+
+
+def degree_histogram(edges: DataFrame, log_base: int = 2) -> DataFrame:
+    """Log-binned degree distribution over the undirected simple graph —
+    the first plot of any web-graph analysis.  Output
+    (bucket int, min_degree long, n_vertices long): bucket b holds
+    vertices with degree in [base^b, base^(b+1)).
+
+    One degree aggregation + one tiny histogram aggregation; the result
+    is O(log max-degree) rows at any graph size."""
+    und = undirected_simple(edges)
+    deg = und.groupBy(F.col("a").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    b = F.floor(
+        F.log(float(log_base), F.col("degree").cast("double"))
+    ).cast("int")
+    return (
+        deg.select(b.alias("bucket"), "degree")
+        .groupBy("bucket")
+        .agg(
+            F.min("degree").alias("min_degree"),
+            F.count(F.lit(1)).alias("n_vertices"),
+        )
+    )
+
+
+def contract_graph(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Contract a vertex partition into a supernode graph — the
+    coarsening step of multilevel partitioning/community pipelines:
+    every edge maps its endpoints through ``labels`` (vertices missing
+    from the label table stay themselves) and parallel edges collapse
+    with a count.  Intra-cluster edges survive as (c, c) rows, carrying
+    the cluster's internal edge count.
+
+    Output (src, dst, n_edges long) over cluster ids.  Plan: two label
+    joins (broadcast when the label table is small, shuffled hash
+    otherwise) + one map-side-combined count — no iteration."""
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("v"),
+        F.col(labels.columns[1]).alias("lbl"),
+    ).distinct()
+    return (
+        edges.select("src", "dst")
+        .join(
+            lab.withColumnRenamed("v", "src").withColumnRenamed("lbl", "ls"),
+            "src",
+            "left",
+        )
+        .join(
+            lab.withColumnRenamed("v", "dst").withColumnRenamed("lbl", "ld"),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("ls", F.col("src")).alias("csrc"),
+            F.coalesce("ld", F.col("dst")).alias("cdst"),
+        )
+        .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

@@ -522,3 +522,41 @@ def test_scc_checkpoint_resume_identical(spark, tmp_path):
     assert resumed.converged
     assert got == want
     assert got == _py_tarjan(pairs)
+
+
+def test_degree_histogram_and_contraction(spark):
+    from smatchpp_spark.operators.graphstats import (
+        contract_graph,
+        degree_histogram,
+    )
+
+    pairs = _rand_pairs(30, 120, seed=2)
+    edges = _edges_df(spark, pairs)
+    nbrs = _und(pairs)
+
+    hist = {r.bucket: (r.min_degree, r.n_vertices)
+            for r in degree_histogram(edges).collect()}
+    want = {}
+    for v, nb in nbrs.items():
+        d = len(nb)
+        b = math.floor(math.log(d) / math.log(2.0))
+        lo, n = want.get(b, (d, 0))
+        want[b] = (min(lo, d), n + 1)
+    assert hist == want
+    assert sum(n for _, n in hist.values()) == len(nbrs)
+
+    # contraction over a 2-coloring: endpoint labels map through,
+    # missing labels fall back to the vertex itself
+    labels = spark.createDataFrame(
+        [(str(v), f"c{int(v) % 2}") for v in nbrs if int(v) != 0],
+        "vertex string, label string",
+    )
+    out = {(r.src, r.dst): r.n_edges for r in contract_graph(edges, labels).collect()}
+    want_c = {}
+    for a, b in pairs:
+        # the operator keeps self-loops: they contract to (c, c) rows
+        la = "0" if a == 0 else f"c{a % 2}"
+        lb = "0" if b == 0 else f"c{b % 2}"
+        want_c[(la, lb)] = want_c.get((la, lb), 0) + 1
+    assert out == want_c
+    assert sum(out.values()) == len(pairs)
