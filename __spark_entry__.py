@@ -472,6 +472,57 @@ def _walks_sql(walk_length: int = 3, seed: int = 7) -> str:
     return "\n".join(parts)
 
 
+def _hits_sql(iters: int) -> str:
+    """Unrolled fixed-iteration HITS oracle over the order→part graph:
+    per iteration an authority half-step (sum of pointing hubs, L2
+    normalize over the full vertex table) then a hub half-step —
+    exactly the operator's dataflow, zeros included in the norms."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
+        "s0 AS (SELECT vertex, 1.0 AS hub, 1.0 AS authority FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"ha{k} AS MATERIALIZED (SELECT s.vertex, s.hub, "
+            f"COALESCE(x.ar, 0.0) AS a_raw FROM {p} s LEFT JOIN "
+            f"(SELECT e.dst AS vertex, SUM(s2.hub) AS ar FROM {p} s2 "
+            f"JOIN e ON e.src = s2.vertex GROUP BY e.dst) x "
+            f"ON x.vertex = s.vertex),"
+        )
+        parts.append(
+            f"an{k} AS (SELECT sqrt(SUM(a_raw*a_raw)) AS n FROM ha{k}),"
+        )
+        parts.append(
+            f"hb{k} AS MATERIALIZED (SELECT vertex, hub, a_raw / "
+            f"(CASE WHEN (SELECT n FROM an{k}) > 0 "
+            f"THEN (SELECT n FROM an{k}) ELSE 1.0 END) AS authority "
+            f"FROM ha{k}),"
+        )
+        parts.append(
+            f"hc{k} AS MATERIALIZED (SELECT b.vertex, "
+            f"COALESCE(y.hr, 0.0) AS h_raw, b.authority FROM hb{k} b "
+            f"LEFT JOIN (SELECT e.src AS vertex, SUM(b2.authority) AS hr "
+            f"FROM hb{k} b2 JOIN e ON e.dst = b2.vertex GROUP BY e.src) y "
+            f"ON y.vertex = b.vertex),"
+        )
+        parts.append(
+            f"hn{k} AS (SELECT sqrt(SUM(h_raw*h_raw)) AS n FROM hc{k}),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT vertex, h_raw / "
+            f"(CASE WHEN (SELECT n FROM hn{k}) > 0 "
+            f"THEN (SELECT n FROM hn{k}) ELSE 1.0 END) AS hub, authority "
+            f"FROM hc{k}),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, ROUND(hub, 9) AS hub, "
+        f"ROUND(authority, 9) AS authority FROM s{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _node2vec_sql(
     walk_length: int = 3, seed: int = 11, p: float = 0.5, q: float = 2.0
 ) -> str:
@@ -1199,6 +1250,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = _dup_clusters
 
+    def _hits(spark, sf):
+        from smatchpp_spark.operators.hits import hits
+
+        r = hits(_e_op(spark, sf), max_supersteps=PR_STEPS, tol=-1.0)
+        return r.scores.select(
+            "vertex",
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
+        )
+
+    q["hits_scores"] = _hits
+
     def _kcore(spark, sf):
         from smatchpp_spark.operators.kcore import k_core
 
@@ -1695,6 +1758,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
             "CAST(l_quantity AS DOUBLE) AS wt FROM lineitem",
             weighted=True,
         ),
+        "hits_scores": _hits_sql(PR_STEPS),
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
         "connected_components": f"""

@@ -26,7 +26,7 @@ import sys
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="distributed link-graph analytics")
     p.add_argument("--op", required=True,
-                   choices=["pagerank", "components", "components_twophase",
+                   choices=["pagerank", "hits", "components", "components_twophase",
                             "labelprop", "triangles", "degrees", "kcore",
                             "bfs", "scc", "hyperball", "clustering",
                             "linkpred", "walks"])
@@ -115,6 +115,16 @@ def main() -> None:
         )
         out, summary["supersteps"], summary["converged"] = (
             res.ranks, res.supersteps, res.converged
+        )
+    elif args.op == "hits":
+        from smatchpp_spark.operators.hits import hits
+
+        res = hits(
+            edges, max_supersteps=args.max_supersteps, tol=args.tol,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.scores, res.supersteps, res.converged
         )
     elif args.op == "components":
         from smatchpp_spark.operators.components import connected_components

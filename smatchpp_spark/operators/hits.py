@@ -1,0 +1,145 @@
+"""HITS (hubs & authorities) over the directed edge table.
+
+Kleinberg's link-analysis pair to PageRank (public algorithm): authority
+score = sum of pointing hubs' scores, hub score = sum of pointed-to
+authorities' scores, L2-normalized each half-step; the fixpoint is the
+principal eigenvector pair of AᵀA / AAᵀ.
+
+Physical shape per superstep — the PageRank dataflow run twice:
+  1. ``state ⋈ edges on src`` → ``groupBy(dst).sum`` (map-side combined
+     — a 10^8-in-degree authority costs one row per partition);
+  2. the L2 norm is a 1-row scalar aggregation broadcast back (same
+     pattern as PageRank's dangling mass — never a driver-side loop);
+  3. the reverse join/agg for hubs.
+The static edge table is hash-partitioned once and persisted; only the
+small score table reshuffles.  Runs through SuperstepRunner:
+per-superstep state checkpoints with metrics/lineage and resumes
+mid-iteration like every other iterative operator.
+
+Scores are held to a numpy power-iteration oracle (allclose 1e-8,
+tests/test_linkgraph.py) and an unrolled fixed-iteration SQL oracle
+(the ``hits_scores`` contract row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smatchpp_spark.operators.supersteps import SuperstepRunner
+
+
+@dataclass
+class HITSResult:
+    scores: DataFrame  # (vertex, hub double, authority double)
+    supersteps: int
+    converged: bool
+    metrics: list
+
+
+def hits(
+    edges: DataFrame,
+    max_supersteps: int = 50,
+    tol: float = 1e-10,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> HITSResult:
+    """Hub/authority scores; stop at ``max(|Δhub|, |Δauth|) <= tol``
+    (set ``tol=-1`` for exactly ``max_supersteps`` iterations — the
+    oracle-replayable fixed form).  Self-loops ignored; multi-edges
+    count with multiplicity (standard adjacency semantics)."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    e.count()
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    init = vertices.select(
+        "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    )
+
+    def _l2(df: DataFrame, col: str):
+        row = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("n")
+        ).collect()[0]
+        return float(row["n"] or 0.0)
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        # authority update from current hubs
+        contrib = (
+            state.select(F.col("vertex").alias("src"), "hub")
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        half = state.join(contrib, "vertex", "left").select(
+            "vertex", "hub", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+        ).localCheckpoint(eager=True)
+        an = _l2(half, "a_raw")
+        half = half.select(
+            "vertex",
+            "hub",
+            (F.col("a_raw") / F.lit(an if an > 0 else 1.0)).alias("authority"),
+        )
+        # hub update from new authorities
+        back = (
+            half.select(F.col("vertex").alias("dst"), "authority")
+            .join(e, "dst")
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        full = half.join(back, "vertex", "left").select(
+            "vertex",
+            F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+            "authority",
+        ).localCheckpoint(eager=True)
+        hn = _l2(full, "h_raw")
+        return full.select(
+            "vertex",
+            (F.col("h_raw") / F.lit(hn if hn > 0 else 1.0)).alias("hub"),
+            "authority",
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        j = old.select(
+            "vertex", F.col("hub").alias("h0"), F.col("authority").alias("a0")
+        ).join(new, "vertex")
+        row = j.agg(
+            F.max(
+                F.greatest(
+                    F.abs(F.col("hub") - F.col("h0")),
+                    F.abs(F.col("authority") - F.col("a0")),
+                )
+            ).alias("d")
+        ).collect()[0]
+        return float(row["d"] or 0.0)
+
+    runner = SuperstepRunner(
+        spark,
+        op="hits",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_supersteps,
+        tol=tol,
+    )
+    res = runner.run(init, step, delta, resume=resume)
+    e.unpersist()
+    return HITSResult(
+        scores=res.state.select(
+            "vertex", "hub", F.col("authority").alias("authority")
+        ),
+        supersteps=res.supersteps,
+        converged=res.converged,
+        metrics=res.metrics,
+    )

@@ -798,3 +798,69 @@ def test_weighted_label_propagation_vs_python(spark):
         edges.withColumn("wt", SF.lit(1.0)), max_supersteps=5, weight_col="wt"
     ).labels.collect()
     assert sorted(map(tuple, uw)) == sorted(map(tuple, w1))
+
+
+def test_hits_vs_numpy(spark):
+    """HITS hub/authority scores allclose 1e-8 vs a numpy power
+    iteration with identical per-half-step L2 normalization; bipartite
+    sanity: pure sources have authority 0, pure sinks hub 0."""
+    from smatchpp_spark.operators.hits import hits
+
+    rng = np.random.RandomState(7)
+    E = sorted(
+        {(int(a), int(b)) for a, b in rng.randint(0, 25, size=(110, 2)) if a != b}
+    )
+    edges = _edges_df(spark, E)
+    steps = 12
+    res = hits(edges, max_supersteps=steps, tol=-1.0)
+    got = {r.vertex: (r.hub, r.authority) for r in res.scores.collect()}
+
+    verts = sorted({v for e in E for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for a, b in E:
+        A[idx[a], idx[b]] += 1.0
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(steps):
+        a = A.T @ h
+        na = np.linalg.norm(a)
+        a = a / (na if na > 0 else 1.0)
+        h = A @ a
+        nh = np.linalg.norm(h)
+        h = h / (nh if nh > 0 else 1.0)
+    for v in verts:
+        gh, ga = got[v]
+        assert abs(gh - h[idx[v]]) < 1e-8, v
+        assert abs(ga - a[idx[v]]) < 1e-8, v
+
+    # star: the hub vertex has authority 0; leaves have hub 0
+    star = _edges_df(spark, [(0, i) for i in range(1, 6)])
+    sres = hits(star, max_supersteps=5, tol=-1.0)
+    sg = {r.vertex: (r.hub, r.authority) for r in sres.scores.collect()}
+    assert sg[0][1] == 0.0 and sg[0][0] == pytest.approx(1.0)
+    for i in range(1, 6):
+        assert sg[i][0] == 0.0
+
+
+def test_hits_checkpoint_resume_identical(spark, tmp_path):
+    from smatchpp_spark.operators.hits import hits
+
+    pairs = powerlaw_graph(n=120, m=500, seed=3)
+    edges = _edges_df(spark, pairs)
+    ckpt = str(tmp_path / "hits_ckpt")
+
+    fresh = hits(edges, max_supersteps=6, tol=-1.0)
+    want = {r.vertex: (r.hub, r.authority) for r in fresh.scores.collect()}
+    hits(edges, max_supersteps=2, tol=-1.0, checkpoint_dir=ckpt)
+    resumed = hits(
+        edges, max_supersteps=6, tol=-1.0, checkpoint_dir=ckpt, resume=True
+    )
+    got = {r.vertex: (r.hub, r.authority) for r in resumed.scores.collect()}
+    assert got.keys() == want.keys()
+    # parquet re-read reorders the L2-norm scalar's float sum — scores
+    # agree to the ulp level, same bar as the PageRank resume contract
+    for v in want:
+        assert abs(got[v][0] - want[v][0]) < 1e-12
+        assert abs(got[v][1] - want[v][1]) < 1e-12
