@@ -42,7 +42,15 @@ from smatchpp_spark.operators.supersteps import SuperstepRunner
 def neighbor_index(edges: DataFrame) -> DataFrame:
     """(src, idx, dst, deg): distinct out-neighbors with a dense
     per-source position ordered by dst (deterministic under any physical
-    partitioning) and the out-degree."""
+    partitioning) and the out-degree.
+
+    Skew note: the window sorts each source's neighbor list in ONE task,
+    so a 10^8-out-degree hub is a single long-running (not failing)
+    task — a one-time index-build cost amortized over every walk step.
+    If that ever dominates, split hub lists with the salting helper
+    (operators/skew.py) and offset the per-salt row_numbers by the salt
+    bucket's cumulative count (the dense-index pattern,
+    functions/indexing.py); the step join is already hub-safe."""
     from pyspark.sql import Window
 
     e = edges.select("src", "dst").filter(
