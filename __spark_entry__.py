@@ -523,6 +523,42 @@ def _hits_sql(iters: int) -> str:
     return "\n".join(parts)
 
 
+def _eigen_sql(iters: int) -> str:
+    """Unrolled fixed-iteration eigenvector-centrality oracle over the
+    undirected simple supplier→nation graph: per iteration one
+    neighbor-sum + L2 normalization, zeros included (mirrors the
+    operator's left-join/coalesce)."""
+    parts = [
+        f"WITH e0 AS ({SQL_E_SUPP}),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)"
+        " WHERE a <> b),",
+        "v AS (SELECT DISTINCT a AS vertex FROM und),",
+        "s0 AS (SELECT vertex, 1.0 AS score FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"COALESCE(x.raw, 0.0) AS raw FROM v LEFT JOIN "
+            f"(SELECT und.b AS vertex, SUM(s.score) AS raw FROM {p} s "
+            f"JOIN und ON und.a = s.vertex GROUP BY und.b) x "
+            f"ON x.vertex = v.vertex),"
+        )
+        parts.append(
+            f"n{k} AS (SELECT sqrt(SUM(raw*raw)) AS n FROM r{k}),"
+        )
+        parts.append(
+            f"s{k} AS (SELECT vertex, raw / (CASE WHEN (SELECT n FROM n{k}) > 0 "
+            f"THEN (SELECT n FROM n{k}) ELSE 1.0 END) AS score FROM r{k}),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, ROUND(score, 9) AS centrality "
+        f"FROM s{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _node2vec_sql(
     walk_length: int = 3, seed: int = 11, p: float = 0.5, q: float = 2.0
 ) -> str:
@@ -1262,6 +1298,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_scores"] = _hits
 
+    def _eigen(spark, sf):
+        from smatchpp_spark.operators.hits import eigenvector_centrality
+
+        r = eigenvector_centrality(
+            _e_supp(spark, sf), max_supersteps=PR_STEPS, tol=-1.0
+        )
+        return r.scores.select(
+            "vertex", F.round("hub", 9).alias("centrality")
+        )
+
+    q["eigenvector_centrality"] = _eigen
+
     def _kcore(spark, sf):
         from smatchpp_spark.operators.kcore import k_core
 
@@ -1759,6 +1807,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
             weighted=True,
         ),
         "hits_scores": _hits_sql(PR_STEPS),
+        "eigenvector_centrality": _eigen_sql(PR_STEPS),
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
         "connected_components": f"""

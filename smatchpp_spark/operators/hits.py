@@ -143,3 +143,81 @@ def hits(
         converged=res.converged,
         metrics=res.metrics,
     )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    max_supersteps: int = 50,
+    tol: float = 1e-10,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> HITSResult:
+    """Eigenvector centrality over the UNDIRECTED simple graph — the
+    principal-eigenvector limit of x' = A·x / ||A·x||₂ (power iteration,
+    public algorithm; HITS's single-matrix sibling).  Returns the HITS
+    result shape with ``hub == authority == centrality`` so downstream
+    consumers share one schema.
+
+    Same physical superstep as one HITS half-step: score ⋈ undirected
+    edges → map-side-combined sum per vertex → 1-row L2 scalar broadcast;
+    SuperstepRunner checkpoint/resume/metrics.  Multi-edges collapse
+    (simple-graph adjacency); isolated sides never appear (every vertex
+    of the edge table has degree ≥ 1)."""
+    from smatchpp_spark.operators.kcore import undirected_simple
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        undirected_simple(edges)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    und.count()
+    vertices = und.select(F.col("src").alias("vertex")).distinct()
+    init = vertices.select("vertex", F.lit(1.0).alias("score"))
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        contrib = (
+            state.select(F.col("vertex").alias("src"), "score")
+            .join(und, "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        half = state.select("vertex").join(contrib, "vertex", "left").select(
+            "vertex", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        ).localCheckpoint(eager=True)
+        row = half.agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n")
+        ).collect()[0]
+        n = float(row["n"] or 0.0)
+        return half.select(
+            "vertex", (F.col("raw") / F.lit(n if n > 0 else 1.0)).alias("score")
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        j = old.select("vertex", F.col("score").alias("s0")).join(new, "vertex")
+        row = j.agg(F.max(F.abs(F.col("score") - F.col("s0"))).alias("d")).collect()[0]
+        return float(row["d"] or 0.0)
+
+    runner = SuperstepRunner(
+        spark,
+        op="eigenvector_centrality",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_supersteps,
+        tol=tol,
+    )
+    res = runner.run(init, step, delta, resume=resume)
+    und.unpersist()
+    return HITSResult(
+        scores=res.state.select(
+            "vertex",
+            F.col("score").alias("hub"),
+            F.col("score").alias("authority"),
+        ),
+        supersteps=res.supersteps,
+        converged=res.converged,
+        metrics=res.metrics,
+    )

@@ -864,3 +864,40 @@ def test_hits_checkpoint_resume_identical(spark, tmp_path):
     for v in want:
         assert abs(got[v][0] - want[v][0]) < 1e-12
         assert abs(got[v][1] - want[v][1]) < 1e-12
+
+
+def test_eigenvector_centrality_vs_numpy(spark):
+    """Eigenvector centrality allclose 1e-8 vs a numpy power iteration
+    on the undirected simple adjacency; the clique core outranks the
+    pendant tail."""
+    from smatchpp_spark.operators.hits import eigenvector_centrality
+
+    rng = np.random.RandomState(5)
+    E = sorted(
+        {(int(a), int(b)) for a, b in rng.randint(0, 20, size=(80, 2)) if a != b}
+    )
+    edges = _edges_df(spark, E)
+    steps = 15
+    res = eigenvector_centrality(edges, max_supersteps=steps, tol=-1.0)
+    got = {r.vertex: r.hub for r in res.scores.collect()}
+
+    verts = sorted({v for e in E for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for a, b in E:
+        A[idx[a], idx[b]] = 1.0
+        A[idx[b], idx[a]] = 1.0
+    x = np.ones(n)
+    for _ in range(steps):
+        x = A @ x
+        nx = np.linalg.norm(x)
+        x = x / (nx if nx > 0 else 1.0)
+    for v in verts:
+        assert abs(got[v] - x[idx[v]]) < 1e-8, v
+
+    # clique + tail: clique members dominate the pendant
+    cl = [(1, 2), (1, 3), (2, 3), (3, 99)]
+    r2 = eigenvector_centrality(_edges_df(spark, cl), max_supersteps=30)
+    g2 = {r.vertex: r.hub for r in r2.scores.collect()}
+    assert min(g2[1], g2[2], g2[3]) > g2[99]
