@@ -1643,7 +1643,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["smatch_micro_macro"] = _smatch
 
-    return q
+    # Driver-verification rotation: the correctness driver oracles only
+    # the FIRST 50 dict entries per round, so reorder to put the
+    # least-recently-verified queries inside that window.  Round-5
+    # front: the 19 entries whose last green row predates round 4
+    # (events_trending_topk had never been driver-checked; the doc/emb/
+    # events rows were last verified in round 3) plus operators new this
+    # round.  Rotate next round so every query stays ≤1 round stale.
+    front = [k for k in _DRIVER_WINDOW_FRONT if k in q]
+    rest = [k for k in q if k not in set(front)]
+    return {k: q[k] for k in front + rest}
+
+
+# queries()-dict keys to place inside the driver's first-50 oracle
+# window this round (least-recently-verified first; see queries()).
+_DRIVER_WINDOW_FRONT = [
+    # never driver-checked
+    "events_trending_topk",
+    "smatch_micro_macro",
+    # round-3-stale doc/emb/events rows
+    "doc_langid",
+    "doc_fingerprints",
+    "doc_exact_dedup",
+    "doc_minhash",
+    "doc_neardup_pairs",
+    "doc_simhash",
+    "doc_bpe_tokens",
+    "emb_neardup_pairs",
+    "multimodal_features",
+    "emb_cosine_topk",
+    "emb_lsh_buckets",
+    "emb_bucketed_topk",
+    "emb_hyperplane_topk",
+    "emb_ivf_topk",
+    "events_sessionize",
+    "events_minute_rollup",
+    "amr_standardize_sizes",
+    # new in round 5
+    "louvain_communities",
+    "linkpred_ppr",
+    "doc_substring_dedup",
+]
 
 
 def _fingerprints_sql() -> str:

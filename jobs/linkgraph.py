@@ -194,7 +194,8 @@ def main() -> None:
         from smatchpp_spark.operators.scc import strongly_connected_components
 
         res = strongly_connected_components(
-            edges, max_rounds=args.max_supersteps
+            edges, max_rounds=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         )
         out, summary["supersteps"], summary["converged"] = (
             res.components, res.rounds, res.converged
@@ -205,6 +206,7 @@ def main() -> None:
         res = hyperball(
             edges, max_rounds=args.max_supersteps,
             directed=not args.undirected, centrality=args.centrality,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         )
         out = res.balls
         summary["supersteps"] = res.rounds

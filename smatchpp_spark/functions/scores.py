@@ -252,6 +252,7 @@ def bootstrap_micro(
     pair_col: str = "pair_id",
     portable: bool = False,
     method: str = "percentile",
+    resample: str = "auto",
 ) -> DataFrame:
     """Bootstrap CI for the micro F1 (eval_statistics.py:183-197
     semantics, deterministic re-expression).  ``method="bca"`` matches
@@ -269,22 +270,40 @@ def bootstrap_micro(
     position), so the same corpus yields the same CI under any
     partitioning.  ``portable=True`` swaps xxhash64 for the md5-based
     cross-engine hash so a SQL oracle can replay the draw exactly.
+
+    ``resample`` as in ``bootstrap_scores``: ``auto`` (default) uses the
+    reference-exact multinomial draw up to ``POISSON_AUTO_PAIRS`` pairs
+    and the linear-cost Poisson(1) weight column beyond it.
     """
+    if resample not in ("auto", "multinomial", "poisson"):
+        raise ValueError(f"unknown resample mode {resample!r}")
     spark = stats.sparkSession
     n = stats.count()
     if n == 0:
         return spark.createDataFrame([], "lo double, hi double")
-    # replicate spine inside _replicate_draws: two lazy Range scans
-    # cross-joined — never materializes an n-element array in a single row
-    # (explode(sequence(0, n-1)) would build the full [0, n) array per
-    # replicate before exploding, a multi-GB single-row value at 10^8
-    # pairs).  j is cast to int there because the old sequence() spine
-    # produced int elements and xxhash64 is type-sensitive — the draw is
-    # bit-identical.
-    pairs, draws = _replicate_draws(stats, n, n_resamples, seed, pair_col, portable)
-    rep_stats = draws.join(pairs, "i").groupBy("rep").agg(
-        *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
-    )
+    resample = _resolve_resample(resample, n)
+    if resample == "poisson":
+        wdf = poisson_weights(stats, n_resamples, seed, pair_col, portable)
+        rep_stats = wdf.groupBy("rep").agg(
+            *[
+                F.sum(F.col("w") * F.col(c).cast("double")).alias(c)
+                for c in STAT_COLS
+            ]
+        )
+    else:
+        # replicate spine inside _replicate_draws: two lazy Range scans
+        # cross-joined — never materializes an n-element array in a
+        # single row (explode(sequence(0, n-1)) would build the full
+        # [0, n) array per replicate before exploding, a multi-GB
+        # single-row value at 10^8 pairs).  j is cast to int there
+        # because the old sequence() spine produced int elements and
+        # xxhash64 is type-sensitive — the draw is bit-identical.
+        pairs, draws = _replicate_draws(
+            stats, n, n_resamples, seed, pair_col, portable
+        )
+        rep_stats = draws.join(pairs, "i").groupBy("rep").agg(
+            *[F.sum(F.col(c).cast("double")).alias(c) for c in STAT_COLS]
+        )
     f1, _, _ = fpr_columns(*[F.col(c) for c in STAT_COLS])
     if method == "bca":
         return _bca_micro(stats, rep_stats, f1, ci)
@@ -347,6 +366,25 @@ def _poisson1_cdf(k_max: int = 9) -> list[float]:
     return out
 
 
+# auto-resample crossover: the multinomial draw's B×n join spine
+# measured superlinear in the 1x→10x sweep (exponent 1.51) while the
+# Poisson weight column stayed linear (0.23) — BENCH/SCALE_SWEEP.md.
+# Above ~1M pairs the reference-exact draw stops being worth its
+# shuffle; the Poisson(1) approximation's CI error is O(1/√n) and the
+# in-repo parity test holds widths to ~0.1 points at the switch point.
+POISSON_AUTO_PAIRS = 1_000_000
+
+
+def _resolve_resample(resample: str, n_pairs: int) -> str:
+    """``auto`` → multinomial (reference-exact) below
+    ``POISSON_AUTO_PAIRS`` pairs, Poisson above."""
+    if resample == "auto":
+        return "poisson" if n_pairs > POISSON_AUTO_PAIRS else "multinomial"
+    if resample not in ("multinomial", "poisson"):
+        raise ValueError(f"unknown resample mode {resample!r}")
+    return resample
+
+
 def poisson_weights(
     stats: DataFrame,
     n_resamples: int,
@@ -405,7 +443,7 @@ def bootstrap_scores(
     pair_col: str = "pair_id",
     portable: bool = False,
     method: str = "percentile",
-    resample: str = "multinomial",
+    resample: str = "auto",
 ) -> DataFrame:
     """Bootstrap CI for the full (f1, p, r) statistic vector, micro or
     macro — the reference's ``_aggr_wrapper`` contract
@@ -420,19 +458,22 @@ def bootstrap_scores(
     per statistic (the reference falls back for the whole vector —
     per-statistic is strictly more informative and documented).
 
-    ``resample``: ``multinomial`` (default) is the reference-exact draw;
-    ``poisson`` is the at-scale approximation (``poisson_weights`` — no
-    B×n shuffle; measured linear where multinomial went superlinear in
-    the 1x→10x sweep).  Both are deterministic and oracle-replayable.
+    ``resample``: ``auto`` (default) picks ``multinomial`` (the
+    reference-exact draw) below ``POISSON_AUTO_PAIRS`` pairs and
+    ``poisson`` (``poisson_weights`` — no B×n shuffle; measured linear
+    where multinomial went superlinear in the 1x→10x sweep) above, so
+    callers never have to know about the crossover.  Both explicit
+    modes remain available and deterministic/oracle-replayable.
     """
     if score_type not in ("micro", "macro"):
         raise ValueError(score_type)
-    if resample not in ("multinomial", "poisson"):
+    if resample not in ("auto", "multinomial", "poisson"):
         raise ValueError(f"unknown resample mode {resample!r}")
     spark = stats.sparkSession
     n = stats.count()
     if n == 0:
         return spark.createDataFrame([], "stat string, lo double, hi double")
+    resample = _resolve_resample(resample, n)
 
     if resample == "poisson":
         wdf = poisson_weights(stats, n_resamples, seed, pair_col, portable)

@@ -66,8 +66,13 @@ def hits(
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
     )
+    nan = F.lit(float("nan"))
     init = vertices.select(
-        "vertex", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+        "vertex",
+        F.lit(1.0).alias("hub"),
+        F.lit(1.0).alias("authority"),
+        nan.alias("prev_hub"),
+        nan.alias("prev_authority"),
     )
 
     def _l2(df: DataFrame, col: str):
@@ -77,20 +82,34 @@ def hits(
         return float(row["n"] or 0.0)
 
     def step(state: DataFrame, k: int) -> DataFrame:
-        # authority update from current hubs
+        # the previous scores ride along in the output state (the
+        # PageRank prev_rank pattern, pagerank.py:208-285), so the
+        # convergence delta is a scan of the new state — not an extra
+        # old⋈new join job per superstep
         contrib = (
             state.select(F.col("vertex").alias("src"), "hub")
             .join(e, "src")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("hub").alias("a_raw"))
         )
-        half = state.join(contrib, "vertex", "left").select(
-            "vertex", "hub", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
-        ).localCheckpoint(eager=True)
+        half = (
+            state.select(
+                "vertex", "hub", F.col("authority").alias("prev_authority")
+            )
+            .join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                "hub",
+                "prev_authority",
+                F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
+            )
+            .localCheckpoint(eager=True)
+        )
         an = _l2(half, "a_raw")
         half = half.select(
             "vertex",
             "hub",
+            "prev_authority",
             (F.col("a_raw") / F.lit(an if an > 0 else 1.0)).alias("authority"),
         )
         # hub update from new authorities
@@ -100,31 +119,44 @@ def hits(
             .groupBy(F.col("src").alias("vertex"))
             .agg(F.sum("authority").alias("h_raw"))
         )
-        full = half.join(back, "vertex", "left").select(
-            "vertex",
-            F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
-            "authority",
-        ).localCheckpoint(eager=True)
+        full = (
+            half.select(
+                "vertex",
+                F.col("hub").alias("prev_hub"),
+                "prev_authority",
+                "authority",
+            )
+            .join(back, "vertex", "left")
+            .select(
+                "vertex",
+                "prev_hub",
+                "prev_authority",
+                "authority",
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+            )
+            .localCheckpoint(eager=True)
+        )
         hn = _l2(full, "h_raw")
         return full.select(
             "vertex",
             (F.col("h_raw") / F.lit(hn if hn > 0 else 1.0)).alias("hub"),
             "authority",
+            "prev_hub",
+            "prev_authority",
         )
 
     def delta(old: DataFrame, new: DataFrame) -> float:
-        j = old.select(
-            "vertex", F.col("hub").alias("h0"), F.col("authority").alias("a0")
-        ).join(new, "vertex")
-        row = j.agg(
+        # superstep 1 sees NaN prev columns → NaN delta → never ≤ tol,
+        # exactly like PageRank's NaN-seeded prev_rank
+        row = new.agg(
             F.max(
                 F.greatest(
-                    F.abs(F.col("hub") - F.col("h0")),
-                    F.abs(F.col("authority") - F.col("a0")),
+                    F.abs(F.col("hub") - F.col("prev_hub")),
+                    F.abs(F.col("authority") - F.col("prev_authority")),
                 )
             ).alias("d")
         ).collect()[0]
-        return float(row["d"] or 0.0)
+        return float(row["d"]) if row["d"] is not None else float("inf")
 
     runner = SuperstepRunner(
         spark,
@@ -177,30 +209,46 @@ def eigenvector_centrality(
     )
     und.count()
     vertices = und.select(F.col("src").alias("vertex")).distinct()
-    init = vertices.select("vertex", F.lit(1.0).alias("score"))
+    init = vertices.select(
+        "vertex",
+        F.lit(1.0).alias("score"),
+        F.lit(float("nan")).alias("prev_score"),
+    )
 
     def step(state: DataFrame, k: int) -> DataFrame:
+        # prev_score rides in the state (PageRank's prev_rank pattern):
+        # delta is a scan of the new state, no old⋈new join job
         contrib = (
             state.select(F.col("vertex").alias("src"), "score")
             .join(und, "src")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("score").alias("raw"))
         )
-        half = state.select("vertex").join(contrib, "vertex", "left").select(
-            "vertex", F.coalesce("raw", F.lit(0.0)).alias("raw")
-        ).localCheckpoint(eager=True)
+        half = (
+            state.select("vertex", F.col("score").alias("prev_score"))
+            .join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                "prev_score",
+                F.coalesce("raw", F.lit(0.0)).alias("raw"),
+            )
+            .localCheckpoint(eager=True)
+        )
         row = half.agg(
             F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n")
         ).collect()[0]
         n = float(row["n"] or 0.0)
         return half.select(
-            "vertex", (F.col("raw") / F.lit(n if n > 0 else 1.0)).alias("score")
+            "vertex",
+            (F.col("raw") / F.lit(n if n > 0 else 1.0)).alias("score"),
+            "prev_score",
         )
 
     def delta(old: DataFrame, new: DataFrame) -> float:
-        j = old.select("vertex", F.col("score").alias("s0")).join(new, "vertex")
-        row = j.agg(F.max(F.abs(F.col("score") - F.col("s0"))).alias("d")).collect()[0]
-        return float(row["d"] or 0.0)
+        row = new.agg(
+            F.max(F.abs(F.col("score") - F.col("prev_score"))).alias("d")
+        ).collect()[0]
+        return float(row["d"]) if row["d"] is not None else float("inf")
 
     runner = SuperstepRunner(
         spark,

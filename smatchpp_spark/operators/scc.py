@@ -129,7 +129,18 @@ def strongly_connected_components(
         F.lit(None).cast(verts.schema["vertex"].dataType).alias("scc"),
     )
 
+    # blocks checkpointed during round k (filtered edges + both fixpoint
+    # results) are dead once the runner materializes round k's state —
+    # free them at the next round's entry instead of waiting for driver
+    # GC, or block-manager storage accumulates over long peel sequences
+    round_ckpts: list[DataFrame] = []
+
+    def _free_round_ckpts() -> None:
+        while round_ckpts:
+            round_ckpts.pop().unpersist()
+
     def step(state: DataFrame, k: int) -> DataFrame:
+        _free_round_ckpts()
         rem = state.filter(F.col("scc").isNull()).select("vertex")
         keep = rem.select(F.col("vertex").alias("kv"))
         e = (
@@ -140,6 +151,7 @@ def strongly_connected_components(
         f = _min_label_fixpoint(rem, e, max_label_steps)
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         b = _min_label_fixpoint(rem, rev, max_label_steps)
+        round_ckpts.extend((e, f, b))
         peeled = (
             f.join(b.withColumnRenamed("lbl", "blbl"), "vertex")
             .filter(F.col("lbl") == F.col("blbl"))
@@ -161,6 +173,8 @@ def strongly_connected_components(
         tol=0.0,
     )
     res = runner.run(init, step, delta, resume=resume)
+    _free_round_ckpts()
+    e0.unpersist()
     return SCCResult(
         components=res.state, rounds=res.supersteps, converged=res.converged
     )

@@ -66,6 +66,17 @@ def neighbor_index(edges: DataFrame) -> DataFrame:
     )
 
 
+def _validate_walk_params(walk_length: int, walks_per_vertex: int) -> None:
+    # walks_per_vertex=0 would NOT mean "no walks": F.sequence(0, -1)
+    # auto-steps DESCENDING, silently emitting walk ids '#0' and '#-1'
+    if walks_per_vertex < 1:
+        raise ValueError(
+            f"walks_per_vertex must be >= 1, got {walks_per_vertex}"
+        )
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 5,
@@ -89,6 +100,7 @@ def random_walks(
     draws being pure functions of walk_id and k) produces the identical
     corpus; metrics/lineage follow the engine-wide contract.  Early-
     stops only when every walk is at a dead end."""
+    _validate_walk_params(walk_length, walks_per_vertex)
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -243,6 +255,7 @@ def biased_random_walks(
 
     Output matches ``random_walks``: (walk_id, start, path).
     """
+    _validate_walk_params(walk_length, walks_per_vertex)
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))

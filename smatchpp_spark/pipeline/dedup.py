@@ -363,6 +363,16 @@ def duplicate_clusters(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     cc = connected_components(edges, max_supersteps=max_rounds)
+    if not cc.converged:
+        # a truncated hash-min fixpoint leaves non-minimal labels: one
+        # real cluster splits into several, each electing its own
+        # canonical row — duplicates would silently survive the
+        # keep-lowest policy, so fail loudly instead
+        raise RuntimeError(
+            "duplicate_clusters: connected-components did not converge "
+            f"within max_rounds={max_rounds} (pair-graph diameter exceeds "
+            "the cap); raise max_rounds"
+        )
     return cc.components.select(
         F.col("vertex").alias(id_col),
         F.col("component").alias("cluster_id"),

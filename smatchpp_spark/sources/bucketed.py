@@ -56,12 +56,16 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
 
 def plan_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains any shuffle exchange —
-    the testable contract of bucketed co-location.  Matches the broad
-    ``Exchange `` operator prefix (hash, range, AND single-partition
-    exchanges all break co-location) while excluding
-    ``BroadcastExchange``, which is a broadcast, not a shuffle."""
+    the testable contract of bucketed co-location.  Matches the
+    ``Exchange`` operator NAME at its tree position (hash, range, AND
+    single-partition exchanges all break co-location), so neither
+    ``BroadcastExchange`` (a broadcast, not a shuffle) nor a
+    ``ReusedExchange`` row whose referenced node happens to mention
+    "Exchange" in its description produces a false positive; a reused
+    *shuffle* still counts once, at its original ``Exchange`` line."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return any(
-        "Exchange" in line and "BroadcastExchange" not in line
-        for line in plan.splitlines()
-    )
+    # tree prefixes look like "   :  +- Exchange hashpartitioning(...)"
+    op = re.compile(r"^[\s:+*\-()0-9]*Exchange\b")
+    return any(op.match(line) for line in plan.splitlines())

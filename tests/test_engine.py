@@ -481,6 +481,61 @@ def test_bootstrap_scores_macro_differential_vs_python_replay(spark):
         assert got_bca[name] == tuple(lohi), (name, got_bca[name], lohi)
 
 
+def test_bootstrap_auto_resample_switch(spark, monkeypatch):
+    """``resample="auto"``: multinomial (reference-exact) below the
+    pair-count crossover, Poisson above — and the switch point itself
+    preserves CI widths to ~0.1 points, so a caller crossing the
+    threshold sees no meaningful CI jump."""
+    import random as _random
+
+    from smatchpp_spark.functions import scores as sc
+
+    rng = _random.Random(7)
+    rows = []
+    for i in range(4000):
+        x = rng.randint(1, 8)
+        rows.append(
+            (i, float(x), float(x), float(x + rng.randint(0, 4)),
+             float(x + rng.randint(0, 3)))
+        )
+    stats = spark.createDataFrame(
+        rows,
+        "pair_id int, matchsum_x double, matchsum_y double, "
+        "xlen double, ylen double",
+    ).localCheckpoint(eager=True)
+
+    # below the threshold auto IS the multinomial draw, bit-for-bit
+    auto = sorted(map(tuple, sc.bootstrap_scores(stats, resample="auto").collect()))
+    multi = sorted(
+        map(tuple, sc.bootstrap_scores(stats, resample="multinomial").collect())
+    )
+    assert auto == multi
+
+    # above the (patched) threshold auto IS the Poisson mode, bit-for-bit
+    monkeypatch.setattr(sc, "POISSON_AUTO_PAIRS", 100)
+    auto_hi = sorted(
+        map(tuple, sc.bootstrap_scores(stats, resample="auto").collect())
+    )
+    pois = sorted(
+        map(tuple, sc.bootstrap_scores(stats, resample="poisson").collect())
+    )
+    assert auto_hi == pois
+
+    # the two modes' CI WIDTHS agree to ~0.1 points at this n for every
+    # statistic (the crossover is invisible to CI consumers)
+    wm = {r[0]: r[2] - r[1] for r in multi}
+    wp = {r[0]: r[2] - r[1] for r in pois}
+    for k in wm:
+        assert abs(wm[k] - wp[k]) < 0.15, (k, wm[k], wp[k])
+
+    # bootstrap_micro honors the same switch
+    lo_m, hi_m = sc.bootstrap_micro(stats, resample="multinomial").collect()[0]
+    lo_p, hi_p = sc.bootstrap_micro(stats, resample="poisson").collect()[0]
+    lo_a, hi_a = sc.bootstrap_micro(stats, resample="auto").collect()[0]
+    assert (lo_a, hi_a) == (lo_p, hi_p)  # patched threshold → poisson
+    assert abs((hi_m - lo_m) - (hi_p - lo_p)) < 0.15
+
+
 def test_bootstrap_poisson_resample_close_and_deterministic(spark):
     """Poisson resampling (the at-scale mode, no B×n shuffle): CIs land
     within ~1.5 points of the multinomial draw on every statistic ×

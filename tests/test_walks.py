@@ -128,6 +128,39 @@ def test_duplicate_clusters(spark):
     assert by_doc[11] == (10, False)
 
 
+def test_walk_param_validation(spark):
+    """walks_per_vertex=0 must raise, not silently emit '#0' and '#-1'
+    walks (F.sequence(0, -1) auto-steps descending)."""
+    from smatchpp_spark.operators.walks import biased_random_walks, random_walks
+
+    e = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="walks_per_vertex"):
+        random_walks(e, walks_per_vertex=0)
+    with pytest.raises(ValueError, match="walk_length"):
+        random_walks(e, walk_length=0)
+    with pytest.raises(ValueError, match="walks_per_vertex"):
+        biased_random_walks(e, walks_per_vertex=-1)
+
+
+def test_duplicate_clusters_unconverged_raises(spark):
+    """A CC round cap too small for the pair-graph diameter must raise
+    (truncated hash-min labels would split clusters and let duplicates
+    survive the keep-lowest policy silently)."""
+    from smatchpp_spark.pipeline import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(
+            docs, threshold=0.4, num_hashes=8, band_size=2, max_rounds=0
+        )
+
+
 def test_random_walks_checkpoint_resume_identical(spark, tmp_path):
     """Walk generation resumes mid-corpus: a run interrupted at step 2
     and resumed produces the identical walk table (draws are pure
