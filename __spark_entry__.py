@@ -559,6 +559,108 @@ def _eigen_sql(iters: int) -> str:
     return "\n".join(parts)
 
 
+def _louvain_sql(sweeps: int = 3, levels: int = 2) -> str:
+    """Unrolled Louvain oracle over the supplier→nation→region
+    hierarchy — the exact integer-gain synchronous local-move replay:
+    per sweep community totals, neighbor-community weights, the
+    2m·w − k·tot gain comparison (all BIGINT — cross-engine exact),
+    min-label tie-break via a window rank, and the md5-parity move
+    gate; between levels the partition contracts (summed weights,
+    self-loops kept).  Mirrors operators/louvain.py sweep for sweep."""
+    edges = (
+        "SELECT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst "
+        "FROM supplier UNION ALL "
+        "SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation"
+    )
+    par = "CAST(('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    parts = [
+        f"WITH e0 AS ({edges}),",
+        "und1 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM "
+        "(SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e0)),",
+    ]
+    for L in range(1, levels + 1):
+        parts.append(
+            f"stubs{L} AS MATERIALIZED ("
+            f"SELECT a AS v, b AS u, w FROM und{L} WHERE a <> b "
+            f"UNION ALL SELECT b, a, w FROM und{L} WHERE a <> b),"
+        )
+        parts.append(
+            f"loops{L} AS (SELECT a AS v, CAST(SUM(w) AS BIGINT) AS lw "
+            f"FROM und{L} WHERE a = b GROUP BY a),"
+        )
+        parts.append(
+            f"vv{L} AS (SELECT DISTINCT v FROM (SELECT a AS v FROM und{L} "
+            f"UNION ALL SELECT b FROM und{L})),"
+        )
+        parts.append(
+            f"k{L} AS MATERIALIZED (SELECT vv.v, "
+            f"CAST(COALESCE(sw.s, 0) + 2 * COALESCE(lp.lw, 0) AS BIGINT) AS k "
+            f"FROM vv{L} vv LEFT JOIN (SELECT v, SUM(w) AS s FROM stubs{L} "
+            f"GROUP BY v) sw ON sw.v = vv.v "
+            f"LEFT JOIN loops{L} lp ON lp.v = vv.v),"
+        )
+        parts.append(
+            f"m{L} AS (SELECT CAST(SUM(k) AS BIGINT) AS tm FROM k{L}),"
+        )
+        parts.append(f"s{L}_0 AS (SELECT v, v AS lbl FROM k{L}),")
+        for t in range(1, sweeps + 1):
+            p = f"s{L}_{t-1}"
+            tm = f"(SELECT tm FROM m{L})"
+            parts.append(
+                f"tot{L}_{t} AS (SELECT s.lbl, CAST(SUM(k.k) AS BIGINT) "
+                f"AS tot FROM {p} s JOIN k{L} k ON k.v = s.v GROUP BY s.lbl),"
+            )
+            parts.append(
+                f"vc{L}_{t} AS MATERIALIZED (SELECT st.v, su.lbl AS c, "
+                f"CAST(SUM(st.w) AS BIGINT) AS wvc FROM stubs{L} st "
+                f"JOIN {p} su ON su.v = st.u GROUP BY st.v, su.lbl),"
+            )
+            parts.append(
+                f"cur{L}_{t} AS MATERIALIZED (SELECT s.v, s.lbl, k.k, "
+                f"{tm} * COALESCE(vc.wvc, 0) - k.k * (tt.tot - k.k) AS g_cur "
+                f"FROM {p} s JOIN k{L} k ON k.v = s.v "
+                f"JOIN tot{L}_{t} tt ON tt.lbl = s.lbl "
+                f"LEFT JOIN vc{L}_{t} vc ON vc.v = s.v AND vc.c = s.lbl),"
+            )
+            parts.append(
+                f"cand{L}_{t} AS (SELECT c.v, vc.c AS c2, "
+                f"{tm} * vc.wvc - c.k * tt.tot AS g FROM vc{L}_{t} vc "
+                f"JOIN cur{L}_{t} c ON c.v = vc.v "
+                f"JOIN tot{L}_{t} tt ON tt.lbl = vc.c "
+                f"WHERE vc.c <> c.lbl AND "
+                f"{tm} * vc.wvc - c.k * tt.tot > c.g_cur),"
+            )
+            parts.append(
+                f"best{L}_{t} AS (SELECT v, c2 AS best FROM "
+                f"(SELECT v, c2, row_number() OVER (PARTITION BY v "
+                f"ORDER BY g DESC, c2 ASC) AS rn FROM cand{L}_{t}) "
+                f"WHERE rn = 1),"
+            )
+            parts.append(
+                f"s{L}_{t} AS MATERIALIZED (SELECT c.v, "
+                f"CASE WHEN b.best IS NOT NULL AND "
+                f"{par.format(v='c.v')} % 2 = {t % 2} "
+                f"THEN b.best ELSE c.lbl END AS lbl "
+                f"FROM cur{L}_{t} c LEFT JOIN best{L}_{t} b ON b.v = c.v),"
+            )
+        if L < levels:
+            parts.append(
+                f"und{L+1} AS MATERIALIZED (SELECT "
+                f"least(la.lbl, lb.lbl) AS a, greatest(la.lbl, lb.lbl) AS b, "
+                f"CAST(SUM(u.w) AS BIGINT) AS w FROM und{L} u "
+                f"JOIN s{L}_{sweeps} la ON la.v = u.a "
+                f"JOIN s{L}_{sweeps} lb ON lb.v = u.b GROUP BY 1, 2),"
+            )
+    # compose the per-level mappings: v → s1(v) → s2(s1(v)) → ...
+    sel = f"SELECT m1.v AS vertex, m{levels}.lbl AS community FROM s1_{sweeps} m1"
+    for L in range(2, levels + 1):
+        prev = f"m{L-1}.lbl" if L > 2 else "m1.lbl"
+        sel += f" JOIN s{L}_{sweeps} m{L} ON m{L}.v = {prev}"
+    parts.append(f"fin AS (SELECT 1) {sel}")
+    return "\n".join(parts)
+
+
 def _node2vec_sql(
     walk_length: int = 3, seed: int = 11, p: float = 0.5, q: float = 2.0
 ) -> str:
@@ -1310,6 +1412,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eigenvector_centrality"] = _eigen
 
+    def _louvain(spark, sf):
+        from smatchpp_spark.operators.louvain import louvain_communities
+
+        # hierarchical graph: suppliers→nations→regions, so level-1
+        # local moves cluster suppliers into nations and the level-2
+        # pass (on the contracted supernode graph) can merge further
+        s = _read(spark, sf, "supplier")
+        n = _read(spark, sf, "nation")
+        e = s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        ).unionByName(
+            n.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+        return louvain_communities(
+            e, sweeps_per_level=3, levels=2, portable=True
+        ).communities
+
+    q["louvain_communities"] = _louvain
+
     def _kcore(spark, sf):
         from smatchpp_spark.operators.kcore import k_core
 
@@ -1848,6 +1973,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         ),
         "hits_scores": _hits_sql(PR_STEPS),
         "eigenvector_centrality": _eigen_sql(PR_STEPS),
+        "louvain_communities": _louvain_sql(3, 2),
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
         "connected_components": f"""

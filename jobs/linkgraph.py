@@ -29,7 +29,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["pagerank", "hits", "components", "components_twophase",
                             "labelprop", "triangles", "degrees", "kcore",
                             "bfs", "scc", "hyperball", "clustering",
-                            "linkpred", "walks"])
+                            "linkpred", "walks", "louvain"])
+    p.add_argument("--sweeps-per-level", type=int, default=8,
+                   help="louvain: local-move sweeps per level")
+    p.add_argument("--levels", type=int, default=2,
+                   help="louvain: contraction levels")
     p.add_argument("--walk-length", type=int, default=5)
     p.add_argument("--walks-per-vertex", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
@@ -227,6 +231,16 @@ def main() -> None:
             edges, method=args.method, top_k=args.top_k,
             max_pivot_degree=args.max_pivot_degree,
         )
+    elif args.op == "louvain":
+        from smatchpp_spark.operators.louvain import louvain_communities
+
+        res = louvain_communities(
+            edges, sweeps_per_level=args.sweeps_per_level,
+            levels=args.levels,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out = res.communities
+        summary["levels"] = res.levels
     elif args.op == "walks":
         from smatchpp_spark.operators.walks import random_walks
 

@@ -560,3 +560,183 @@ def test_degree_histogram_and_contraction(spark):
         want_c[(la, lb)] = want_c.get((la, lb), 0) + 1
     assert out == want_c
     assert sum(out.values()) == len(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Louvain community detection
+# ---------------------------------------------------------------------------
+
+def _py_portable_hash(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_louvain(pairs, sweeps, levels):
+    """Pure-python mirror of louvain_communities(portable=True) on an
+    unweighted edge list: canonical undirected weight-1 graph, fixed
+    synchronous sweeps with integer gains, min-label tie-break, hash-
+    parity move gating, contraction between levels."""
+    und = {}
+    for s, d in pairs:
+        a, b = (s, d) if s <= d else (d, s)
+        und[(a, b)] = 1
+
+    def level(und, sweeps):
+        loops = {}
+        stubs = {}
+        verts = set()
+        for (a, b), w in und.items():
+            verts.add(a)
+            verts.add(b)
+            if a == b:
+                loops[a] = loops.get(a, 0) + w
+            else:
+                stubs.setdefault(a, {})[b] = stubs.setdefault(a, {}).get(b, 0) + w
+                stubs.setdefault(b, {})[a] = stubs.setdefault(b, {}).get(a, 0) + w
+        k = {
+            v: sum(stubs.get(v, {}).values()) + 2 * loops.get(v, 0)
+            for v in verts
+        }
+        two_m = sum(k.values())
+        lbl = {v: v for v in verts}
+        if two_m == 0:
+            return lbl
+        for t in range(1, sweeps + 1):
+            tot = {}
+            for v in verts:
+                tot[lbl[v]] = tot.get(lbl[v], 0) + k[v]
+            new = {}
+            for v in verts:
+                vc = {}
+                for u, w in stubs.get(v, {}).items():
+                    vc[lbl[u]] = vc.get(lbl[u], 0) + w
+                cur = lbl[v]
+                g_cur = two_m * vc.get(cur, 0) - k[v] * (tot[cur] - k[v])
+                best = None
+                for c, wvc in vc.items():
+                    if c == cur:
+                        continue
+                    g = two_m * wvc - k[v] * tot[c]
+                    if g > g_cur and (
+                        best is None
+                        or g > best[0]
+                        or (g == best[0] and c < best[1])
+                    ):
+                        best = (g, c)
+                eligible = _py_portable_hash(str(v)) % 2 == t % 2
+                new[v] = best[1] if (best and eligible) else cur
+            lbl = new
+        return lbl
+
+    mapping = None
+    for _ in range(levels):
+        final = level(und, sweeps)
+        if mapping is None:
+            mapping = dict(final)
+        else:
+            mapping = {v: final[c] for v, c in mapping.items()}
+        nxt = {}
+        for (a, b), w in und.items():
+            la, lb = final[a], final[b]
+            key = (la, lb) if la <= lb else (lb, la)
+            nxt[key] = nxt.get(key, 0) + w
+        und = nxt
+    return mapping
+
+
+def test_louvain_two_cliques(spark):
+    """Two 5-cliques joined by one bridge edge → exactly two
+    communities, one per clique."""
+    from smatchpp_spark.operators.louvain import louvain_communities
+
+    pairs = []
+    for grp, names in (
+        (0, [f"a{i}" for i in range(5)]),
+        (1, [f"b{i}" for i in range(5)]),
+    ):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                pairs.append((names[i], names[j]))
+    pairs.append(("a0", "b0"))
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    res = louvain_communities(e, sweeps_per_level=4, levels=2, portable=True)
+    got = {r.vertex: r.community for r in res.communities.collect()}
+    acomm = {got[f"a{i}"] for i in range(5)}
+    bcomm = {got[f"b{i}"] for i in range(5)}
+    assert len(acomm) == 1 and len(bcomm) == 1 and acomm != bcomm
+
+
+def test_louvain_matches_python_replay(spark):
+    """Exact differential vs the pure-python mirror on a random sparse
+    graph (same gains, tie-breaks, parity gating, contraction)."""
+    from smatchpp_spark.operators.louvain import louvain_communities
+
+    rng = random.Random(17)
+    verts = [f"v{i:02d}" for i in range(40)]
+    pairs = set()
+    for _ in range(120):
+        a, b = rng.sample(verts, 2)
+        pairs.add((a, b))
+    pairs = sorted(pairs)
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    res = louvain_communities(e, sweeps_per_level=3, levels=2, portable=True)
+    got = {r.vertex: r.community for r in res.communities.collect()}
+    want = _py_louvain(pairs, sweeps=3, levels=2)
+    assert got == want
+
+
+def test_louvain_beats_lpa_modularity(spark):
+    """On a planted-partition graph the Louvain partition's modularity
+    is at least the LPA partition's (the point of gain-driven moves)."""
+    from smatchpp_spark.operators.graphstats import modularity
+    from smatchpp_spark.operators.labelprop import label_propagation
+    from smatchpp_spark.operators.louvain import louvain_communities
+
+    rng = random.Random(5)
+    pairs = set()
+    groups = [[f"g{g}v{i}" for i in range(8)] for g in range(4)]
+    for grp in groups:
+        for i in range(8):
+            for j in range(i + 1, 8):
+                if rng.random() < 0.8:
+                    pairs.add((grp[i], grp[j]))
+    allv = [v for grp in groups for v in grp]
+    for _ in range(12):
+        a, b = rng.sample(allv, 2)
+        if a != b:
+            pairs.add((a, b))
+    e = spark.createDataFrame(sorted(pairs), "src string, dst string")
+    lou = louvain_communities(e, sweeps_per_level=8, levels=2, portable=True)
+    lpa = label_propagation(e, max_supersteps=5)
+    q_lou = modularity(e, lou.communities).collect()[0]["modularity"]
+    q_lpa = modularity(e, lpa.labels).collect()[0]["modularity"]
+    assert q_lou >= q_lpa - 1e-12, (q_lou, q_lpa)
+    assert q_lou > 0.3, q_lou
+
+
+def test_louvain_checkpoint_resume_identical(spark, tmp_path):
+    """A run interrupted after level 1 resumes and produces the
+    identical community table (fixed sweep schedule + committed
+    per-sweep state)."""
+    import shutil
+
+    from smatchpp_spark.operators.louvain import louvain_communities
+
+    rng = random.Random(23)
+    verts = [f"v{i:02d}" for i in range(25)]
+    pairs = sorted({tuple(rng.sample(verts, 2)) for _ in range(70)})
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    d = str(tmp_path / "lou")
+    full = louvain_communities(
+        e, sweeps_per_level=3, levels=2, portable=True, checkpoint_dir=d
+    )
+    want = sorted(map(tuple, full.communities.collect()))
+    # wipe level 2 entirely and the last sweep of level 1, then resume
+    shutil.rmtree(f"{d}/louvain_level2")
+    shutil.rmtree(f"{d}/louvain_level1/state/superstep=3")
+    res = louvain_communities(
+        e, sweeps_per_level=3, levels=2, portable=True,
+        checkpoint_dir=d, resume=True,
+    )
+    assert sorted(map(tuple, res.communities.collect())) == want
