@@ -559,6 +559,84 @@ def _eigen_sql(iters: int) -> str:
     return "\n".join(parts)
 
 
+def _linkpred_ppr_sql(steps: int = 3, alpha: float = ALPHA, top_k: int = 10) -> str:
+    """Unrolled fixed-step personalized-PageRank link scores over the
+    undirected supplier→nation graph, seeds = nations ≡ 0 (mod 5):
+    r_{t+1}(v) = (1−α)[v=seed] + α·Σ r_t(u)/deg(u), existing neighbors
+    and the seed excluded, per-seed top-k with (score desc, candidate)
+    tie-break — the exact float literals of operators/linkpred.py."""
+    a, b = repr(float(alpha)), repr(1.0 - alpha)
+    edges = (
+        "SELECT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst "
+        "FROM supplier UNION ALL "
+        "SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation"
+    )
+    parts = [
+        f"WITH e0 AS ({edges}),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)"
+        " WHERE a <> b),",
+        "deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),",
+        "contrib AS MATERIALIZED (SELECT und.a AS u, und.b AS v, "
+        "1.0 / deg.deg AS w FROM und JOIN deg ON deg.a = und.a),",
+        "seeds AS (SELECT 'n' || n_nationkey AS seed FROM nation "
+        "WHERE n_nationkey % 5 = 0),",
+        f"sr AS (SELECT seed, seed AS vertex, {b} AS base FROM seeds),",
+        "r0 AS (SELECT seed, seed AS vertex, 1.0 AS rank FROM seeds),",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"m{t} AS (SELECT r.seed, c.v AS vertex, "
+            f"SUM(r.rank * c.w) AS in_sum "
+            f"FROM r{t-1} r JOIN contrib c ON c.u = r.vertex "
+            f"GROUP BY r.seed, c.v),"
+        )
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT "
+            f"COALESCE(m.seed, s.seed) AS seed, "
+            f"COALESCE(m.vertex, s.vertex) AS vertex, "
+            f"COALESCE(s.base, 0.0) + {a} * COALESCE(m.in_sum, 0.0) AS rank "
+            f"FROM m{t} m FULL JOIN sr s "
+            f"ON s.seed = m.seed AND s.vertex = m.vertex),"
+        )
+    parts.append(
+        f"scored AS (SELECT r.seed, r.vertex AS candidate, "
+        f"ROUND(r.rank, 9) AS score FROM r{steps} r "
+        f"LEFT JOIN und ex ON ex.a = r.seed AND ex.b = r.vertex "
+        f"WHERE r.vertex <> r.seed AND ex.a IS NULL)"
+    )
+    parts.append(
+        f"SELECT seed, candidate, score FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY seed ORDER BY score DESC, candidate ASC) AS rn "
+        f"FROM scored) WHERE rn <= {top_k}"
+    )
+    return "\n".join(parts)
+
+
+def _substring_dedup_sql(k: int = 5, min_span: int = 8, min_count: int = 2) -> str:
+    """Inverted-index replay of substring_dedup_spans: positional
+    k-grams over the lowercased whitespace tokens, md5-portable gram
+    hashes, distinct-doc duplicate filter, consecutive-position run
+    merge via the pos − row_number trick."""
+    gh = "CAST(('0x' || substr(md5(u.g), 1, 15)) AS BIGINT)"
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+gl AS (SELECT doc_id, list_transform(range(0, greatest(len(toks) - {k - 1}, 0)),
+         i -> {{'pos': i, 'g': array_to_string(toks[i+1:i+{k}], ' ')}}) AS gs FROM t),
+g AS MATERIALIZED (SELECT doc_id, u.pos AS pos, {gh} AS gh
+       FROM (SELECT doc_id, unnest(gs) AS u FROM gl)),
+dup AS (SELECT gh FROM g GROUP BY gh
+        HAVING COUNT(DISTINCT doc_id) >= {min_count}),
+dp AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+runs AS (SELECT doc_id, pos, pos - row_number()
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run FROM dp)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + {k} AS INT) AS n_tokens
+FROM runs GROUP BY doc_id, run
+HAVING MAX(pos) - MIN(pos) + {k} >= {min_span}
+"""
+
+
 def _louvain_sql(sweeps: int = 3, levels: int = 2) -> str:
     """Unrolled Louvain oracle over the supplier→nation→region
     hierarchy — the exact integer-gain synchronous local-move replay:
@@ -1435,6 +1513,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["louvain_communities"] = _louvain
 
+    def _linkpred_ppr(spark, sf):
+        from smatchpp_spark.operators.linkpred import linkpred_ppr
+
+        n = _read(spark, sf, "nation")
+        # the connected supplier→nation→region hierarchy (the louvain
+        # graph): nation seeds reach sibling nations at distance 2 and
+        # their suppliers at distance 3 — a pure supplier→nation star
+        # graph has NO non-neighbor candidates within 3 steps
+        s = _read(spark, sf, "supplier")
+        e = s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        ).unionByName(
+            n.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+        seeds = n.filter(F.col("n_nationkey") % 5 == 0).select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias(
+                "seed"
+            )
+        )
+        return linkpred_ppr(e, seeds, steps=3, alpha=ALPHA, top_k=10)
+
+    q["linkpred_ppr"] = _linkpred_ppr
+
     def _kcore(spark, sf):
         from smatchpp_spark.operators.kcore import k_core
 
@@ -1635,6 +1740,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), bits=16, portable=True
     )
     q["doc_bpe_tokens"] = lambda spark, sf: text.bpe_token_count(_docs(spark, sf))
+
+    def _substr_dedup(spark, sf):
+        return dedup.substring_dedup_spans(
+            _docs(spark, sf), ngram=5, min_span=8, portable=True
+        )
+
+    q["doc_substring_dedup"] = _substr_dedup
 
     def _emb_neardup(spark, sf):
         emb = _read(spark, sf, "embeddings")
@@ -1974,6 +2086,8 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "hits_scores": _hits_sql(PR_STEPS),
         "eigenvector_centrality": _eigen_sql(PR_STEPS),
         "louvain_communities": _louvain_sql(3, 2),
+        "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
+        "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
         "connected_components": f"""

@@ -39,7 +39,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--method", default="adamic_adar",
                    help="linkpred: common_neighbors | adamic_adar | "
-                        "resource_allocation")
+                        "resource_allocation | ppr (needs --sources seeds)")
     p.add_argument("--top-k", type=int, default=None,
                    help="linkpred: keep only the global best pairs")
     p.add_argument("--max-pivot-degree", type=int, default=None,
@@ -225,12 +225,25 @@ def main() -> None:
 
         out = clustering_coefficient(edges)
     elif args.op == "linkpred":
-        from smatchpp_spark.operators.linkpred import linkpred_scores
+        if args.method == "ppr":
+            from smatchpp_spark.operators.linkpred import linkpred_ppr
 
-        out = linkpred_scores(
-            edges, method=args.method, top_k=args.top_k,
-            max_pivot_degree=args.max_pivot_degree,
-        )
+            if not args.sources:
+                raise SystemExit("--method ppr requires --sources (seeds)")
+            if args.sources.startswith("@"):
+                seeds = spark.read.parquet(args.sources[1:])
+            else:
+                seeds = args.sources.split(",")
+            out = linkpred_ppr(
+                edges, seeds, alpha=args.alpha, top_k=args.top_k
+            )
+        else:
+            from smatchpp_spark.operators.linkpred import linkpred_scores
+
+            out = linkpred_scores(
+                edges, method=args.method, top_k=args.top_k,
+                max_pivot_degree=args.max_pivot_degree,
+            )
     elif args.op == "louvain":
         from smatchpp_spark.operators.louvain import louvain_communities
 

@@ -20,6 +20,8 @@ anti-join against the existing edge set.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,3 +86,114 @@ def linkpred_scores(
             top_k
         )
     return pairs
+
+
+def linkpred_ppr(
+    edges: DataFrame,
+    seeds: DataFrame | Sequence[str],
+    steps: int = 3,
+    alpha: float = 0.85,
+    top_k: int | None = None,
+    exclude_existing: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Personalized-PageRank link prediction: score candidate links
+    (seed, v) by the seed's fixed-step PPR mass at v — the
+    random-walk-with-restart scorer that beats neighborhood-overlap
+    methods on sparse graphs because it sees beyond distance 2 (the
+    standard Katz/PPR family, Liben-Nowell & Kleinberg 2003).
+
+    Variant, stated exactly: r_0 = e_seed;
+    ``r_{t+1}(v) = (1-α)·[v == seed] + α·Σ_{u~v} r_t(u)/deg(u)`` over
+    the UNDIRECTED simple graph for ``steps`` iterations — on an
+    undirected graph every vertex has degree ≥ 1, so there is no
+    dangling mass and the fixed-step form is the exact truncated power
+    iteration (oracle-replayable: all draws/joins deterministic).
+
+    All seeds run SIMULTANEOUSLY — the state is (seed, vertex, rank)
+    and each step is ONE state⋈edges join + one (seed, dst) aggregation
+    (multi-source BFS shape), not |seeds| separate PageRank runs.
+    State size is bounded by |seeds| × |steps-hop ball|; callers pick
+    seed batches sized to the cluster (the standard batched-PPR
+    production pattern).
+
+    Output: (seed, candidate, score double) — ``candidate != seed``,
+    existing neighbors excluded when ``exclude_existing``; ``top_k``
+    keeps the best per seed (score desc, candidate asc — deterministic).
+    """
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = undirected_simple(edges)  # (a, b) both directions, distinct
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    contrib = (
+        und.join(deg, "a")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            (F.lit(1.0) / F.col("deg")).alias("w"),
+        )
+        .repartition(num_partitions, "u")
+        .persist()
+    )
+    contrib.count()
+
+    if isinstance(seeds, DataFrame):
+        seeds_df = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
+    else:
+        vt = und.schema["a"].dataType
+        seeds_df = spark.createDataFrame(
+            [(s,) for s in seeds], f"seed {vt.simpleString()}"
+        ).distinct()
+    base = F.lit(1.0 - alpha)
+    seed_rows = seeds_df.select(
+        "seed", F.col("seed").alias("vertex"), base.alias("base")
+    ).localCheckpoint(eager=True)
+
+    state = seeds_df.select(
+        "seed", F.col("seed").alias("vertex"), F.lit(1.0).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(steps):
+        msgs = (
+            state.join(contrib, state["vertex"] == contrib["u"])
+            .groupBy("seed", F.col("v").alias("vertex"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
+        )
+        state = (
+            msgs.join(seed_rows, ["seed", "vertex"], "full")
+            .select(
+                "seed",
+                "vertex",
+                (
+                    F.coalesce("base", F.lit(0.0))
+                    + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    contrib.unpersist()
+
+    out = state.filter(F.col("vertex") != F.col("seed")).select(
+        "seed",
+        F.col("vertex").alias("candidate"),
+        F.round("rank", 9).alias("score"),
+    )
+    if exclude_existing:
+        nbrs = und.select(
+            F.col("a").alias("seed"), F.col("b").alias("candidate")
+        )
+        out = out.join(nbrs, ["seed", "candidate"], "left_anti")
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("seed").orderBy(
+            F.desc("score"), F.asc("candidate")
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .drop("_rn")
+        )
+    return out

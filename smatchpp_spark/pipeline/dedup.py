@@ -324,6 +324,91 @@ def neardup_pairs_embedding(
     )
 
 
+def positional_ngrams(text_col: Column | str, k: int = 5) -> Column:
+    """Array of word k-grams of the lowercased text IN POSITION ORDER
+    (``posexplode`` recovers the 0-based token offset) — unlike
+    ``shingles`` there is no distinct and no short-text fallback: a doc
+    with fewer than k tokens has no k-gram and contributes no rows.
+
+    Same zip_with-over-slices build as ``shingles`` (each slice
+    references the token expression once — the projection-collapse-safe
+    formulation)."""
+    t = F.transform(tokens(text_col), F.lower)
+    n = F.size(t)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    grams = F.slice(t, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(t, j + 1, m),
+            lambda acc, w: F.concat(acc, F.lit(" "), w),
+        )
+    return grams
+
+
+def substring_dedup_spans(
+    docs: DataFrame,
+    ngram: int = 5,
+    min_span: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Substring-level exact dedup — the n-gram inverted-index
+    approximation of suffix-array span dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public
+    algorithm): find maximal TOKEN SPANS that are exactly repeated
+    across documents, the complement of doc-level dedup (a 10-page doc
+    embedding one plagiarized paragraph passes every whole-doc and
+    near-dup filter; this catches the paragraph).
+
+    Mechanics: every k-token gram is hashed; grams occurring in at
+    least ``min_count`` DISTINCT documents are duplicate grams; per
+    document, maximal runs of consecutive duplicate-gram positions
+    become spans covering tokens ``[span_start, span_start + n_tokens)``
+    and spans shorter than ``min_span`` tokens are dropped.
+
+    Output: (doc_id, span_start int, n_tokens int) — 0-based token
+    offsets into the lowercased whitespace tokenization.
+
+    Scale shape: one posexplode map pass; one groupBy on the gram hash
+    (uniform keys — hash-distributed, map-side combined distinct-doc
+    count); one semi-join back on the hash; the run-merge window
+    partitions BY DOCUMENT, so its sort is bounded by a single
+    document's gram count, never by corpus size.  No all-pairs path —
+    cost is linear in total tokens, the same budget as tokenizing."""
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(positional_ngrams(F.col(text_col), ngram)).alias(
+            "pos", "gram"
+        ),
+    ).select(id_col, "pos", hash64(F.col("gram"), portable).alias("gh"))
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_count)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup_hashes, "gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = dup_pos.withColumn(
+        "run", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "run")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("pmax"))
+        .select(
+            id_col,
+            F.col("span_start").cast("int").alias("span_start"),
+            (F.col("pmax") - F.col("span_start") + ngram)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_span)
+    )
+
+
 def duplicate_clusters(
     docs: DataFrame,
     threshold: float = 0.8,

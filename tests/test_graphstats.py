@@ -740,3 +740,56 @@ def test_louvain_checkpoint_resume_identical(spark, tmp_path):
         checkpoint_dir=d, resume=True,
     )
     assert sorted(map(tuple, res.communities.collect())) == want
+
+
+def test_linkpred_ppr_vs_python(spark):
+    """Fixed-step PPR link scores match an exact python power-iteration
+    replay; existing neighbors and the seed are excluded; top_k is
+    deterministic."""
+    from smatchpp_spark.operators.linkpred import linkpred_ppr
+
+    rng = random.Random(13)
+    verts = [f"v{i:02d}" for i in range(30)]
+    pairs = sorted({tuple(rng.sample(verts, 2)) for _ in range(70)})
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    seeds = ["v00", "v05", "v11"]
+    steps, alpha = 3, 0.85
+
+    nbrs = {}
+    for a, b in pairs:
+        if a != b:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for s in seeds:
+        r = {s: 1.0}
+        for _ in range(steps):
+            nxt = {}
+            for u, ru in r.items():
+                for v in nbrs.get(u, ()):
+                    nxt[v] = nxt.get(v, 0.0) + alpha * ru / len(nbrs[u])
+            nxt[s] = nxt.get(s, 0.0) + (1.0 - alpha)
+            r = nxt
+        for v, sc in r.items():
+            if v != s and v not in nbrs.get(s, ()):
+                want[(s, v)] = sc
+
+    out = linkpred_ppr(e, seeds, steps=steps, alpha=alpha).collect()
+    got = {(r.seed, r.candidate): r.score for r in out}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+    topk = linkpred_ppr(e, seeds, steps=steps, alpha=alpha, top_k=3).collect()
+    by_seed = {}
+    for r in topk:
+        by_seed.setdefault(r.seed, []).append((r.score, r.candidate))
+    for s, rows in by_seed.items():
+        assert len(rows) <= 3
+        best = sorted(
+            ((sc, c) for (ss, c), sc in want.items() if ss == s),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert sorted(rows, key=lambda t: (-t[0], t[1])) == [
+            (round(sc, 9), c) for sc, c in best
+        ]

@@ -650,3 +650,91 @@ def test_ivf_kmeans_sample_fraction_and_empty(spark):
     empty = emb.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="empty codebook"):
         similarity.kmeans_centroids(empty, n_cells=4)
+
+
+def test_substring_dedup_planted_spans(spark):
+    """A 12-token passage planted inside two otherwise-different docs is
+    recovered with exact token offsets; unrelated docs emit nothing and
+    sub-min_span overlaps are dropped."""
+    from smatchpp_spark.pipeline.dedup import substring_dedup_spans
+
+    shared = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima")
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one text here " + shared + " trailing tail words"),
+            (2, "other start " + shared + " different ending"),
+            (3, "completely unrelated text with nothing shared at all here"),
+            # shares only a 6-token window with doc 1's tail: below min_span
+            (4, "also mentions trailing tail words briefly nothing more"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_dedup_spans(
+        docs, ngram=5, min_span=10, portable=True
+    ).collect()
+    got = {(r.doc_id, r.span_start, r.n_tokens) for r in out}
+    assert got == {(1, 4, 12), (2, 2, 12)}, got
+
+
+def test_substring_dedup_matches_python_replay(spark):
+    """Exact differential vs a pure-python inverted-index replay on a
+    randomized corpus with repeated sentences."""
+    import random as _random
+
+    from smatchpp_spark.pipeline.dedup import substring_dedup_spans
+
+    rng = _random.Random(31)
+    vocab = [f"w{i}" for i in range(60)]
+    sentences = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 14)))
+        for _ in range(10)
+    ]
+    rows = []
+    for d in range(30):
+        parts = []
+        for _ in range(rng.randint(2, 5)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(sentences))
+            else:
+                parts.append(
+                    " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 10)))
+                )
+        rows.append((d, " ".join(parts)))
+    k, min_span, min_count = 4, 6, 2
+
+    # python replay
+    grams = {}
+    toks_by_doc = {}
+    for d, text in rows:
+        toks = text.lower().split()
+        toks_by_doc[d] = toks
+        for i in range(len(toks) - k + 1):
+            grams.setdefault(" ".join(toks[i:i + k]), set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= min_count}
+    want = set()
+    for d, _ in rows:
+        toks = toks_by_doc[d]
+        pos = [
+            i
+            for i in range(len(toks) - k + 1)
+            if " ".join(toks[i:i + k]) in dup
+        ]
+        run_start = None
+        prev = None
+        for p in pos + [None]:
+            if run_start is not None and (p is None or p != prev + 1):
+                n = prev - run_start + k
+                if n >= min_span:
+                    want.add((d, run_start, n))
+                run_start = None
+            if p is not None and run_start is None:
+                run_start = p
+            prev = p
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dedup_spans(
+        docs, ngram=k, min_span=min_span, min_count=min_count
+    ).collect()
+    got = {(r.doc_id, r.span_start, r.n_tokens) for r in out}
+    assert got == want
