@@ -39,18 +39,30 @@ from smatchpp_spark.functions.hashing import hash64
 from smatchpp_spark.operators.supersteps import SuperstepRunner
 
 
-def neighbor_index(edges: DataFrame) -> DataFrame:
+def neighbor_index(
+    edges: DataFrame,
+    hub_threshold: int | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
     """(src, idx, dst, deg): distinct out-neighbors with a dense
-    per-source position ordered by dst (deterministic under any physical
-    partitioning) and the out-degree.
+    per-source position and the out-degree.  ``idx`` is a deterministic
+    bijection [0, deg) per source, stable under any physical
+    partitioning.
 
-    Skew note: the window sorts each source's neighbor list in ONE task,
-    so a 10^8-out-degree hub is a single long-running (not failing)
-    task — a one-time index-build cost amortized over every walk step.
-    If that ever dominates, split hub lists with the salting helper
-    (operators/skew.py) and offset the per-salt row_numbers by the salt
-    bucket's cumulative count (the dense-index pattern,
-    functions/indexing.py); the step join is already hub-safe."""
+    Skew: the default build sorts each source's neighbor list in one
+    window task — ordered by dst, so a 10^8-out-degree hub is a single
+    long-running straggler.  With ``hub_threshold`` set, sources whose
+    out-degree exceeds it take a SALTED build instead (the dense-index
+    pattern, functions/indexing.py, composed with the hot-key split of
+    operators/skew.py): each hub neighbor hashes into one of
+    ``n_salts`` buckets, the window sorts within (src, salt) — max task
+    ≈ deg/n_salts — and per-salt row_numbers are offset by the hub's
+    cumulative salt-bucket counts (an O(hubs × n_salts) spine that
+    broadcasts).  Hub positions are then ordered (salt-bucket, dst)
+    rather than plain dst — still a deterministic bijection, so walks
+    stay reproducible; only the draw→neighbor mapping differs from the
+    unsalted build (documented: set ``hub_threshold`` consistently
+    across runs that must agree walk-for-walk)."""
     from pyspark.sql import Window
 
     e = edges.select("src", "dst").filter(
@@ -58,12 +70,50 @@ def neighbor_index(edges: DataFrame) -> DataFrame:
     ).distinct()
     w = Window.partitionBy("src").orderBy("dst")
     wc = Window.partitionBy("src")
-    return e.select(
+    if hub_threshold is None:
+        return e.select(
+            "src",
+            (F.row_number().over(w) - 1).alias("idx"),
+            "dst",
+            F.count(F.lit(1)).over(wc).alias("deg"),
+        )
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hot = F.broadcast(
+        deg.filter(F.col("deg") > hub_threshold).select("src", "deg")
+    )
+    cold = e.join(hot.select("src"), "src", "left_anti").select(
         "src",
         (F.row_number().over(w) - 1).alias("idx"),
         "dst",
         F.count(F.lit(1)).over(wc).alias("deg"),
     )
+    # hot path: per-(src, salt) rank + cumulative salt-count offsets
+    hsalt = e.join(hot, "src").withColumn(
+        "_salt", F.pmod(F.xxhash64("dst"), F.lit(n_salts))
+    )
+    w_s = Window.partitionBy("src", "_salt").orderBy("dst")
+    ranked = hsalt.withColumn("_rn", F.row_number().over(w_s) - 1)
+    counts = hsalt.groupBy("src", "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = (
+        Window.partitionBy("src")
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "src",
+        "_salt",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    hot_idx = ranked.join(F.broadcast(offsets), ["src", "_salt"]).select(
+        "src",
+        (F.col("_off") + F.col("_rn")).cast("int").alias("idx"),
+        "dst",
+        "deg",
+    )
+    return cold.unionByName(hot_idx)
 
 
 def _validate_walk_params(walk_length: int, walks_per_vertex: int) -> None:
@@ -86,6 +136,8 @@ def random_walks(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    hub_threshold: int | None = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """One row per walk: ``(walk_id string, start vertex, path
     array<string>)`` — ``path[0]`` is the start vertex and the walk
@@ -99,12 +151,21 @@ def random_walks(
     so a crashed generation run resumes at the committed step and (the
     draws being pure functions of walk_id and k) produces the identical
     corpus; metrics/lineage follow the engine-wide contract.  Early-
-    stops only when every walk is at a dead end."""
+    stops only when every walk is at a dead end.
+
+    ``hub_threshold``/``n_salts``: forwarded to ``neighbor_index`` —
+    set a threshold at web scale so hub neighbor lists build in salted
+    windows instead of one straggler task (see there for the draw-
+    mapping caveat)."""
     _validate_walk_params(walk_length, walks_per_vertex)
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    nbr = neighbor_index(edges).repartition(num_partitions, "src").persist()
+    nbr = (
+        neighbor_index(edges, hub_threshold=hub_threshold, n_salts=n_salts)
+        .repartition(num_partitions, "src")
+        .persist()
+    )
     nbr.count()  # materialize once; every step reuses this exchange
 
     vertices = (

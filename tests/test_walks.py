@@ -142,6 +142,58 @@ def test_walk_param_validation(spark):
         biased_random_walks(e, walks_per_vertex=-1)
 
 
+def test_salted_hub_neighbor_index(spark):
+    """Salted index build for hub sources: still a dense deterministic
+    bijection [0, deg) per source, stable across input partitionings,
+    with the hub's window sort split across (src, salt) buckets instead
+    of one whole-hub task; walks over it follow real edges."""
+    from smatchpp_spark.operators.walks import neighbor_index, random_walks
+
+    pairs = [("h", f"n{i:04d}") for i in range(300)]
+    pairs += [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    e = _edges_df_str(spark, pairs)
+
+    salted = neighbor_index(e, hub_threshold=100, n_salts=8)
+    rows = salted.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    for src, rs in by_src.items():
+        deg = len(rs)
+        assert all(r.deg == deg for r in rs)
+        assert sorted(r.idx for r in rs) == list(range(deg)), src
+        assert len({r.dst for r in rs}) == deg
+    assert {r.dst for r in by_src["h"]} == {f"n{i:04d}" for i in range(300)}
+    # cold sources keep the plain dst-ordered index
+    assert [(r.idx, r.dst) for r in sorted(by_src["a"], key=lambda r: r.idx)] \
+        == [(0, "b"), (1, "c")]
+
+    # deterministic under any physical partitioning
+    again = neighbor_index(
+        e.repartition(7, "dst"), hub_threshold=100, n_salts=8
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+    # the hub branch's window partitions by (src, salt): no single-task
+    # whole-hub sort in the plan
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+    # walks over the salted index traverse real edges only
+    eset = {(a, b) for a, b in pairs}
+    walks = random_walks(
+        e, walk_length=4, walks_per_vertex=2, hub_threshold=100, n_salts=8
+    ).collect()
+    assert walks
+    for w in walks:
+        for x, y in zip(w.path, w.path[1:]):
+            assert (x, y) in eset, (w.walk_id, x, y)
+
+
+def _edges_df_str(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src string, dst string")
+
+
 def test_duplicate_clusters_unconverged_raises(spark):
     """A CC round cap too small for the pair-graph diameter must raise
     (truncated hash-min labels would split clusters and let duplicates
