@@ -84,6 +84,25 @@ CHECKS = {
          "partials combine map-side, a single row reaches the driver"),
         ("codegen id", "moment arithmetic inside whole-stage codegen"),
     ],
+    "doc_substring_dedup": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "2 of 5 document columns reach the gram posexplode"),
+        ("HashAggregate",
+         "distinct-doc gram counts combine map-side on the uniform "
+         "gram-hash key"),
+        ("Window",
+         "the run-merge window partitions BY DOCUMENT — its sort is "
+         "bounded by one document's gram count, never corpus size"),
+    ],
+    "linkpred_ppr": [
+        ("Window",
+         "per-seed top-k is one window partitioned by seed (ball-sized "
+         "groups), not a global sort"),
+        ("codegen id",
+         "score projection and exclusion join stay in codegen; the PPR "
+         "state itself is localCheckpoint-staged per step (see "
+         "operators/linkpred.py)"),
+    ],
     "multimodal_features": [
         ("ReadSchema: struct<doc_id:bigint,text:string>",
          "only (doc_id, text) reach the Arrow kernel; payload metadata "
