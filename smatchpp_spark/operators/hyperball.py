@@ -11,11 +11,15 @@ with NF(r) ≥ q·NF(∞).
 
 Spark-first shape — the sketch is a COLUMN, the merge is an AGGREGATION:
   * registers live as ``array<int>`` of length m = 2^p per vertex;
-  * the merge explodes to (vertex, reg_idx, val) rows, joins the edge
-    table once, and takes ``max`` per (vertex, reg_idx) — a map-side-
-    combined aggregation, so a 10^8-degree hub costs one row per
-    partition per register, never one per neighbor (the same skew
-    discipline as PageRank's contrib sum);
+  * the merge joins whole register ARRAYS along edges (|E| payload rows,
+    one shuffle) and takes the element-wise max as m parallel ``max``
+    aggregation columns re-packed into the array — map-side combined, so
+    a 10^8-degree hub costs one m-int row per partition, never one per
+    neighbor (the same skew discipline as PageRank's contrib sum).  The
+    explode-to-(vertex, reg_idx) formulation looks natural but shuffles
+    |E|·m skinny rows through the join plus a second collect_list/sort
+    pass to re-pack — measured superlinear (exponent 1.23) at the 10x
+    sweep; the array-payload merge is the linear form;
   * rho/register derive from ``xxhash64(vertex)`` bit ops in the scan
     projection — deterministic, no RNG, cross-run identical;
   * per-round state is localCheckpoint-staged (flat lineage at high r).
@@ -23,8 +27,8 @@ Spark-first shape — the sketch is a COLUMN, the merge is an AGGREGATION:
 Register count m = 64 (p = 6) gives the standard ~1.04/√m ≈ 13% per-ball
 standard error; the NF(r) SUM over many vertices concentrates much
 tighter (tested ≤ 5% vs an exact BFS oracle).  At 10^12 edges the state
-is |V|·m·4 bytes — the explode multiplies rows by m, which is the
-documented cost knob (halve p to halve it).
+is |V|·m·4 bytes and each round shuffles |E| m-int payloads — m (i.e.
+p) is the documented cost knob (halve m to halve both).
 """
 
 from __future__ import annotations
@@ -128,6 +132,40 @@ def hyperball(
     extra double column riding the superstep state — no extra shuffle
     (it joins the per-round estimates, which the state already holds).
     Output column ``harmonic_centrality`` on ``balls``."""
+    # Spark 4.1 workaround: localCheckpoint preserves plan constraints
+    # on the LogicalRDD, including UNION-branch constraints that
+    # reference pre-union attributes; InferFiltersFromConstraints later
+    # re-materializes those as unbindable !Filter nodes on the state
+    # scan (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND: "dst#N not in [vertex,
+    # regs]") when the whole-array merge join runs over checkpointed
+    # state.  Constraint propagation is disabled for the duration of
+    # the computation and every returned DataFrame is materialized
+    # inside the window (its checkpoint then carries no constraints),
+    # so downstream consumers are safe after the conf is restored.
+    spark = edges.sparkSession
+    _cp_key = "spark.sql.constraintPropagation.enabled"
+    _cp_saved = spark.conf.get(_cp_key, "true")
+    spark.conf.set(_cp_key, "false")
+    try:
+        return _hyperball_impl(
+            edges, p, max_rounds, quantile, directed, portable, centrality,
+            checkpoint_dir, resume,
+        )
+    finally:
+        spark.conf.set(_cp_key, _cp_saved)
+
+
+def _hyperball_impl(
+    edges: DataFrame,
+    p: int,
+    max_rounds: int,
+    quantile: float,
+    directed: bool,
+    portable: bool,
+    centrality: bool,
+    checkpoint_dir: str | None,
+    resume: bool,
+) -> HyperBallResult:
     m = 1 << p
     e = (
         edges.select("src", "dst")
@@ -139,11 +177,27 @@ def hyperball(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     e = e.localCheckpoint(eager=True)
+    # vertices MUST be checkpointed BEFORE deriving the register
+    # expressions: Spark 4.1's localCheckpoint preserves plan
+    # constraints, and a constraint derived through this union's
+    # branches references the pre-union src/dst attributes — the
+    # optimizer later re-materializes it as an unbindable !Filter on
+    # the checkpointed state scan (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    # Starting the register lineage at a vertices RDD keeps every
+    # preserved constraint inside its own output.
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # identity edges carry each vertex's own ball through the same merge
+    # join (B(v, r+1) ⊇ B(v, r)) — one join + one agg per round
+    e_msg = e.unionByName(
+        vertices.select(
+            F.col("vertex").alias("src"), F.col("vertex").alias("dst")
+        )
+    ).localCheckpoint(eager=True)
     state = _init_registers(vertices, p, portable=portable).localCheckpoint(
         eager=True
     )
@@ -165,20 +219,33 @@ def hyperball(
     spark = edges.sparkSession
 
     def step(st: DataFrame, k: int) -> DataFrame:
-        ex = st.select("vertex", F.posexplode("regs").alias("ri", "val"))
-        # successor sketches flow to predecessors; own registers union in
-        contrib = (
-            e.join(ex, e["dst"] == ex["vertex"])
-            .select(F.col("src").alias("vertex"), "ri", "val")
-            .unionByName(ex)
-            .groupBy("vertex", "ri")
-            .agg(F.max("val").alias("val"))
+        # successor sketches flow to predecessors as WHOLE-ARRAY
+        # payloads; the element-wise register max is m parallel MAX
+        # aggregation columns re-packed into the array.  One shuffle of
+        # |E| array rows — NOT posexplode-then-join (|E|·m skinny rows
+        # through the join plus a second collect_list/sort shuffle to
+        # re-pack: measured superlinear at 10x in the scale sweep,
+        # exponent 1.23, from shuffle-spill on the ×m row blowup).
+        # Map-side combine still absorbs hubs: a 10^8-in-degree vertex
+        # costs one 64-int row per partition.  The self-ball rides the
+        # identity edges baked into e_msg, so the step is one join + one
+        # aggregation (no union-after-join).
+        ball = st.select("vertex", "regs")
+        msgs = e_msg.join(ball, e_msg["dst"] == ball["vertex"]).select(
+            F.col("src").alias("vertex"), "regs"
         )
-        new = contrib.groupBy("vertex").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ri", "val"))),
-                lambda s: s["val"],
-            ).alias("regs")
+        new = (
+            msgs.groupBy("vertex")
+            .agg(
+                *[
+                    F.max(F.element_at("regs", i + 1)).alias(f"_r{i}")
+                    for i in range(m)
+                ]
+            )
+            .select(
+                "vertex",
+                F.array(*[f"_r{i}" for i in range(m)]).alias("regs"),
+            )
         )
         if centrality:
             # harmonic accumulator: ball increment this round / r
@@ -249,7 +316,9 @@ def hyperball(
     ]
     if centrality:
         ball_cols.append(F.round(F.col("hc"), 3).alias("harmonic_centrality"))
-    balls = state.select(*ball_cols)
+    # materialize inside the constraint-propagation-off window (see
+    # hyperball): the checkpointed result carries no stale constraints
+    balls = state.select(*ball_cols).localCheckpoint(eager=True)
     return HyperBallResult(
         neighborhood_function=nf_df,
         balls=balls,
