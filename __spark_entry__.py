@@ -637,6 +637,26 @@ HAVING MAX(pos) - MIN(pos) + {k} >= {min_span}
 """
 
 
+def _pack_sequences_sql(max_tokens: int = 256, n_buckets: int = 8) -> str:
+    """Bucketed bin-by-offset sequence packing replay: md5 bucket hash,
+    doc_id stream order per bucket, exclusive cumulative token offsets,
+    pack = offset // budget (exact integer division both engines)."""
+    bh = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+WITH t AS (SELECT doc_id, CAST(len({SQL_TOKS}) AS INT) AS n_tokens,
+                  CAST({bh} % {n_buckets} AS INT) AS bucket
+           FROM documents),
+w AS (SELECT doc_id, n_tokens, bucket,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      FROM t)
+SELECT doc_id, n_tokens, bucket,
+       CAST("offset" // {max_tokens} AS BIGINT) AS pack, "offset"
+FROM w
+"""
+
+
 def _louvain_sql(sweeps: int = 3, levels: int = 2) -> str:
     """Unrolled Louvain oracle over the supplier→nation→region
     hierarchy — the exact integer-gain synchronous local-move replay:
@@ -1748,6 +1768,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_substring_dedup"] = _substr_dedup
 
+    def _pack(spark, sf):
+        from smatchpp_spark.pipeline.packing import pack_sequences
+
+        return pack_sequences(
+            _docs(spark, sf), max_tokens=256, n_buckets=8, portable=True
+        )
+
+    q["doc_pack_sequences"] = _pack
+
     def _emb_neardup(spark, sf):
         emb = _read(spark, sf, "embeddings")
         planes = similarity.random_planes(64, bits=4, seed=7)
@@ -1920,6 +1949,7 @@ _DRIVER_WINDOW_FRONT = [
     "louvain_communities",
     "linkpred_ppr",
     "doc_substring_dedup",
+    "doc_pack_sequences",
 ]
 
 
@@ -2088,6 +2118,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "louvain_communities": _louvain_sql(3, 2),
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
         "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),
+        "doc_pack_sequences": _pack_sequences_sql(256, 8),
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
         "connected_components": f"""

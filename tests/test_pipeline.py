@@ -738,3 +738,68 @@ def test_substring_dedup_matches_python_replay(spark):
     ).collect()
     got = {(r.doc_id, r.span_start, r.n_tokens) for r in out}
     assert got == want
+
+
+def test_pack_sequences_vs_python_replay(spark):
+    """Bucketed bin-by-offset packing matches an exact python replay:
+    bucket hash, doc_id stream order, cumulative offsets, pack = offset
+    div budget; stats fill ratios follow."""
+    import hashlib
+    import random as _random
+
+    from smatchpp_spark.pipeline.packing import pack_sequences, pack_stats
+
+    rng = _random.Random(41)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randint(1, 40))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    max_tokens, n_buckets = 64, 4
+    out = pack_sequences(
+        docs, max_tokens=max_tokens, n_buckets=n_buckets, portable=True
+    ).collect()
+
+    def phash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    by_bucket = {}
+    for i, text in rows:
+        b = phash(str(i)) % n_buckets
+        by_bucket.setdefault(b, []).append((i, len(text.split())))
+    want = {}
+    for b, ds in by_bucket.items():
+        off = 0
+        for i, n in sorted(ds):
+            want[i] = (n, b, off // max_tokens, off)
+            off += n
+    got = {r.doc_id: (r.n_tokens, r.bucket, r.pack, r.offset) for r in out}
+    assert got == want
+
+    # determinism under a different physical partitioning
+    again = pack_sequences(
+        docs.repartition(7), max_tokens=max_tokens, n_buckets=n_buckets,
+        portable=True,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    st = pack_stats(
+        pack_sequences(docs, max_tokens=max_tokens, n_buckets=n_buckets,
+                       portable=True),
+        max_tokens=max_tokens,
+    ).collect()
+    for r in st:
+        toks = sum(
+            n for i, (n, b, p, o) in want.items()
+            if b == r.bucket and p == r.pack
+        )
+        assert r.n_tokens == toks
+        assert r.fill_ratio == round(toks / max_tokens, 6)
+
+    # precomputed token counts override the whitespace count
+    pre = docs.withColumn("tc", F.lit(5))
+    fixed = pack_sequences(
+        pre, max_tokens=10, n_buckets=1, token_count_col="tc", portable=True
+    ).collect()
+    assert all(r.n_tokens == 5 for r in fixed)
+    assert {r.pack for r in fixed} == {i // 2 for i in range(len(fixed))}
