@@ -622,7 +622,8 @@ def _substring_dedup_sql(k: int = 5, min_span: int = 8, min_count: int = 2) -> s
     return f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
 gl AS (SELECT doc_id, list_transform(range(0, greatest(len(toks) - {k - 1}, 0)),
-         i -> {{'pos': i, 'g': array_to_string(toks[i+1:i+{k}], ' ')}}) AS gs FROM t),
+         i -> {{'pos': i, 'g': array_to_string(toks[i+1:i+{k}], ' ')}}) AS gs
+       FROM t),
 g AS MATERIALIZED (SELECT doc_id, u.pos AS pos, {gh} AS gh
        FROM (SELECT doc_id, unnest(gs) AS u FROM gl)),
 dup AS (SELECT gh FROM g GROUP BY gh
@@ -634,6 +635,27 @@ SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
        CAST(MAX(pos) - MIN(pos) + {k} AS INT) AS n_tokens
 FROM runs GROUP BY doc_id, run
 HAVING MAX(pos) - MIN(pos) + {k} >= {min_span}
+"""
+
+
+def _decontaminate_sql(k: int = 6, min_hits: int = 1) -> str:
+    """n-gram containment replay: distinct eval gram hashes (docs ≡ 0
+    mod 20), corpus gram positions, semi-join hit count per doc."""
+    gh = "CAST(('0x' || substr(md5(u.g), 1, 15)) AS BIGINT)"
+    gl = (
+        f"SELECT doc_id, list_transform(range(0, greatest(len(toks) - {k - 1}, 0)),"
+        f" i -> {{'pos': i, 'g': array_to_string(toks[i+1:i+{k}], ' ')}}) AS gs"
+        f" FROM (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents)"
+    )
+    return f"""
+WITH g AS MATERIALIZED (SELECT doc_id, {gh} AS gh
+       FROM (SELECT doc_id, unnest(gs) AS u FROM ({gl}))),
+ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams FROM g GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hits FROM g
+         WHERE gh IN (SELECT gh FROM ev) GROUP BY doc_id
+         HAVING COUNT(*) >= {min_hits})
+SELECT h.doc_id, h.n_hits, t.n_grams FROM hits h JOIN tot t ON t.doc_id = h.doc_id
 """
 
 
@@ -1777,6 +1799,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_pack_sequences"] = _pack
 
+    def _decontam(spark, sf):
+        d = _docs(spark, sf)
+        evals = d.filter(F.col("doc_id") % 20 == 0)
+        return dedup.decontaminate(d, evals, ngram=6, portable=True)
+
+    q["doc_decontaminate"] = _decontam
+
     def _emb_neardup(spark, sf):
         emb = _read(spark, sf, "embeddings")
         planes = similarity.random_planes(64, bits=4, seed=7)
@@ -1950,6 +1979,7 @@ _DRIVER_WINDOW_FRONT = [
     "linkpred_ppr",
     "doc_substring_dedup",
     "doc_pack_sequences",
+    "doc_decontaminate",
 ]
 
 
@@ -2119,6 +2149,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
         "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),
         "doc_pack_sequences": _pack_sequences_sql(256, 8),
+        "doc_decontaminate": _decontaminate_sql(6, 1),
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
         "connected_components": f"""

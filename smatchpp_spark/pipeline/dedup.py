@@ -409,6 +409,62 @@ def substring_dedup_spans(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    ngram: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Training-set decontamination by n-gram containment (the
+    GPT-3/Pile-style procedure, public): a training document is
+    CONTAMINATED when at least ``min_hits`` of its ``ngram``-token
+    grams also occur in any evaluation document — the standard guard
+    against benchmark leakage into training data.
+
+    Output: one row per contaminated training document —
+    ``(doc_id, n_hits int, n_grams int)`` with ``n_hits`` the number of
+    gram POSITIONS matching the eval gram set and ``n_grams`` the
+    document's total gram count (callers compute hit fractions or
+    anti-join the ids to drop).  Clean documents are absent.
+
+    Scale shape: the eval side (benchmarks — thousands of docs) reduces
+    to a DISTINCT gram-hash set, typically small enough to broadcast;
+    the corpus side is one posexplode map pass + the semi-join + one
+    per-doc count — linear in corpus tokens, the same budget as
+    ``substring_dedup_spans`` and no all-pairs path.
+    """
+    ev_text = eval_text_col or text_col
+    eval_hashes = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(positional_ngrams(F.col(ev_text), ngram))
+            ).alias("gram")
+        )
+        .select(hash64(F.col("gram"), portable).alias("gh"))
+        .distinct()
+    )
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(positional_ngrams(F.col(text_col), ngram)).alias(
+            "pos", "gram"
+        ),
+    ).select(id_col, hash64(F.col("gram"), portable).alias("gh"))
+    totals = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_grams")
+    )
+    hits = (
+        grams.join(eval_hashes, "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    return hits.join(totals, id_col).select(id_col, "n_hits", "n_grams")
+
+
 def duplicate_clusters(
     docs: DataFrame,
     threshold: float = 0.8,

@@ -803,3 +803,40 @@ def test_pack_sequences_vs_python_replay(spark):
     ).collect()
     assert all(r.n_tokens == 5 for r in fixed)
     assert {r.pack for r in fixed} == {i // 2 for i in range(len(fixed))}
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc embedding an eval passage is flagged with the
+    exact hit count; clean docs are absent; min_hits filters."""
+    from smatchpp_spark.pipeline.dedup import decontaminate
+
+    eval_passage = "the quick brown fox jumps over the lazy dog tonight"
+    evals = spark.createDataFrame(
+        [(100, eval_passage)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + eval_passage + " closing remark"),
+            (2, "totally unrelated content about spark shuffles and joins"),
+            # shares only a 5-token window -> 0 grams at ngram=6
+            (3, "over the lazy dog tonight but nothing else matches here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(docs, evals, ngram=6, portable=True).collect()
+    got = {r.doc_id: (r.n_hits, r.n_tokens if hasattr(r, "n_tokens") else r.n_grams) for r in out}
+    # doc 1: eval passage has 10 tokens -> 5 grams of 6; all 5 appear
+    # contiguously inside doc 1; doc 1 has 15 tokens -> 10 grams
+    assert got == {1: (5, 10)}, got
+
+    # python replay on the hit count
+    def grams(text, k=6):
+        t = text.lower().split()
+        return [" ".join(t[i:i + k]) for i in range(len(t) - k + 1)]
+
+    ev = set(grams(eval_passage))
+    want_hits = sum(1 for g in grams("intro words here " + eval_passage + " closing remark") if g in ev)
+    assert want_hits == 5
+
+    # min_hits raises the bar
+    assert decontaminate(docs, evals, ngram=6, min_hits=6, portable=True).count() == 0
