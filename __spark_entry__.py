@@ -1738,8 +1738,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _bootstrap(spark, sf):
         from smatchpp_spark.functions.scores import bootstrap_micro
 
+        # resample pinned: the oracle is an exact multinomial-draw
+        # replay; "auto" would silently switch to Poisson above the
+        # 1M-pair crossover and make the contract row sf-dependent
         return bootstrap_micro(
-            _match_stats(spark, sf), n_resamples=100, seed=42, portable=True
+            _match_stats(spark, sf), n_resamples=100, seed=42, portable=True,
+            resample="multinomial",
         )
 
     q["bootstrap_ci"] = _bootstrap
@@ -1747,9 +1751,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _bootstrap_macro(spark, sf):
         from smatchpp_spark.functions.scores import bootstrap_scores
 
+        # resample pinned — see _bootstrap: the oracle replays the
+        # multinomial draw, so the contract row must never auto-switch
         return bootstrap_scores(
             _match_stats(spark, sf), "macro", n_resamples=100, seed=42,
-            portable=True,
+            portable=True, resample="multinomial",
         )
 
     q["bootstrap_macro_ci"] = _bootstrap_macro

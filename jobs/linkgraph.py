@@ -40,6 +40,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", default="adamic_adar",
                    help="linkpred: common_neighbors | adamic_adar | "
                         "resource_allocation | ppr (needs --sources seeds)")
+    p.add_argument("--ppr-steps", type=int, default=3,
+                   help="linkpred ppr: fixed power-iteration steps "
+                        "(its own flag — --max-supersteps governs the "
+                        "convergence-capped iterative ops, not this "
+                        "fixed-step scorer)")
     p.add_argument("--top-k", type=int, default=None,
                    help="linkpred: keep only the global best pairs")
     p.add_argument("--max-pivot-degree", type=int, default=None,
@@ -235,7 +240,8 @@ def main() -> None:
             else:
                 seeds = args.sources.split(",")
             out = linkpred_ppr(
-                edges, seeds, alpha=args.alpha, top_k=args.top_k
+                edges, seeds, steps=args.ppr_steps, alpha=args.alpha,
+                top_k=args.top_k,
             )
         else:
             from smatchpp_spark.operators.linkpred import linkpred_scores

@@ -143,10 +143,16 @@ def linkpred_ppr(
     if isinstance(seeds, DataFrame):
         seeds_df = seeds.select(F.col(seeds.columns[0]).alias("seed")).distinct()
     else:
+        # seeds from a CLI arrive as python strings regardless of the
+        # graph's vertex type — build as strings and CAST to the vertex
+        # type (ANSI cast raises on malformed numerics, which is the
+        # right failure mode for a bad --sources value)
         vt = und.schema["a"].dataType
-        seeds_df = spark.createDataFrame(
-            [(s,) for s in seeds], f"seed {vt.simpleString()}"
-        ).distinct()
+        seeds_df = (
+            spark.createDataFrame([(str(s),) for s in seeds], "seed string")
+            .select(F.col("seed").cast(vt).alias("seed"))
+            .distinct()
+        )
     base = F.lit(1.0 - alpha)
     seed_rows = seeds_df.select(
         "seed", F.col("seed").alias("vertex"), base.alias("base")

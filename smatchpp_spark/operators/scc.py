@@ -53,6 +53,8 @@ def _min_label_fixpoint(
     so hitting ``max_steps`` without convergence raises instead of
     returning unsound labels.  Convergence takes ≤ graph diameter
     steps; raise the cap for pathological long-path graphs."""
+    from smatchpp_spark.operators.supersteps import free_local_checkpoint
+
     state = vertices.select("vertex", F.col("vertex").alias("lbl"))
     state = state.localCheckpoint(eager=True)
     changed = 0
@@ -79,7 +81,7 @@ def _min_label_fixpoint(
             .filter(F.col("lbl") != F.col("old"))
             .count()
         )
-        state.unpersist()
+        free_local_checkpoint(state)
         state = new
         if changed == 0:
             break
@@ -133,11 +135,15 @@ def strongly_connected_components(
     # results) are dead once the runner materializes round k's state —
     # free them at the next round's entry instead of waiting for driver
     # GC, or block-manager storage accumulates over long peel sequences
+    # (free_local_checkpoint, not unpersist(): the latter is a no-op
+    # for localCheckpoint blocks)
+    from smatchpp_spark.operators.supersteps import free_local_checkpoint
+
     round_ckpts: list[DataFrame] = []
 
     def _free_round_ckpts() -> None:
         while round_ckpts:
-            round_ckpts.pop().unpersist()
+            free_local_checkpoint(round_ckpts.pop())
 
     def step(state: DataFrame, k: int) -> DataFrame:
         _free_round_ckpts()
@@ -174,7 +180,7 @@ def strongly_connected_components(
     )
     res = runner.run(init, step, delta, resume=resume)
     _free_round_ckpts()
-    e0.unpersist()
+    free_local_checkpoint(e0)
     return SCCResult(
         components=res.state, rounds=res.supersteps, converged=res.converged
     )

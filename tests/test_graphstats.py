@@ -793,3 +793,19 @@ def test_linkpred_ppr_vs_python(spark):
         assert sorted(rows, key=lambda t: (-t[0], t[1])) == [
             (round(sc, 9), c) for sc, c in best
         ]
+
+
+def test_linkpred_ppr_numeric_vertex_string_seeds(spark):
+    """CLI-style string seeds work against numeric vertex ids (the
+    seeds are cast to the graph's vertex type); malformed seed values
+    raise under ANSI cast."""
+    from smatchpp_spark.operators.linkpred import linkpred_ppr
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 5), (5, 6)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    out = linkpred_ppr(e, ["1", "5"], steps=3).collect()
+    assert out, "string seeds on a bigint graph must score candidates"
+    assert all(isinstance(r.seed, int) for r in out)
+    # native-typed seeds give the identical result
+    out2 = linkpred_ppr(e, [1, 5], steps=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -901,3 +901,43 @@ def test_eigenvector_centrality_vs_numpy(spark):
     r2 = eigenvector_centrality(_edges_df(spark, cl), max_supersteps=30)
     g2 = {r.vertex: r.hub for r in r2.scores.collect()}
     assert min(g2[1], g2[2], g2[3]) > g2[99]
+
+
+def test_free_local_checkpoint_releases_blocks(spark):
+    """free_local_checkpoint drops a localCheckpoint's storage blocks
+    immediately (Dataset.unpersist() alone leaves them until driver GC),
+    and superstep runs leave no superseded state blocks behind."""
+    from pyspark.sql import functions as F
+
+    from smatchpp_spark.operators.pagerank import pagerank
+    from smatchpp_spark.operators.supersteps import free_local_checkpoint
+
+    sc = spark.sparkContext
+
+    def n_stored():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_stored()
+    ck = spark.range(10000).select("id", (F.col("id") * 3).alias("x")) \
+        .localCheckpoint(eager=True)
+    assert n_stored() == base + 1
+    ck.unpersist()  # documented no-op for checkpoint blocks
+    assert n_stored() == base + 1
+    free_local_checkpoint(ck)
+    assert n_stored() == base
+
+    # an iterative run frees every superseded superstep state: afterwards
+    # only the operator's persisted static inputs + the final state (and
+    # whatever the session held before) remain
+    before = n_stored()
+    e = spark.createDataFrame(
+        [(str(a), str((a + 1) % 30)) for a in range(30)]
+        + [(str(a), str((a * 7) % 30)) for a in range(30)],
+        "src string, dst string",
+    )
+    res = pagerank(e, tol=-1.0, max_supersteps=5)
+    res.ranks.count()
+    after = n_stored()
+    # final state (1 block) may remain; superseded per-superstep states
+    # (5 of them) must not
+    assert after - before <= 2, (before, after)
