@@ -1958,34 +1958,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # queries()-dict keys to place inside the driver's first-50 oracle
 # window this round (least-recently-verified first; see queries()).
+# Round-6 front: the 24 entries whose last green row is round 4 (they
+# were rotated out of the window in round 5), plus operators new this
+# round.  Everything else was verified green in round 5.
 _DRIVER_WINDOW_FRONT = [
-    # never driver-checked
-    "events_trending_topk",
-    "smatch_micro_macro",
-    # round-3-stale doc/emb/events rows
-    "doc_langid",
-    "doc_fingerprints",
-    "doc_exact_dedup",
-    "doc_minhash",
-    "doc_neardup_pairs",
-    "doc_simhash",
-    "doc_bpe_tokens",
-    "emb_neardup_pairs",
-    "multimodal_features",
-    "emb_cosine_topk",
-    "emb_lsh_buckets",
-    "emb_bucketed_topk",
-    "emb_hyperplane_topk",
-    "emb_ivf_topk",
-    "events_sessionize",
-    "events_minute_rollup",
-    "amr_standardize_sizes",
-    # new in round 5
-    "louvain_communities",
-    "linkpred_ppr",
-    "doc_substring_dedup",
-    "doc_pack_sequences",
-    "doc_decontaminate",
+    # new in round 6
+    "betweenness_approx",
+    "emb_dedup_clusters",
+    "doc_domain_mix",
+    # round-4-stale rows (green in CORRECTNESS_r04, out of window in r5)
+    "bootstrap_ci",
+    "bootstrap_macro_ci",
+    "concept_as_root",
+    "dedup_triples",
+    "deinvert",
+    "dereify_triples",
+    "doc_quality",
+    "doc_token_stats",
+    "edge_relabel",
+    "graph_degrees",
+    "label_propagation_weighted",
+    "lower_dequote",
+    "micro_macro_scores",
+    "norm_logical_ops",
+    "pairwise_scores",
+    "reentrancies",
+    "reify_attributes",
+    "reify_edges",
+    "relabel_vars",
+    "superstep_metrics",
+    "triangle_counts",
+    "triangle_counts_approx",
+    "unlabel",
+    "variables_table",
 ]
 
 

@@ -29,13 +29,28 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["pagerank", "hits", "components", "components_twophase",
                             "labelprop", "triangles", "degrees", "kcore",
                             "bfs", "scc", "hyperball", "clustering",
-                            "linkpred", "walks", "louvain"])
+                            "linkpred", "walks", "node2vec", "louvain"])
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
                    help="louvain: contraction levels")
     p.add_argument("--walk-length", type=int, default=5)
     p.add_argument("--walks-per-vertex", type=int, default=1)
+    p.add_argument("--hub-threshold", type=int, default=10_000,
+                   help="walks: sources with out-degree above this take "
+                        "the SALTED neighbor-index build (walks.py) so a "
+                        "hub never becomes a single whole-degree sort "
+                        "task; 0/negative disables salting (the library "
+                        "default). 10k keeps per-task sorts bounded while "
+                        "leaving typical vertices on the cheap path")
+    p.add_argument("--n-salts", type=int, default=16,
+                   help="walks: salt buckets for hub index builds")
+    p.add_argument("--p", type=float, default=1.0,
+                   help="node2vec: return parameter (bias 1/p to revisit "
+                        "the previous vertex)")
+    p.add_argument("--q", type=float, default=1.0,
+                   help="node2vec: in-out parameter (bias 1/q to explore "
+                        "away from the previous vertex's neighborhood)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--method", default="adamic_adar",
                    help="linkpred: common_neighbors | adamic_adar | "
@@ -266,6 +281,18 @@ def main() -> None:
         out = random_walks(
             edges, walk_length=args.walk_length,
             walks_per_vertex=args.walks_per_vertex, seed=args.seed,
+            hub_threshold=(
+                args.hub_threshold if args.hub_threshold > 0 else None
+            ),
+            n_salts=args.n_salts,
+        )
+    elif args.op == "node2vec":
+        from smatchpp_spark.operators.walks import biased_random_walks
+
+        out = biased_random_walks(
+            edges, walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex, seed=args.seed,
+            p=args.p, q=args.q,
         )
     else:  # degrees
         from smatchpp_spark.operators.degrees import degrees

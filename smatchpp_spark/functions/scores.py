@@ -22,6 +22,8 @@ No Python executes on the executors.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -377,9 +379,22 @@ POISSON_AUTO_PAIRS = 1_000_000
 
 def _resolve_resample(resample: str, n_pairs: int) -> str:
     """``auto`` → multinomial (reference-exact) below
-    ``POISSON_AUTO_PAIRS`` pairs, Poisson above."""
+    ``POISSON_AUTO_PAIRS`` pairs, Poisson above.
+
+    When ``auto`` resolves to the Poisson approximation the switch is
+    logged, so at-scale runs record which draw produced the CI (the
+    values are NOT continuous across the threshold for the same seed)."""
     if resample == "auto":
-        return "poisson" if n_pairs > POISSON_AUTO_PAIRS else "multinomial"
+        if n_pairs > POISSON_AUTO_PAIRS:
+            logging.getLogger(__name__).info(
+                "bootstrap resample=auto resolved to POISSON "
+                "(n_pairs=%d > %d); CI values differ from the "
+                "reference-exact multinomial draw at the same seed",
+                n_pairs,
+                POISSON_AUTO_PAIRS,
+            )
+            return "poisson"
+        return "multinomial"
     if resample not in ("multinomial", "poisson"):
         raise ValueError(f"unknown resample mode {resample!r}")
     return resample

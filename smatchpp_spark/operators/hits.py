@@ -28,7 +28,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smatchpp_spark.operators.supersteps import SuperstepRunner
+from smatchpp_spark.operators.supersteps import (
+    SuperstepRunner,
+    free_local_checkpoint,
+)
 
 
 @dataclass
@@ -81,7 +84,18 @@ def hits(
         ).collect()[0]
         return float(row["n"] or 0.0)
 
+    # intra-step localCheckpoints (half, full) of the PREVIOUS superstep
+    # are dead once the runner materializes that step's output — free
+    # them at the next step() entry (the scc.py round_ckpts pattern),
+    # else their blocks accumulate in the block manager for the run
+    step_ckpts: list[DataFrame] = []
+
+    def _free_step_ckpts() -> None:
+        while step_ckpts:
+            free_local_checkpoint(step_ckpts.pop())
+
     def step(state: DataFrame, k: int) -> DataFrame:
+        _free_step_ckpts()
         # the previous scores ride along in the output state (the
         # PageRank prev_rank pattern, pagerank.py:208-285), so the
         # convergence delta is a scan of the new state — not an extra
@@ -105,6 +119,7 @@ def hits(
             )
             .localCheckpoint(eager=True)
         )
+        half_ckpt = half
         an = _l2(half, "a_raw")
         half = half.select(
             "vertex",
@@ -136,6 +151,9 @@ def hits(
             )
             .localCheckpoint(eager=True)
         )
+        # full is materialized now, so half's blocks are already dead
+        free_local_checkpoint(half_ckpt)
+        step_ckpts.append(full)
         hn = _l2(full, "h_raw")
         return full.select(
             "vertex",
@@ -156,7 +174,11 @@ def hits(
                 )
             ).alias("d")
         ).collect()[0]
-        return float(row["d"]) if row["d"] is not None else float("inf")
+        # NULL max ⇔ empty state ⇔ empty graph: converged (0.0).  The
+        # NaN seeding above already guarantees step 1 can never satisfy
+        # tol on a NON-empty graph, so 0.0 here is only reachable when
+        # converging immediately is correct.
+        return float(row["d"]) if row["d"] is not None else 0.0
 
     runner = SuperstepRunner(
         spark,
@@ -166,6 +188,9 @@ def hits(
         tol=tol,
     )
     res = runner.run(init, step, delta, resume=resume)
+    # the runner materialized the final state (parquet or its own
+    # localCheckpoint), so the last step's intra-step checkpoints are dead
+    _free_step_ckpts()
     e.unpersist()
     return HITSResult(
         scores=res.state.select(
@@ -215,7 +240,16 @@ def eigenvector_centrality(
         F.lit(float("nan")).alias("prev_score"),
     )
 
+    # free the previous superstep's intra-step checkpoint at the next
+    # step() entry (scc.py round_ckpts pattern) — see hits() above
+    step_ckpts: list[DataFrame] = []
+
+    def _free_step_ckpts() -> None:
+        while step_ckpts:
+            free_local_checkpoint(step_ckpts.pop())
+
     def step(state: DataFrame, k: int) -> DataFrame:
+        _free_step_ckpts()
         # prev_score rides in the state (PageRank's prev_rank pattern):
         # delta is a scan of the new state, no old⋈new join job
         contrib = (
@@ -234,6 +268,7 @@ def eigenvector_centrality(
             )
             .localCheckpoint(eager=True)
         )
+        step_ckpts.append(half)
         row = half.agg(
             F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n")
         ).collect()[0]
@@ -248,7 +283,8 @@ def eigenvector_centrality(
         row = new.agg(
             F.max(F.abs(F.col("score") - F.col("prev_score"))).alias("d")
         ).collect()[0]
-        return float(row["d"]) if row["d"] is not None else float("inf")
+        # NULL max ⇔ empty state: converged — see hits() delta above
+        return float(row["d"]) if row["d"] is not None else 0.0
 
     runner = SuperstepRunner(
         spark,
@@ -258,6 +294,7 @@ def eigenvector_centrality(
         tol=tol,
     )
     res = runner.run(init, step, delta, resume=resume)
+    _free_step_ckpts()
     und.unpersist()
     return HITSResult(
         scores=res.state.select(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from smatchpp_spark.operators.kcore import undirected_simple
+from smatchpp_spark.operators.supersteps import free_local_checkpoint
 
 
 def linkpred_scores(
@@ -167,6 +168,7 @@ def linkpred_ppr(
             .groupBy("seed", F.col("v").alias("vertex"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
         )
+        prev_state = state
         state = (
             msgs.join(seed_rows, ["seed", "vertex"], "full")
             .select(
@@ -179,7 +181,14 @@ def linkpred_ppr(
             )
             .localCheckpoint(eager=True)
         )
+        # the new state is materialized (eager) — the superseded one's
+        # checkpoint blocks are dead; free them now instead of waiting
+        # for driver GC (supersteps.free_local_checkpoint docstring)
+        free_local_checkpoint(prev_state)
     contrib.unpersist()
+    # seed_rows only feeds the per-step joins above; the final state is
+    # checkpointed, so its blocks are dead too
+    free_local_checkpoint(seed_rows)
 
     out = state.filter(F.col("vertex") != F.col("seed")).select(
         "seed",

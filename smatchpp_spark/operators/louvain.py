@@ -217,8 +217,6 @@ def _level_pass(
         )
         return moved
 
-    from smatchpp_spark.operators.supersteps import changed_count_delta
-
     runner = SuperstepRunner(
         spark,
         op=f"louvain_level{level}",
@@ -227,7 +225,12 @@ def _level_pass(
         tol=-1.0,  # fixed sweep count: parity gating means a zero-change
         # sweep does NOT imply the other parity class is done
     )
-    res = runner.run(init, step, changed_count_delta("lbl"), resume=resume)
+    # Constant delta: with tol=-1.0 the sweep schedule is fixed, so a
+    # changed-label count could never terminate the loop — it would only
+    # populate the metrics record at the cost of one old⋈new join+count
+    # job per sweep.  Skip it (delta is recorded as 1.0 = "not converged
+    # by count", which is exactly what the fixed schedule asserts).
+    res = runner.run(init, step, lambda old, new: 1.0, resume=resume)
     final = res.state.select(F.col("vertex").alias("v"), "lbl")
     return final, res.metrics
 
