@@ -1067,6 +1067,72 @@ def _bfs_sql(depth: int) -> str:
     return "\n".join(parts)
 
 
+def _betweenness_sql(depth: int = 4, mod: int = 200) -> str:
+    """Truncated sampled-source Brandes oracle (operators/betweenness.py):
+    ``depth`` unrolled forward BFS levels with shortest-path counting,
+    the shortest-path DAG, then ``depth`` unrolled backward dependency
+    levels.  Every double aggregation is the SAME ordered left fold as
+    the operator (``list_reduce(list_sort(...))`` ≡ Spark's
+    ``F.aggregate ∘ array_sort ∘ collect_list``) over strictly positive
+    terms, so scores are bit-identical across engines pre-rounding.
+    Seeds: part vertices with l_partkey % ``mod`` = 0."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),",
+        "v AS (SELECT DISTINCT src AS vertex FROM ue),",
+        f"srcs AS (SELECT DISTINCT 'p' || l_partkey AS s FROM lineitem "
+        f"WHERE l_partkey % {mod} = 0),",
+        "f0 AS MATERIALIZED (SELECT srcs.s, srcs.s AS vertex, "
+        "CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma "
+        "FROM srcs JOIN v ON v.vertex = srcs.s),",
+    ]
+    for i in range(1, depth + 1):
+        p = f"f{i-1}"
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT * FROM {p} UNION ALL "
+            f"SELECT m.s, m.vertex, CAST({i} AS BIGINT) AS dist, m.sigma "
+            f"FROM (SELECT p.s, ue.dst AS vertex, "
+            f"CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            f"FROM {p} p JOIN ue ON ue.src = p.vertex "
+            f"WHERE p.dist = {i-1} GROUP BY p.s, ue.dst) m "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {p} q "
+            f"WHERE q.s = m.s AND q.vertex = m.vertex)),"
+        )
+    parts.append(
+        "dag AS MATERIALIZED (SELECT a.s, a.vertex AS v, a.dist AS dv, "
+        "a.sigma AS sv, b.vertex AS w, b.sigma AS sw "
+        f"FROM f{depth} a JOIN ue ON ue.src = a.vertex "
+        f"JOIN f{depth} b ON b.s = a.s AND b.vertex = ue.dst "
+        "AND b.dist = a.dist + 1),"
+    )
+    parts.append(
+        f"b{depth} AS (SELECT s, vertex, dist, "
+        f"CAST(0.0 AS DOUBLE) AS delta FROM f{depth}),"
+    )
+    for lvl in range(depth - 1, -1, -1):
+        parts.append(
+            f"u{lvl} AS (SELECT g.s, g.v, list_reduce(list_sort(list("
+            "(CAST(g.sv AS DOUBLE) / CAST(g.sw AS DOUBLE)) "
+            "* (1.0 + w.delta))), (x, y) -> x + y) AS nd "
+            f"FROM dag g JOIN b{lvl+1} w ON w.s = g.s AND w.vertex = g.w "
+            f"WHERE g.dv = {lvl} GROUP BY g.s, g.v),"
+        )
+        parts.append(
+            f"b{lvl} AS MATERIALIZED (SELECT st.s, st.vertex, st.dist, "
+            "COALESCE(u.nd, st.delta) AS delta "
+            f"FROM b{lvl+1} st LEFT JOIN u{lvl} u "
+            "ON u.s = st.s AND u.v = st.vertex),"
+        )
+    parts.append(
+        "fin AS (SELECT vertex, list_reduce(list_sort(list(delta)), "
+        "(x, y) -> x + y) / 2.0 AS bc FROM b0 WHERE dist > 0 "
+        "GROUP BY vertex) "
+        "SELECT vertex, ROUND(bc, 9) AS betweenness FROM fin WHERE bc > 0.0"
+    )
+    return "\n".join(parts)
+
+
 def _lpa_sql(iters: int, weighted: bool = False) -> str:
     # weighted: votes = Σ edge weight (parallel + reverse edges sum),
     # mirroring label_propagation(weight_col=...)
@@ -1607,6 +1673,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distances
 
     q["bfs_distances"] = _bfs
+
+    def _betweenness(spark, sf):
+        from smatchpp_spark.operators.betweenness import betweenness_approx
+
+        li = _read(spark, sf, "lineitem")
+        seeds = (
+            li.filter(F.col("l_partkey") % 200 == 0)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                    "vertex"
+                )
+            )
+            .distinct()
+        )
+        res = betweenness_approx(
+            _e_op(spark, sf), seeds, max_depth=4, directed=False
+        )
+        return res.scores.select(
+            "vertex", F.round("betweenness", 9).alias("betweenness")
+        )
+
+    q["betweenness_approx"] = _betweenness
 
     def _cc2(spark, sf):
         from smatchpp_spark.operators.components import two_phase_components
@@ -2163,6 +2251,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "doc_decontaminate": _decontaminate_sql(6, 1),
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
+        "betweenness_approx": _betweenness_sql(4, 200),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),
 und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

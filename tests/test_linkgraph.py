@@ -941,3 +941,115 @@ def test_free_local_checkpoint_releases_blocks(spark):
     # final state (1 block) may remain; superseded per-superstep states
     # (5 of them) must not
     assert after - before <= 2, (before, after)
+
+
+# ---------------------------------------------------------------------------
+# betweenness (Brandes, sampled sources)
+# ---------------------------------------------------------------------------
+
+def _brandes_exact(edges, sources=None, directed=False):
+    """Textbook Brandes (BFS + dependency accumulation) for the
+    differential: exact betweenness over ``sources`` (default: all)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        if not directed:
+            adj[v].add(u)
+    nodes = sorted({x for e in edges for x in e})
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in (sources or nodes):
+        stack, preds = [], defaultdict(list)
+        sigma = dict.fromkeys(nodes, 0)
+        dist = dict.fromkeys(nodes, -1)
+        sigma[s], dist[s] = 1, 0
+        queue = deque([s])
+        while queue:
+            v = queue.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = dict.fromkeys(nodes, 0.0)
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += (sigma[v] / sigma[w]) * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    if not directed:
+        for v in bc:
+            bc[v] /= 2.0
+    return {k: v for k, v in bc.items() if v > 0}
+
+
+_BET_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"),
+    ("d", "e"), ("e", "f"), ("a", "f"), ("c", "g"),
+]
+
+
+def test_betweenness_exact_all_sources(spark):
+    """All vertices as sources + depth >= diameter == exact Brandes."""
+    from smatchpp_spark.operators.betweenness import betweenness_approx
+
+    nodes = sorted({x for e in _BET_EDGES for x in e})
+    df = spark.createDataFrame(_BET_EDGES, "src string, dst string")
+    res = betweenness_approx(df, nodes, max_depth=10, directed=False)
+    got = {r.vertex: r.betweenness for r in res.scores.collect()}
+    exact = _brandes_exact(_BET_EDGES)
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) < 1e-12, (k, got[k], exact[k])
+    assert res.converged
+
+
+def test_betweenness_sampled_and_directed(spark):
+    """Sampled-source sums and the directed variant both match the
+    per-source exact accumulation."""
+    from smatchpp_spark.operators.betweenness import betweenness_approx
+
+    df = spark.createDataFrame(_BET_EDGES, "src string, dst string")
+    srcs = ["a", "c", "e"]
+    res = betweenness_approx(df, srcs, max_depth=10, directed=False)
+    got = {r.vertex: r.betweenness for r in res.scores.collect()}
+    exact = _brandes_exact(_BET_EDGES, sources=srcs)
+    assert got.keys() == exact.keys()
+    for k in exact:
+        assert abs(got[k] - exact[k]) < 1e-12
+
+    resd = betweenness_approx(df, ["a", "b"], max_depth=10, directed=True)
+    gotd = {r.vertex: r.betweenness for r in resd.scores.collect()}
+    exactd = _brandes_exact(_BET_EDGES, sources=["a", "b"], directed=True)
+    assert gotd.keys() == exactd.keys()
+    for k in exactd:
+        assert abs(gotd[k] - exactd[k]) < 1e-12
+
+
+def test_betweenness_truncation_and_empty(spark):
+    """max_depth truncates dependencies to <=k-hop shortest paths
+    (bounded-distance betweenness); empty graphs / absent seeds yield
+    empty output without spinning."""
+    from smatchpp_spark.operators.betweenness import betweenness_approx
+
+    # path graph a-b-c-d-e: with depth 2 from source a, only paths of
+    # length <= 2 contribute (b gets delta from {b,c} subtree)
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(path, "src string, dst string")
+    res = betweenness_approx(df, ["a"], max_depth=2, directed=False)
+    got = {r.vertex: r.betweenness for r in res.scores.collect()}
+    # forward reach: a(0) b(1) c(2); backward: delta(b) = 1+0 = 1 (from
+    # c), bc = 1/2 (undirected halving); c is a leaf of the truncated
+    # DAG so it accumulates nothing
+    assert got == {"b": 0.5}
+
+    empty = df.limit(0)
+    r2 = betweenness_approx(empty, ["a"], max_depth=5)
+    assert r2.scores.count() == 0
+    r3 = betweenness_approx(df, ["zzz"], max_depth=5)
+    assert r3.scores.count() == 0
