@@ -1910,6 +1910,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_neardup_pairs"] = _emb_neardup
 
+    def _emb_clusters(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        planes = similarity.random_planes(64, bits=4, seed=7)
+        # same candidate geometry + threshold as emb_neardup_pairs; the
+        # composition adds min-label CC + the keep-lowest policy
+        return dedup.embedding_dedup_clusters(
+            emb, threshold=0.3, planes=planes, probes=1
+        )
+
+    q["emb_dedup_clusters"] = _emb_clusters
+
     def _mm(spark, sf):
         from smatchpp_spark.pipeline import multimodal
 
@@ -2667,6 +2678,7 @@ SELECT doc_id,
 FROM documents
 """,
         "emb_neardup_pairs": _emb_neardup_sql(0.3),
+        "emb_dedup_clusters": _emb_dedup_clusters_sql(0.3),
         "emb_cosine_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
@@ -2758,6 +2770,32 @@ cand AS (SELECT DISTINCT id_a, id_b, va, vb
          FROM qa JOIN cb USING (bucket) WHERE id_a < id_b),
 sc AS (SELECT id_a, id_b, ROUND({cos}, 6) AS cosine_sim FROM cand)
 SELECT id_a, id_b, cosine_sim FROM sc WHERE cosine_sim >= {threshold}
+"""
+
+
+def _emb_dedup_clusters_sql(threshold: float) -> str:
+    """SemDeDup-composition oracle (pipeline/dedup.py
+    embedding_dedup_clusters): the emb_neardup candidate+verify CTEs,
+    then the same recursive min-label reachability as
+    _dedup_clusters_sql over the verified pair graph."""
+    cos = _COS_SQL.format(a="va", b="vb")
+    cte = _hyperplane_cte().replace("WITH e AS", "WITH RECURSIVE e AS", 1)
+    return f"""{cte},
+qa AS (SELECT vec_id AS id_a, v AS va,
+              unnest([base, xor(base, flip)]) AS bucket FROM b),
+cb AS (SELECT vec_id AS id_b, v AS vb, base AS bucket FROM b),
+cand AS (SELECT DISTINCT id_a, id_b, va, vb
+         FROM qa JOIN cb USING (bucket) WHERE id_a < id_b),
+sc AS (SELECT id_a, id_b, ROUND({cos}, 6) AS cosine_sim FROM cand),
+pr AS MATERIALIZED (SELECT id_a, id_b FROM sc
+                    WHERE cosine_sim >= {threshold}),
+und AS (SELECT id_a AS src, id_b AS dst FROM pr
+        UNION SELECT id_b, id_a FROM pr),
+reach(vx, l) AS (SELECT src, src FROM und
+                 UNION
+                 SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.vx)
+SELECT vx AS vec_id, MIN(l) AS cluster_id, vx = MIN(l) AS is_canonical
+FROM reach GROUP BY vx
 """
 
 

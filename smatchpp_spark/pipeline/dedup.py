@@ -519,3 +519,53 @@ def duplicate_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("vertex") == F.col("component")).alias("is_canonical"),
     )
+
+
+def embedding_dedup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    max_rounds: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **neardup_kwargs,
+) -> DataFrame:
+    """Semantic (embedding-space) near-duplicate CLUSTERS with a
+    canonical representative — the SemDeDup-style composition
+    (Abbas et al. 2023, public): sign-LSH candidate pairs verified by
+    exact cosine (``neardup_pairs_embedding``) → hash-min connected
+    components over the duplicate-pair graph → keep-lowest policy.
+
+    The shingle-Jaccard twin of this composition is
+    ``duplicate_clusters``; output contract is identical —
+    ``(id_col, cluster_id, is_canonical)``, one row per vector that has
+    at least one semantic near-duplicate, ``cluster_id`` = minimum
+    vector id in the cluster, ``is_canonical`` true exactly there.
+    Callers drop ``is_canonical = false`` rows to deduplicate.
+
+    Scale shape: candidates come from the hyperplane-bucket equi-join
+    (never all-pairs), the pair graph is sparse at real duplication
+    rates, and CC touches only vectors with at least one duplicate.
+    Raises if CC is truncated before the fixpoint — a split cluster
+    would silently keep duplicates (``duplicate_clusters`` contract).
+    """
+    from smatchpp_spark.operators.components import connected_components
+
+    pairs = neardup_pairs_embedding(
+        emb, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        **neardup_kwargs,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges, max_supersteps=max_rounds)
+    if not cc.converged:
+        raise RuntimeError(
+            "embedding_dedup_clusters: connected-components did not "
+            f"converge within max_rounds={max_rounds} (pair-graph "
+            "diameter exceeds the cap); raise max_rounds"
+        )
+    return cc.components.select(
+        F.col("vertex").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("vertex") == F.col("component")).alias("is_canonical"),
+    )

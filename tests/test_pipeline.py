@@ -840,3 +840,46 @@ def test_decontaminate_planted_overlap(spark):
 
     # min_hits raises the bar
     assert decontaminate(docs, evals, ngram=6, min_hits=6, portable=True).count() == 0
+
+
+def test_embedding_dedup_clusters_planted(spark):
+    """SemDeDup composition: planted semantic-duplicate groups come out
+    as clusters with the lowest vector id canonical; vectors with no
+    near-duplicate are absent; transitive chains merge into one
+    cluster even when the endpoints' pairwise cosine is below the
+    threshold (CC semantics, matching duplicate_clusters)."""
+    rng = np.random.RandomState(33)
+    base = rng.randn(40, 16)
+    # planted group A: 10, 14, 22 are jitters of the same direction
+    base[14] = base[10] + rng.randn(16) * 0.01
+    base[22] = base[10] + rng.randn(16) * 0.01
+    # planted pair B
+    base[31] = base[5] + rng.randn(16) * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    got = dedup.embedding_dedup_clusters(
+        emb, threshold=0.95, bits=4, probes=2
+    )
+    rows = {r["vec_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in got.collect()}
+    assert rows[10] == (10, True)
+    assert rows[14] == (10, False)
+    assert rows[22] == (10, False)
+    assert rows[5] == (5, True)
+    assert rows[31] == (5, False)
+    # soundness: every clustered vector has >= 1 true near-duplicate in
+    # its cluster (cosine >= threshold) — CC may chain below-threshold
+    # endpoints, but each member joined via at least one real edge
+    v = base / np.linalg.norm(base, axis=1, keepdims=True)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for vid, (cid, _) in rows.items():
+        members[cid].append(vid)
+    for cid, vids in members.items():
+        for a in vids:
+            assert any(
+                v[a] @ v[b] >= 0.95 - 1e-6 for b in vids if b != a
+            ), (cid, a)
