@@ -1921,6 +1921,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_dedup_clusters"] = _emb_clusters
 
+    def _domain_mix(spark, sf):
+        from smatchpp_spark.pipeline import mixing
+
+        # lang is the skewed domain column in the synthetic documents
+        # (en ~44%, others ~13-15%); alpha=0.5 flattens toward uniform
+        return mixing.domain_mixture(
+            _read(spark, sf, "documents"),
+            alpha=0.5,
+            target_rate=0.5,
+            domain_col="lang",
+            seed=7,
+        )
+
+    q["doc_domain_mix"] = _domain_mix
+
     def _mm(spark, sf):
         from smatchpp_spark.pipeline import multimodal
 
@@ -2679,6 +2694,7 @@ FROM documents
 """,
         "emb_neardup_pairs": _emb_neardup_sql(0.3),
         "emb_dedup_clusters": _emb_dedup_clusters_sql(0.3),
+        "doc_domain_mix": _domain_mix_sql(0.5, 7),
         "emb_cosine_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
@@ -2770,6 +2786,36 @@ cand AS (SELECT DISTINCT id_a, id_b, va, vb
          FROM qa JOIN cb USING (bucket) WHERE id_a < id_b),
 sc AS (SELECT id_a, id_b, ROUND({cos}, 6) AS cosine_sim FROM cand)
 SELECT id_a, id_b, cosine_sim FROM sc WHERE cosine_sim >= {threshold}
+"""
+
+
+def _domain_mix_sql(rate: float, seed: int) -> str:
+    """Temperature-sampling oracle (pipeline/mixing.py, alpha = 0.5):
+    domain counts → sqrt-share weights with an ascending-domain ordered
+    left fold for the normalizer → capped keep probability → the
+    portable md5 u-draw.  Every float op is correctly rounded and
+    applied in the operator's exact order, so p_keep and the u < p
+    decision are bit-identical (module parity contract)."""
+    u = duckdb_hash64_sql(f"(doc_id::VARCHAR || ':{seed}')")
+    return f"""
+WITH c AS (SELECT lang AS domain, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+t AS (SELECT domain, cnt,
+             sqrt(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS td
+      FROM c, tot),
+s AS (SELECT list_reduce(list(td ORDER BY domain), (x, y) -> x + y) AS sm
+      FROM t),
+p AS (SELECT domain,
+             LEAST(1.0, (({rate!r} * CAST(total AS DOUBLE)) * (td / sm))
+                        / CAST(cnt AS DOUBLE)) AS p_raw
+      FROM t, s, tot),
+d AS (SELECT doc_id, lang AS domain,
+             CAST({u} AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM documents)
+SELECT d.doc_id, d.domain, ROUND(p.p_raw, 9) AS p_keep,
+       d.u < p.p_raw AS keep
+FROM d JOIN p USING (domain)
 """
 
 

@@ -1,0 +1,122 @@
+"""Domain-mixture sampling — the data-mixing step between dedup and
+sequence packing in an LLM training pipeline.
+
+Temperature-weighted domain sampling (the multilingual-LM recipe,
+e.g. Conneau & Lample 2019 §3.1, public): a domain with corpus share
+``q_d`` is sampled proportionally to ``q_d^alpha`` — ``alpha = 1``
+keeps the natural mix, ``alpha < 1`` flattens it toward uniform
+(upweights rare domains), ``alpha = 0`` is fully uniform.
+
+The draw is a deterministic inverse-CDF hash draw (the
+``poisson_weights`` discipline, functions/scores.py:388): every doc gets
+``u = portable_hash64(id:seed) / 2^60`` ∈ [0,1) and is kept iff
+``u < p_domain``, so the sample is reproducible, engine-portable, and
+oracle-replayable row by row.
+
+Float parity contract: with ``alpha`` ∈ {1.0, 0.5} every arithmetic
+step is a correctly-rounded IEEE-754 operation applied in a fixed
+order — domain shares (exact division), ``sqrt`` (correctly rounded),
+the domain-weight normalizer summed by an ordered left fold in
+ascending-domain order, then two multiplies + two divides — so the
+keep probabilities are BIT-IDENTICAL between Python (driver), Spark
+(plan literals), and the DuckDB oracle; the ``u < p`` decision can
+never flip across engines.  Other ``alpha`` values use ``pow``, which
+is not correctly rounded — documented, and not used by the contract.
+
+Scale shape at 100 TB: one map-side-combined groupBy produces the
+K-domain count table (K = dozens; collected driver-side like the IVF
+codebook, pipeline/similarity.py:314), keep probabilities ship back as
+plan literals in a ``CASE``-free ``create_map`` lookup — the corpus
+scan is a single stateless projection + filter, no join, no second
+shuffle, trivially streamable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smatchpp_spark.functions.hashing import portable_hash64
+
+_TWO60 = float(1 << 60)
+
+
+def domain_keep_probs(
+    counts: list[tuple[str, int]],
+    alpha: float = 0.5,
+    target_rate: float = 0.5,
+) -> dict[str, float]:
+    """Per-domain keep probability for temperature ``alpha`` and an
+    expected overall sampling rate ``target_rate``.
+
+    ``p_d = min(1, target_rate · N · w_d / c_d)`` with
+    ``w_d = (c_d/N)^alpha / Σ_e (c_e/N)^alpha`` — the fold order of the
+    normalizer is ascending domain name (parity contract above).
+    Domains whose raw rate caps at 1 make the realized total rate land
+    slightly under ``target_rate`` (standard; re-normalizing would
+    break the per-domain closed form the oracle replays)."""
+    if not counts:
+        return {}
+    total = 0
+    for _, c in counts:
+        total += c
+    t: dict[str, float] = {}
+    for d, c in counts:
+        q = c / float(total)
+        if alpha == 1.0:
+            t[d] = q
+        elif alpha == 0.5:
+            t[d] = math.sqrt(q)
+        else:  # not correctly rounded — engines may differ by ulps
+            t[d] = q ** alpha
+    s = 0.0
+    for d in sorted(t):  # ordered left fold — see parity contract
+        s += t[d]
+    return {
+        d: min(1.0, ((target_rate * float(total)) * (t[d] / s)) / float(c))
+        for d, c in counts
+    }
+
+
+def domain_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_rate: float = 0.5,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic temperature-weighted domain sampling.
+
+    Output: ``(doc_id, domain, p_keep, keep)`` for EVERY input doc —
+    ``p_keep`` rounded to 9 dp for display, ``keep`` decided on the
+    unrounded probability.  Callers filter ``keep`` and feed the
+    survivors onward (e.g. ``packing.pack_sequences``).
+    """
+    spark = docs.sparkSession
+    counts = [
+        (r["domain"], r["cnt"])
+        for r in docs.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # K-domain table — driver-side by design (see module doc)
+    ]
+    probs = domain_keep_probs(counts, alpha=alpha, target_rate=target_rate)
+    if not probs:
+        return spark.createDataFrame(
+            [], f"{id_col} long, domain string, p_keep double, keep boolean"
+        )
+    pmap = F.create_map(
+        *[x for d in sorted(probs) for x in (F.lit(d), F.lit(probs[d]))]
+    )
+    u = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ).cast("double") / F.lit(_TWO60)
+    p = pmap[F.col(domain_col)]
+    return docs.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.round(p, 9).alias("p_keep"),
+        (u < p).alias("keep"),
+    )

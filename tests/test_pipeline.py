@@ -883,3 +883,64 @@ def test_embedding_dedup_clusters_planted(spark):
             assert any(
                 v[a] @ v[b] >= 0.95 - 1e-6 for b in vids if b != a
             ), (cid, a)
+
+
+def test_domain_mixture_temperature_semantics(spark):
+    """alpha=1 keeps the natural mix (p = target_rate everywhere);
+    alpha=0.5 upweights rare domains; the draw is deterministic and the
+    realized rate tracks the expectation."""
+    from smatchpp_spark.pipeline import mixing
+
+    rows = [(i, "big" if i < 800 else ("mid" if i < 950 else "rare"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    nat = mixing.domain_mixture(df, alpha=1.0, target_rate=0.4)
+    ps = {r["domain"]: r["p_keep"] for r in nat.select("domain", "p_keep").distinct().collect()}
+    assert ps == {"big": 0.4, "mid": 0.4, "rare": 0.4}
+
+    flat = mixing.domain_mixture(df, alpha=0.5, target_rate=0.4)
+    ps = {r["domain"]: r["p_keep"] for r in flat.select("domain", "p_keep").distinct().collect()}
+    assert ps["rare"] > ps["mid"] > ps["big"]
+    # expected mix preserved in aggregate: kept count within 4 sigma
+    kept = flat.filter("keep").count()
+    assert abs(kept - 400) < 4 * (1000 * 0.25) ** 0.5
+
+    a = sorted(flat.collect(), key=lambda r: r["doc_id"])
+    b = sorted(mixing.domain_mixture(df, alpha=0.5, target_rate=0.4)
+               .collect(), key=lambda r: r["doc_id"])
+    assert a == b  # deterministic replay
+
+    # python replay of the keep decision (oracle parity contract)
+    probs = mixing.domain_keep_probs(
+        [("big", 800), ("mid", 150), ("rare", 50)], alpha=0.5,
+        target_rate=0.4)
+    import hashlib
+
+    for r in a[:100]:
+        h = int(hashlib.md5(f"{r['doc_id']}:7".encode()).hexdigest()[:15], 16)
+        u = float(h) / float(1 << 60)
+        assert r["keep"] == (u < probs[r["domain"]]), r
+
+
+def test_domain_mixture_caps_and_composes(spark):
+    """A tiny domain whose raw rate exceeds 1 caps at p=1 (all kept);
+    kept docs feed pack_sequences unchanged; empty input yields the
+    empty schema."""
+    from smatchpp_spark.pipeline import mixing, packing
+
+    rows = [(i, "big" if i < 995 else "tiny",
+             "tok " * (3 + i % 5)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    mix = mixing.domain_mixture(df, alpha=0.0 + 0.5, target_rate=0.5)
+    ps = {r["domain"]: r["p_keep"] for r in mix.select("domain", "p_keep").distinct().collect()}
+    assert ps["tiny"] == 1.0
+    assert mix.filter("domain = 'tiny' AND NOT keep").count() == 0
+
+    kept = df.join(mix.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    packed = packing.pack_sequences(kept, max_tokens=64, n_buckets=4)
+    assert packed.count() > 0
+
+    empty = mixing.domain_mixture(df.limit(0))
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "domain", "p_keep", "keep"]
