@@ -480,3 +480,54 @@ def test_bnb_root_certification_skips_search():
             # a root certificate must agree with the full search optimum
             assert abs(starved["lower_bound"] - full["lower_bound"]) < 1e-9
     assert certified_at_root >= 3
+
+
+def test_lap_dual_forced_bound_admissible():
+    """solve_lap duals: reduced costs are dual-feasible and the
+    forced-assignment bound total - rc(i,j) upper-bounds the true
+    forced optimum (profit[i,j] + LAP of the minor) for every cell —
+    the per-node B&B child bound's correctness property."""
+    rng = np.random.RandomState(5)
+    for trial in range(10):
+        n = rng.randint(2, 10)
+        prof = np.round(rng.rand(n, n) * 5, 3)
+        _, total, u, v = myalign.solve_lap(prof, with_duals=True)
+        for i in range(n):
+            for j in range(n):
+                rc = (-prof[i, j]) - u[i + 1] - v[j + 1]
+                assert rc >= -1e-9, (trial, i, j, rc)
+                minor = np.delete(np.delete(prof, i, 0), j, 1)
+                _, mt = myalign.solve_lap(minor)
+                assert total - max(rc, 0.0) >= prof[i, j] + mt - 1e-9
+
+
+def test_branch_bound_certifies_dense_dicts_v20():
+    """Per-node Gilmore–Lawler frontier: dense random match dicts at
+    V = 16 and 20 certify (ub == lb) within the default node budget,
+    and the certified optimum is >= the hillclimber's score.  (The old
+    row-max-only bound left ~2/10 of the V=16 instances uncertified.)"""
+    for V in (16, 20):
+        for t in range(6):
+            rng = random.Random(f"dense:{V}:{t}")
+            unary = {}
+            for i in range(V):
+                for j in range(V):
+                    if rng.random() < 0.5:
+                        unary[(i, j)] = rng.randint(0, 4) * 1.0
+            binary = {}
+            for _ in range(rng.randint(0, 3 * V)):
+                i, j, k, l = (rng.randrange(V) for _ in range(4))
+                w = rng.randint(1, 3) * 0.5
+                if (i, j) == (k, l):
+                    binary[(i, j, k, l)] = binary.get((i, j, k, l), 0.0) + w
+                else:
+                    binary[(i, j, k, l)] = binary.get((i, j, k, l), 0.0) + w / 2
+                    binary[(k, l, i, j)] = binary.get((k, l, i, j), 0.0) + w / 2
+            a, lb, ub = myalign.solve_branch_bound(unary, binary, V, seed=t)
+            assert abs(ub - lb) < 1e-9, (V, t, lb, ub)
+            hc, hc_score, _ = myalign.solve_hillclimb(
+                unary, binary, V, seed=t, restarts=4
+            )
+            assert lb >= hc_score - 1e-9
+            grouped = myalign._group_binary(binary)
+            assert abs(myalign.alignment_score(a, unary, grouped) - lb) < 1e-9
