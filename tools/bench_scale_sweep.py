@@ -92,8 +92,10 @@ def main() -> None:
     from smatchpp_spark.operators.linkpred import linkpred_ppr, linkpred_scores
     from smatchpp_spark.operators.louvain import louvain_communities
     from smatchpp_spark.operators.scc import strongly_connected_components
+    from smatchpp_spark.operators.betweenness import betweenness_approx
     from smatchpp_spark.operators.walks import biased_random_walks, random_walks
     from smatchpp_spark.pipeline import dedup, similarity
+    from smatchpp_spark.pipeline.mixing import domain_mixture
     from smatchpp_spark.sources.penman import parse_edges
 
     # same untimed warmups as bench.py (session-global one-time costs)
@@ -110,8 +112,55 @@ def main() -> None:
         c = docs1.select(
             F.concat(F.lit(f"x{i}_"), F.col("doc_id").cast("string")).alias("doc_id"),
             F.concat(F.col("text"), F.lit(f" copytoken{i}")).alias("text"),
+            "lang",
         )
         docs10 = c if docs10 is None else docs10.unionByName(c)
+
+    # hub-skewed dedup input (VERDICT r5 item 8): a planted exact-template
+    # cluster whose size grows WITH scale (20·scale identical docs), so the
+    # 10x pair graph is a genuinely hub-skewed star — the sweep shows the
+    # LSH bucket guard + sparse-CC composition absorbing the skew instead
+    # of going quadratic
+    tmpl_text = docs1.select("text").first()["text"]
+
+    def hub_docs(base: DataFrame, scale: int) -> DataFrame:
+        hub = (
+            spark.range(20 * scale)
+            .select(
+                F.concat(F.lit("hub"), F.col("id").cast("string")).alias(
+                    "doc_id"
+                ),
+                F.lit(tmpl_text).alias("text"),
+            )
+        )
+        return base.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ).unionByName(hub)
+
+    # sign-decorrelated embedding copies for the cluster-dedup sweep:
+    # multiplying every copy-i vector by one fixed ±1 pattern preserves
+    # all WITHIN-copy inner products exactly (orthogonal map) while
+    # making cross-copy near-identical pairs vanish — without this, 10
+    # verbatim copies would form 10-cliques and the pair graph would
+    # grow 100x by construction rather than 10x
+    import random as _pyrandom
+
+    def sign_flip(base: DataFrame, copy_idx: int) -> DataFrame:
+        rngi = _pyrandom.Random(f"signs:{copy_idx}")
+        signs = F.array(
+            *[F.lit(float(rngi.choice((-1.0, 1.0)))) for _ in range(64)]
+        )
+        return base.select(
+            (F.col("vec_id") + F.lit(copy_idx * 10_000_000)).alias("vec_id"),
+            F.zip_with("embedding", signs, lambda x, s: x * s).alias(
+                "embedding"
+            ),
+        )
+
+    embc10 = None
+    for i in range(SCALE):
+        c = sign_flip(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), i)
+        embc10 = c if embc10 is None else embc10.unionByName(c)
 
     emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb10 = None
@@ -147,7 +196,9 @@ def main() -> None:
             "e_cust": em._e_cust(spark, sf_dir),
             "e_co": em._e_co(spark, sf_dir),
             "docs": docs1,
+            "docs_hub": hub_docs(docs1, 1),
             "emb": emb1,
+            "embc": sign_flip(emb1, 0),
             "corpus_n": 2000,
             "stats": stats1,
         },
@@ -156,7 +207,9 @@ def main() -> None:
             "e_cust": replicate_edges(em._e_cust(spark, sf_dir), SCALE),
             "e_co": replicate_edges(em._e_co(spark, sf_dir), SCALE),
             "docs": docs10,
+            "docs_hub": hub_docs(docs10, SCALE),
             "emb": emb10,
+            "embc": embc10,
             "corpus_n": 2000 * SCALE,
             "stats": stats10,
         },
@@ -306,6 +359,31 @@ def main() -> None:
         timed("louvain_2x2", scale, lambda: louvain_communities(
             e_op, sweeps_per_level=2, levels=2
         ).communities.count())
+        # --- round-6 operators + the VERDICT r5 item-8 configs ---------
+        # hub-skewed pair graph: the planted 20·scale-doc template star
+        timed("dedup_clusters_hubbed", scale, lambda: dedup.duplicate_clusters(
+            inp["docs_hub"], threshold=0.5, num_hashes=8, band_size=2
+        ).count())
+        # walks WITH the salted hub index engaged (co-purchase graph has
+        # the heavy-tailed degrees; threshold 64 salts the real hubs)
+        timed("random_walks_co_salted", scale, lambda: random_walks(
+            inp["e_co"], walk_length=4, walks_per_vertex=1,
+            hub_threshold=64, n_salts=8,
+        ).count())
+        # sampled-source truncated Brandes; sources scale with the graph
+        timed("betweenness_d3", scale, lambda: betweenness_approx(
+            e_op,
+            e_op.select("dst").distinct().filter(F.col("dst").rlike("000$")),
+            max_depth=3,
+            directed=False,
+        ).scores.count())
+        timed("emb_dedup_clusters", scale, lambda: dedup.embedding_dedup_clusters(
+            inp["embc"], threshold=0.3,
+            planes=similarity.random_planes(64, bits=4, seed=7), probes=1,
+        ).count())
+        timed("doc_domain_mix", scale, lambda: domain_mixture(
+            inp["docs"], alpha=0.5, target_rate=0.5
+        ).filter("keep").count())
         e_op.unpersist()
 
     fits = {}
@@ -382,6 +460,27 @@ def main() -> None:
         "* **linkpred_ppr_3steps** — seed set scales with the graph (the",
         "  '000$' suffix pattern matches per-copy), state is seeds ×",
         "  3-hop ball; the batched-seed join is the multi-source BFS shape.",
+        "* **dedup_clusters_hubbed** — the planted template star grows",
+        "  with scale (20·scale identical docs), so its in-bucket pair",
+        "  count grows ~scale² BY CONSTRUCTION (400 → 40k pairs) while",
+        "  the corpus scan grows 10x; absolute pair counts stay tiny, CC",
+        "  runs on the sparse pair graph only, and buckets past",
+        "  max_bucket=1000 would be dropped entirely — a mildly",
+        "  superlinear exponent here measures the planted quadratic,",
+        "  not an engine hazard.",
+        "* **random_walks_co_salted** — hub_threshold=64 routes heavy",
+        "  co-purchase pivots through the salted neighbor-index build",
+        "  (walks.py:39): max per-task sort ≈ deg/n_salts, so the",
+        "  exponent tracks edges not max-degree.",
+        "* **betweenness_d3** — truncated Brandes; sources scale with",
+        "  the graph ('000$' per copy), so work is sources × k-hop ball:",
+        "  ideal 10x. The DAG is built once and reused per backward",
+        "  level; state is (source, vertex)-keyed equi-joins only.",
+        "* **emb_dedup_clusters** — sign-decorrelated copies keep the",
+        "  pair graph ~10x (construction note above); bucket equi-join",
+        "  + sparse CC, never all-pairs.",
+        "* **doc_domain_mix** — one K-domain groupBy + a literal-map",
+        "  scan; expect ≤ linear with a large fixed floor.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
