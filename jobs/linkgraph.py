@@ -29,7 +29,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["pagerank", "hits", "components", "components_twophase",
                             "labelprop", "triangles", "degrees", "kcore",
                             "bfs", "scc", "hyperball", "clustering",
-                            "linkpred", "walks", "node2vec", "louvain"])
+                            "linkpred", "walks", "node2vec", "louvain",
+                            "betweenness"])
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
@@ -83,8 +84,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--sources", default=None,
                    help="pagerank: comma-separated teleport vertices, or "
                         "@/path/to/parquet with a vertex column — switches "
-                        "to personalized pagerank; bfs: the seed set "
-                        "(required)")
+                        "to personalized pagerank; bfs/betweenness: the "
+                        "seed/sampled-source set (required)")
     p.add_argument("--undirected", action="store_true",
                    help="bfs: expand edges in both directions")
     p.add_argument("--tol", type=float, default=1e-10,
@@ -203,6 +204,23 @@ def main() -> None:
         )
         out, summary["supersteps"], summary["converged"] = (
             res.distances, res.rounds, res.converged
+        )
+    elif args.op == "betweenness":
+        from smatchpp_spark.operators.betweenness import betweenness_approx
+
+        if not args.sources:
+            raise SystemExit("--op betweenness requires --sources")
+        if args.sources.startswith("@"):
+            seeds = spark.read.parquet(args.sources[1:])
+        else:
+            seeds = args.sources.split(",")
+        res = betweenness_approx(
+            edges, seeds, max_depth=args.max_supersteps,
+            directed=not args.undirected,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.scores, res.rounds, res.converged
         )
     elif args.op == "kcore":
         from smatchpp_spark.operators.kcore import k_core

@@ -203,3 +203,27 @@ def test_linkgraph_job_walks_hub_salting_and_node2vec(
     for w in spark.read.parquet(out2).collect():
         for x, y in zip(w.path, w.path[1:]):
             assert (x, y) in eset, (w.walk_id, x, y)
+
+
+def test_linkgraph_job_betweenness(spark, tmp_path, monkeypatch, capsys):
+    """--op betweenness drives the sampled-source Brandes operator
+    through the job surface and matches the library result."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"),
+             ("d", "e"), ("e", "f"), ("a", "f"), ("c", "g")]
+    epath = _write_edges(spark, tmp_path, pairs)
+    out = str(tmp_path / "btw")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "betweenness", "--edges", epath, "--sources", "a,c,e",
+         "--max-supersteps", "10", "--undirected", "-o", out],
+    )
+    assert s["converged"] is True
+    got = {r.vertex: r.betweenness
+           for r in spark.read.parquet(out).collect()}
+    from smatchpp_spark.operators.betweenness import betweenness_approx
+
+    lib = betweenness_approx(
+        spark.createDataFrame(pairs, "src string, dst string"),
+        ["a", "c", "e"], max_depth=10, directed=False)
+    want = {r.vertex: r.betweenness for r in lib.scores.collect()}
+    assert got == want and len(got) > 0
