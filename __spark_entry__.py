@@ -1067,6 +1067,45 @@ def _bfs_sql(depth: int) -> str:
     return "\n".join(parts)
 
 
+def _landmark_sql(depth: int = 4, k: int = 4) -> str:
+    """Landmark distance-oracle replay (operators/landmarks.py): top-k
+    degree landmarks on the DISTINCT undirected edge set (ties on
+    vertex asc), ``depth`` unrolled min-distance relaxations carrying
+    the landmark key, then the triangle-bound min join over the
+    deterministic part-vertex query pairs."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),",
+        f"lm AS (SELECT src AS vertex FROM ue GROUP BY src "
+        f"ORDER BY COUNT(*) DESC, src LIMIT {k}),",
+        "r0 AS MATERIALIZED (SELECT vertex AS landmark, vertex, "
+        "CAST(0 AS BIGINT) AS distance FROM lm),",
+    ]
+    for i in range(1, depth + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT landmark, vertex, "
+            f"MIN(distance) AS distance FROM "
+            f"(SELECT landmark, vertex, distance FROM {p} UNION ALL "
+            f"SELECT r.landmark, ue.dst AS vertex, r.distance + 1 "
+            f"FROM {p} r JOIN ue ON ue.src = r.vertex) GROUP BY 1, 2),"
+        )
+    parts.append(
+        "pa AS (SELECT DISTINCT 'p' || l_partkey AS src FROM lineitem "
+        "WHERE l_partkey % 150 = 0),\n"
+        "pb AS (SELECT DISTINCT 'p' || l_partkey AS dst FROM lineitem "
+        "WHERE l_partkey % 150 = 50),\n"
+        "pr AS (SELECT src, dst FROM pa, pb WHERE src <> dst)\n"
+        f"SELECT pr.src, pr.dst, MIN(du.distance + dv.distance) AS est_distance, "
+        f"CAST(COUNT(*) AS INT) AS n_landmarks\n"
+        f"FROM pr JOIN r{depth} du ON du.vertex = pr.src\n"
+        f"JOIN r{depth} dv ON dv.vertex = pr.dst AND dv.landmark = du.landmark\n"
+        "GROUP BY 1, 2"
+    )
+    return "\n".join(parts)
+
+
 def _betweenness_sql(depth: int = 4, mod: int = 200) -> str:
     """Truncated sampled-source Brandes oracle (operators/betweenness.py):
     ``depth`` unrolled forward BFS levels with shortest-path counting,
@@ -1505,6 +1544,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hyperball_nf"] = _hyperball
 
+    def _eff_diameter(spark, sf):
+        # same graph + config as hyperball_nf; the effective diameter is
+        # derived from the ROUNDED nf curve on both engines so the
+        # >= 0.9*final comparison is bit-exact cross-engine
+        nf = _hyperball(spark, sf)
+        fin = (
+            nf.orderBy(F.col("r").desc())
+            .limit(1)
+            .select(F.col("nf_estimate").alias("final_nf"))
+        )
+        return (
+            nf.crossJoin(fin)
+            .where(F.col("nf_estimate") >= F.lit(0.9) * F.col("final_nf"))
+            .agg(
+                F.min("r").cast("int").alias("effective_diameter_r"),
+                F.max("final_nf").alias("final_nf"),
+            )
+        )
+
+    q["effective_diameter"] = _eff_diameter
+
     def _walks(spark, sf):
         from smatchpp_spark.operators.walks import random_walks
 
@@ -1673,6 +1733,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distances
 
     q["bfs_distances"] = _bfs
+
+    def _landmark(spark, sf):
+        from smatchpp_spark.operators.landmarks import (
+            estimate_distances,
+            landmark_distances,
+            pick_landmarks,
+        )
+
+        e = _e_op(spark, sf)
+        lms = pick_landmarks(e, k=4, directed=False)
+        d = landmark_distances(e, lms, max_depth=4, directed=False)
+        li = _read(spark, sf, "lineitem")
+        pa = (
+            li.filter(F.col("l_partkey") % 150 == 0)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src")
+            )
+            .distinct()
+        )
+        pb = (
+            li.filter(F.col("l_partkey") % 150 == 50)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst")
+            )
+            .distinct()
+        )
+        pairs = pa.crossJoin(pb).where(F.col("src") != F.col("dst"))
+        return estimate_distances(d.distances, pairs)
+
+    q["landmark_distances"] = _landmark
 
     def _betweenness(spark, sf):
         from smatchpp_spark.operators.betweenness import betweenness_approx
@@ -1876,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), bits=16, portable=True
     )
     q["doc_bpe_tokens"] = lambda spark, sf: text.bpe_token_count(_docs(spark, sf))
+    q["doc_repetition"] = lambda spark, sf: text.repetition_features(_docs(spark, sf))
 
     def _substr_dedup(spark, sf):
         return dedup.substring_dedup_spans(
@@ -1935,6 +2026,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_domain_mix"] = _domain_mix
+
+    def _doc_split(spark, sf):
+        from smatchpp_spark.pipeline import mixing
+
+        return mixing.hash_split(
+            _read(spark, sf, "documents"),
+            fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+            seed=7,
+        )
+
+    q["doc_split"] = _doc_split
 
     def _mm(spark, sf):
         from smatchpp_spark.pipeline import multimodal
@@ -2080,6 +2182,10 @@ _DRIVER_WINDOW_FRONT = [
     "betweenness_approx",
     "emb_dedup_clusters",
     "doc_domain_mix",
+    "doc_repetition",
+    "doc_split",
+    "effective_diameter",
+    "landmark_distances",
     # round-4-stale rows (green in CORRECTNESS_r04, out of window in r5)
     "bootstrap_ci",
     "bootstrap_macro_ci",
@@ -2216,6 +2322,12 @@ SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
 FROM per_c
 """,
         "hyperball_nf": _hyperball_sql(),
+        "effective_diameter": f"""
+WITH curve AS ({_hyperball_sql()}),
+f AS (SELECT nf_estimate AS final_nf FROM curve ORDER BY r DESC LIMIT 1)
+SELECT CAST(MIN(r) AS INT) AS effective_diameter_r, MAX(final_nf) AS final_nf
+FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
+""",
         "random_walks": _walks_sql(),
         "node2vec_walks": _node2vec_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
@@ -2277,6 +2389,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "doc_decontaminate": _decontaminate_sql(6, 1),
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
+        "landmark_distances": _landmark_sql(4, 4),
         "betweenness_approx": _betweenness_sql(4, 200),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),
@@ -2692,6 +2805,8 @@ SELECT doc_id,
          AS INT) AS bpe_tokens
 FROM documents
 """,
+        "doc_repetition": _repetition_sql(),
+        "doc_split": _split_sql(),
         "emb_neardup_pairs": _emb_neardup_sql(0.3),
         "emb_dedup_clusters": _emb_dedup_clusters_sql(0.3),
         "doc_domain_mix": _domain_mix_sql(0.5, 7),
@@ -2816,6 +2931,78 @@ d AS (SELECT doc_id, lang AS domain,
 SELECT d.doc_id, d.domain, ROUND(p.p_raw, 9) AS p_keep,
        d.u < p.p_raw AS keep
 FROM d JOIN p USING (domain)
+"""
+
+
+def _split_sql(
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05)
+    ),
+    seed: int = 7,
+) -> str:
+    """hash_split replay (pipeline/mixing.py): the portable md5 u-draw
+    against cumulative boundaries accumulated in the same insertion
+    order with the same IEEE adds, shipped with full-precision repr so
+    the literals are the identical doubles Spark compares against."""
+    u = duckdb_hash64_sql(f"(doc_id::VARCHAR || ':{seed}')")
+    cum = 0.0
+    whens = []
+    for name, frac in fractions[:-1]:
+        cum += frac
+        whens.append(f"WHEN u < {cum!r} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{fractions[-1][0]}' END"
+    return f"""
+WITH t AS (SELECT doc_id,
+           CAST({u} AS DOUBLE) / 1152921504606846976.0 AS u
+           FROM documents)
+SELECT doc_id, ROUND(u, 9) AS u, {case} AS split FROM t
+"""
+
+
+def _repetition_sql() -> str:
+    """Replay of pipeline/text.py repetition_features: tagged union of
+    non-empty trimmed lines + word 2/3-grams, per-(doc, kind, item)
+    counts, then the five ratio features (0.0 on empty denominators,
+    round 6 — int/double division is correctly rounded in both
+    engines)."""
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+ln AS (SELECT doc_id, trim(u) AS item FROM
+        (SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM documents)
+       WHERE length(trim(u)) > 0),
+g2 AS (SELECT doc_id, u.g AS item FROM
+        (SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+             i -> {{'g': array_to_string(toks[i+1:i+2], ' ')}})) AS u FROM t)),
+g3 AS (SELECT doc_id, u.g AS item FROM
+        (SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+             i -> {{'g': array_to_string(toks[i+1:i+3], ' ')}})) AS u FROM t)),
+items AS (SELECT doc_id, 'ln' AS kind, item FROM ln
+  UNION ALL SELECT doc_id, 'g2', item FROM g2
+  UNION ALL SELECT doc_id, 'g3', item FROM g3),
+c AS (SELECT doc_id, kind, item, COUNT(*) AS cnt FROM items GROUP BY 1, 2, 3),
+a AS (SELECT doc_id,
+  SUM(CASE WHEN kind = 'ln' THEN cnt ELSE 0 END) AS n_lines,
+  SUM(CASE WHEN kind = 'ln' AND cnt > 1 THEN cnt ELSE 0 END) AS dup_lines,
+  SUM(CASE WHEN kind = 'ln' THEN cnt * length(item) ELSE 0 END) AS line_chars,
+  SUM(CASE WHEN kind = 'ln' AND cnt > 1 THEN cnt * length(item) ELSE 0 END)
+    AS dup_line_chars,
+  SUM(CASE WHEN kind = 'g2' THEN cnt ELSE 0 END) AS g2_tot,
+  MAX(CASE WHEN kind = 'g2' THEN cnt END) AS g2_max,
+  SUM(CASE WHEN kind = 'g3' THEN cnt ELSE 0 END) AS g3_tot,
+  SUM(CASE WHEN kind = 'g3' AND cnt > 1 THEN cnt ELSE 0 END) AS g3_dup
+ FROM c GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_lines, 0) AS INT) AS n_lines,
+  ROUND(CASE WHEN COALESCE(a.n_lines, 0) = 0 THEN 0.0
+        ELSE a.dup_lines / CAST(a.n_lines AS DOUBLE) END, 6) AS dup_line_frac,
+  ROUND(CASE WHEN COALESCE(a.line_chars, 0) = 0 THEN 0.0
+        ELSE a.dup_line_chars / CAST(a.line_chars AS DOUBLE) END, 6)
+    AS dup_line_char_frac,
+  ROUND(CASE WHEN COALESCE(a.g2_tot, 0) = 0 THEN 0.0
+        ELSE a.g2_max / CAST(a.g2_tot AS DOUBLE) END, 6) AS top_2gram_frac,
+  ROUND(CASE WHEN COALESCE(a.g3_tot, 0) = 0 THEN 0.0
+        ELSE a.g3_dup / CAST(a.g3_tot AS DOUBLE) END, 6) AS dup_3gram_frac
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
 """
 
 

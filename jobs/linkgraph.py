@@ -30,11 +30,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "labelprop", "triangles", "degrees", "kcore",
                             "bfs", "scc", "hyperball", "clustering",
                             "linkpred", "walks", "node2vec", "louvain",
-                            "betweenness"])
+                            "betweenness", "landmarks"])
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
                    help="louvain: contraction levels")
+    p.add_argument("--n-landmarks", type=int, default=16,
+                   help="landmarks: top-degree landmark count when "
+                        "--sources is not given")
     p.add_argument("--walk-length", type=int, default=5)
     p.add_argument("--walks-per-vertex", type=int, default=1)
     p.add_argument("--hub-threshold", type=int, default=10_000,
@@ -85,7 +88,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="pagerank: comma-separated teleport vertices, or "
                         "@/path/to/parquet with a vertex column — switches "
                         "to personalized pagerank; bfs/betweenness: the "
-                        "seed/sampled-source set (required)")
+                        "seed/sampled-source set (required); landmarks: "
+                        "explicit landmark set (default: top-degree pick)")
     p.add_argument("--undirected", action="store_true",
                    help="bfs: expand edges in both directions")
     p.add_argument("--tol", type=float, default=1e-10,
@@ -221,6 +225,29 @@ def main() -> None:
         )
         out, summary["supersteps"], summary["converged"] = (
             res.scores, res.rounds, res.converged
+        )
+    elif args.op == "landmarks":
+        from smatchpp_spark.operators.landmarks import (
+            landmark_distances,
+            pick_landmarks,
+        )
+
+        if args.sources:
+            if args.sources.startswith("@"):
+                lms = spark.read.parquet(args.sources[1:])
+            else:
+                lms = args.sources.split(",")
+        else:
+            lms = pick_landmarks(
+                edges, k=args.n_landmarks, directed=not args.undirected
+            )
+        res = landmark_distances(
+            edges, lms, max_depth=args.max_supersteps,
+            directed=not args.undirected,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.distances, res.rounds, res.converged
         )
     elif args.op == "kcore":
         from smatchpp_spark.operators.kcore import k_core

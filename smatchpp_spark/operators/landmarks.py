@@ -1,0 +1,155 @@
+"""Landmark-based shortest-path distance estimation.
+
+The classic web-graph distance oracle (Potamias et al. 2009, public):
+pick a small set of high-degree *landmark* vertices, run one BFS per
+landmark, and answer point-to-point distance queries with the triangle
+upper bound ``d(u,v) <= min_l d(u,l) + d(l,v)`` — exact when some
+shortest path passes through a landmark, an upper bound otherwise.
+Beyond the reference's operator set, same contract style as bfs.py.
+
+Scale shape at 100 TB: the per-landmark BFS runs as ONE superstep state
+keyed ``(landmark, vertex)`` — k landmarks ride the same frontier
+expansion (one frontier ⋈ edges join + one anti-join per depth), so the
+edge table is scanned once per round regardless of k, and the state is
+``k·V`` rows with k a small constant (4-32).  Query answering is two
+equi-joins of the query pairs against the distance table on the vertex
+key plus a co-landmark groupBy — no all-pairs computation anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smatchpp_spark.operators.supersteps import SuperstepRunner, row_count_delta
+
+
+@dataclass
+class LandmarkResult:
+    distances: DataFrame  # (landmark, vertex, distance long) — reached only
+    rounds: int
+    converged: bool
+
+
+def _undirect(edges: DataFrame, directed: bool) -> DataFrame:
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    return e
+
+
+def pick_landmarks(edges: DataFrame, k: int = 4, directed: bool = False) -> DataFrame:
+    """Top-``k`` vertices by degree (the standard landmark heuristic —
+    high-degree vertices lie on many shortest paths).  Degree is counted
+    on the DISTINCT (un)directed edge set; ties break on vertex id
+    ascending, so the pick is deterministic and oracle-replayable.
+    Output: ``(vertex)``, at most k rows — always driver-broadcastable.
+    """
+    ue = _undirect(edges, directed).distinct()
+    return (
+        ue.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("vertex").asc())
+        .limit(k)
+        .select("vertex")
+    )
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: DataFrame | list,
+    max_depth: int = 6,
+    directed: bool = False,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> LandmarkResult:
+    """Hop distance from every landmark to every reachable vertex, all
+    landmarks in one superstep state (module doc).  ``landmarks`` is a
+    DataFrame whose first column is the vertex id, or a list of ids;
+    landmarks absent from the graph are dropped.  Unreached
+    ``(landmark, vertex)`` combinations are absent from the output.
+    """
+    spark = edges.sparkSession
+    step_edges = _undirect(edges, directed).persist()
+    vertices = (
+        step_edges.select(F.col("src").alias("vertex"))
+        .unionByName(step_edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    if isinstance(landmarks, DataFrame):
+        lm = landmarks.select(
+            F.col(landmarks.columns[0]).alias("vertex")
+        ).distinct()
+    else:
+        lm = vertices.filter(F.col("vertex").isin(list(landmarks)))
+    init = (
+        vertices.join(lm, "vertex", "left_semi")
+        .select(
+            F.col("vertex").alias("landmark"),
+            F.col("vertex"),
+            F.lit(0).cast("long").alias("distance"),
+        )
+    )
+
+    def step(state: DataFrame, r: int) -> DataFrame:
+        wave = state.filter(F.col("distance") == r - 1).select(
+            "landmark", "vertex"
+        )
+        nxt = (
+            wave.join(step_edges, wave["vertex"] == step_edges["src"])
+            .select("landmark", F.col("dst").alias("vertex"))
+            .distinct()
+            .join(state, ["landmark", "vertex"], "left_anti")
+        )
+        return state.unionByName(
+            nxt.withColumn("distance", F.lit(r).cast("long"))
+        )
+
+    runner = SuperstepRunner(
+        spark,
+        op="landmark_bfs",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_depth,
+        tol=0.0,
+    )
+    res = runner.run(init, step, row_count_delta(sign=-1), resume=resume)
+    step_edges.unpersist()
+    return LandmarkResult(
+        distances=res.state, rounds=res.supersteps, converged=res.converged
+    )
+
+
+def estimate_distances(distances: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Triangle-bound distance estimates for ``pairs`` (src, dst).
+
+    ``est_distance = min_l d(src,l) + d(l,dst)`` over landmarks both
+    endpoints reach; ``n_landmarks`` counts them.  Pairs with no common
+    landmark are absent (disconnected as far as the oracle can tell).
+    Two vertex-keyed equi-joins + one groupBy on the pair key — at scale
+    both joins shuffle on the vertex id only and the landmark dimension
+    stays a payload column.
+    """
+    du = distances.select(
+        F.col("vertex").alias("src"),
+        "landmark",
+        F.col("distance").alias("d_src"),
+    )
+    dv = distances.select(
+        F.col("vertex").alias("dst"),
+        "landmark",
+        F.col("distance").alias("d_dst"),
+    )
+    return (
+        pairs.select("src", "dst")
+        .join(du, "src")
+        .join(dv, ["dst", "landmark"])
+        .groupBy("src", "dst")
+        .agg(
+            F.min(F.col("d_src") + F.col("d_dst")).alias("est_distance"),
+            F.count(F.lit(1)).cast("int").alias("n_landmarks"),
+        )
+    )

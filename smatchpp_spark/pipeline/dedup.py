@@ -19,6 +19,8 @@ every signature bit-identical to the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -271,6 +273,9 @@ def neardup_pairs_embedding(
     probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 64,
+    max_bucket: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket candidates
     (hashed hyperplanes + multi-probe on one side), verified by exact
@@ -281,6 +286,20 @@ def neardup_pairs_embedding(
     only inside buckets.  Recall follows the ANN path's geometry — near
     duplicates have near-identical hyperplane margins, so they co-bucket
     or differ in the lowest-margin bit, which multi-probe covers.
+
+    Bucket geometry at scale: with FIXED bits the expected bucket size
+    grows with N and the in-bucket self-join goes quadratic (measured:
+    10x input → 14.5x wall with 4 bits).  When ``planes`` is not given,
+    ``bits`` therefore auto-scales to
+    ``max(bits, ceil(log2(N / target_bucket)))`` (capped at 24) so the
+    expected bucket size stays ~``target_bucket`` and candidate volume
+    stays ~``N · target_bucket`` — linear.  Near-exact duplicates agree
+    on almost every hyperplane sign, so recall survives the extra bits
+    (multi-probe covers the low-margin flips).  ``max_bucket`` (optional)
+    additionally drops oversized buckets before the join — the same
+    degenerate-bucket guard as ``neardup_pairs_minhash`` (e.g. an
+    all-zeros embedding cluster); dropped buckets lose their pairs, so
+    the default is off and the knob is for adversarial inputs.
     """
     from smatchpp_spark.pipeline.similarity import (
         _to_double,
@@ -300,7 +319,12 @@ def neardup_pairs_embedding(
                 F.col(id_col).alias("id_b"),
                 F.lit(0.0).alias("cosine_sim"),
             ).limit(0)
-        planes = random_planes(len(first[0]), bits=bits, seed=42)
+        n = emb.count()
+        auto_bits = min(
+            24, max(bits, math.ceil(math.log2(max(n, 1) / max(target_bucket, 1))))
+            if n > target_bucket else bits,
+        )
+        planes = random_planes(len(first[0]), bits=auto_bits, seed=seed)
     bits = len(planes)
     margins = plane_margins(vec_col, planes)
     a = emb.select(
@@ -313,6 +337,15 @@ def neardup_pairs_embedding(
         _to_double(vec_col).alias("vb"),
         margins_to_bucket(margins, bits).alias("bucket"),
     )
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") <= max_bucket)
+            .select("bucket")
+        )
+        a = a.join(ok, "bucket", "left_semi")
+        b = b.join(ok, "bucket", "left_semi")
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -120,3 +120,54 @@ def domain_mixture(
         F.round(p, 9).alias("p_keep"),
         (u < p).alias("keep"),
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split by hash.
+
+    Every doc draws the same ``u = portable_hash64(id:seed) / 2^60`` as
+    ``domain_mixture`` and is assigned to the first split whose
+    cumulative upper boundary exceeds ``u`` — boundaries are computed
+    driver-side in the dict's insertion order and shipped as plan
+    literals, so the assignment is reproducible, engine-portable, and
+    stable under any repartitioning or re-run (the property a training
+    pipeline needs: a doc never migrates between splits).
+
+    ``fractions`` must sum to 1.0 (±1e-9).  Output:
+    ``(doc_id, u, split)`` with ``u`` rounded to 9 dp for display; the
+    assignment uses the unrounded draw.
+
+    Scale shape at 100 TB: stateless projection, no shuffle, no join —
+    runs at scan speed with only the id column read.
+    """
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = 0.0
+    for f in fractions.values():
+        total += f
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    u = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ).cast("double") / F.lit(_TWO60)
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return docs.select(
+        F.col(id_col),
+        F.round(u, 9).alias("u"),
+        split.alias("split"),
+    )

@@ -181,3 +181,98 @@ def bpe_token_count(
         .cast("int")
         .alias("bpe_tokens"),
     )
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition features (the Gopher / MassiveText
+    quality-filter family, Rae et al. 2021 §A1.1, public): the fraction
+    of the document made of repeated lines and repeated word n-grams.
+
+    Output per input doc (every doc gets a row, zeros when empty):
+
+    * ``n_lines`` — non-empty trimmed lines;
+    * ``dup_line_frac`` — line instances whose line text occurs more
+      than once in the doc, over all line instances;
+    * ``dup_line_char_frac`` — same, weighted by line length in chars;
+    * ``top_2gram_frac`` — occurrences of the most frequent word
+      2-gram over all 2-gram instances (lowercased whitespace tokens);
+    * ``dup_3gram_frac`` — 3-gram instances whose gram occurs more
+      than once, over all 3-gram instances.
+
+    Scale shape at 100 TB: ONE projection builds tagged (kind, item)
+    structs for lines + both gram sizes (single scan of ``text`` — not
+    a union of projections, which would scan the parquet three times),
+    one explode, then two map-side-combined groupBys keyed by
+    ``(doc_id, kind, item)`` and ``doc_id`` — all keys are doc-local so
+    partition sizes track document sizes, never corpus size.  The final
+    left join keeps empty docs; the docs side carries only ``doc_id``
+    so it is a broadcastable-or-shuffle join on the dedup key with no
+    payload amplification.
+    """
+    toks = F.transform(tokens(text_col), F.lower)
+
+    def grams(n: int) -> Column:
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+        )
+
+    def tag(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr, lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("item"))
+        )
+
+    # NB: F.trim must be wrapped — transform() would pass the element
+    # index as trim's second (trim-characters) parameter
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    items = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(tag("ln", lines), tag("g2", grams(2)), tag("g3", grams(3)))
+        ).alias("it"),
+    ).select(id_col, F.col("it.kind").alias("kind"), F.col("it.item").alias("item"))
+
+    c = items.groupBy(id_col, "kind", "item").agg(F.count(F.lit(1)).alias("cnt"))
+    k, cnt = F.col("kind"), F.col("cnt")
+    zero = F.lit(0).cast("long")
+    agg = c.groupBy(id_col).agg(
+        F.sum(F.when(k == "ln", cnt).otherwise(zero)).alias("n_lines"),
+        F.sum(F.when((k == "ln") & (cnt > 1), cnt).otherwise(zero)).alias("dup_lines"),
+        F.sum(F.when(k == "ln", cnt * F.length("item")).otherwise(zero)).alias("line_chars"),
+        F.sum(
+            F.when((k == "ln") & (cnt > 1), cnt * F.length("item")).otherwise(zero)
+        ).alias("dup_line_chars"),
+        F.sum(F.when(k == "g2", cnt).otherwise(zero)).alias("g2_tot"),
+        F.max(F.when(k == "g2", cnt)).alias("g2_max"),
+        F.sum(F.when(k == "g3", cnt).otherwise(zero)).alias("g3_tot"),
+        F.sum(F.when((k == "g3") & (cnt > 1), cnt).otherwise(zero)).alias("g3_dup"),
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(
+                F.coalesce(den, F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(F.coalesce(num, F.lit(0)).cast("double") / den),
+            6,
+        )
+
+    a = agg.alias("a")
+    return (
+        docs.select(id_col).alias("d")
+        .join(a, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_lines", F.lit(0)).cast("int").alias("n_lines"),
+            frac(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
+            frac(F.col("dup_line_chars"), F.col("line_chars")).alias("dup_line_char_frac"),
+            frac(F.col("g2_max"), F.col("g2_tot")).alias("top_2gram_frac"),
+            frac(F.col("g3_dup"), F.col("g3_tot")).alias("dup_3gram_frac"),
+        )
+    )

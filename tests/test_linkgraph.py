@@ -1053,3 +1053,59 @@ def test_betweenness_truncation_and_empty(spark):
     assert r2.scores.count() == 0
     r3 = betweenness_approx(df, ["zzz"], max_depth=5)
     assert r3.scores.count() == 0
+
+
+def test_landmark_distances_exact_on_path_graph(spark):
+    from smatchpp_spark.operators.landmarks import (
+        estimate_distances,
+        landmark_distances,
+        pick_landmarks,
+    )
+
+    # path a-b-c-d-e plus hub h attached to b, c, d, e (unique max degree)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+         ("h", "b"), ("h", "c"), ("h", "d"), ("h", "e")],
+        "src string, dst string",
+    )
+    lm = pick_landmarks(edges, k=1, directed=False)
+    assert [r["vertex"] for r in lm.collect()] == ["h"]  # degree 4 beats all
+
+    res = landmark_distances(edges, lm, max_depth=5, directed=False)
+    d = {(r["landmark"], r["vertex"]): r["distance"] for r in res.distances.collect()}
+    assert res.converged
+    assert d[("h", "h")] == 0
+    assert all(d[("h", v)] == 1 for v in "bcde")
+    assert d[("h", "a")] == 2
+
+    pairs = spark.createDataFrame(
+        [("a", "e"), ("a", "c"), ("b", "d")], "src string, dst string"
+    )
+    est = {
+        (r["src"], r["dst"]): (r["est_distance"], r["n_landmarks"])
+        for r in estimate_distances(res.distances, pairs).collect()
+    }
+    # a-e true distance 3 (a-b-h-e) and the bound through h equals it
+    assert est[("a", "e")] == (3, 1)
+    # a-c true distance 2, via h: 2+1=3 (upper bound, not exact)
+    assert est[("a", "c")] == (3, 1)
+    assert est[("b", "d")] == (2, 1)
+
+
+def test_landmark_distances_multi_landmark_tightens_bound(spark):
+    from smatchpp_spark.operators.landmarks import (
+        estimate_distances,
+        landmark_distances,
+    )
+
+    # two clusters bridged at m; landmarks at both cluster centers
+    edges = spark.createDataFrame(
+        [("a", "m"), ("m", "b"), ("a", "x"), ("b", "y")],
+        "src string, dst string",
+    )
+    res = landmark_distances(edges, ["a", "b"], max_depth=4, directed=False)
+    pairs = spark.createDataFrame([("x", "y")], "src string, dst string")
+    est = estimate_distances(res.distances, pairs).collect()[0]
+    # true x-y distance is 4 (x-a-m-b-y); both landmarks lie on the path
+    assert est["est_distance"] == 4
+    assert est["n_landmarks"] == 2

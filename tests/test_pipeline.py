@@ -944,3 +944,103 @@ def test_domain_mixture_caps_and_composes(spark):
     empty = mixing.domain_mixture(df.limit(0))
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "domain", "p_keep", "keep"]
+
+
+def _rep_replay(t: str) -> dict:
+    """Pure-python replay of repetition_features for one doc."""
+    from collections import Counter
+
+    lines = [ln.strip(" ") for ln in t.split("\n")]
+    lines = [ln for ln in lines if ln]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    dup_lines = sum(c for c in lc.values() if c > 1)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_line_chars = sum(len(ln) * c for ln, c in lc.items() if c > 1)
+    # engine tokenization: trim strips SPACES only, split('\s+') keeps
+    # boundary empties — a trailing newline yields one '' token (the
+    # DuckDB oracle shares the quirk, so cross-engine parity holds)
+    import re
+
+    tt = t.strip(" ")
+    toks = [] if not tt else [w.lower() for w in re.split(r"\s+", tt)]
+
+    def gc(n):
+        return Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    g2, g3 = gc(2), gc(3)
+    g2_tot, g3_tot = sum(g2.values()), sum(g3.values())
+
+    def frac(num, den):
+        return round(num / den, 6) if den else 0.0
+
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": frac(dup_lines, n_lines),
+        "dup_line_char_frac": frac(dup_line_chars, line_chars),
+        "top_2gram_frac": frac(max(g2.values()) if g2 else 0, g2_tot),
+        "dup_3gram_frac": frac(
+            sum(c for c in g3.values() if c > 1), g3_tot
+        ),
+    }
+
+
+def test_repetition_features_vs_replay(spark):
+    rep_docs = [
+        (0, "alpha beta gamma\nalpha beta gamma\ndelta\n\n  \n"),
+        (1, "spam spam spam spam spam"),
+        (2, "one two three four five six seven"),
+        (3, ""),
+        (4, "   \n \n"),
+        (5, "x"),
+        (6, "a b a b a b c\nA B a b"),
+        (7, "Line one here\nline two here\nLine one here\nLine one here"),
+    ]
+    df = spark.createDataFrame(rep_docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in text.repetition_features(df).collect()}
+    assert set(rows) == {d for d, _ in rep_docs}
+    for doc_id, t in rep_docs:
+        exp = _rep_replay(t)
+        got = rows[doc_id]
+        for k, v in exp.items():
+            assert got[k] == pytest.approx(v, abs=1e-9), (doc_id, k, got, exp)
+    # planted signal sanity: the all-spam doc is maximally repetitive
+    assert rows[1]["top_2gram_frac"] == 1.0
+    assert rows[1]["dup_3gram_frac"] == 1.0
+    assert rows[0]["dup_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_frac"] == 0.0
+
+
+def test_hash_split_replay_and_stability(spark):
+    from smatchpp_spark.pipeline import mixing
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = mixing.hash_split(df, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=7)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 500
+    bounds = [("train", 0.9), ("val", 0.9 + 0.05)]
+    n = {"train": 0, "val": 0, "test": 0}
+    for i in range(500):
+        u = int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        exp = "test"
+        for name, b in bounds:
+            if u < b:
+                exp = name
+                break
+        assert rows[i]["split"] == exp, (i, u, rows[i])
+        assert rows[i]["u"] == pytest.approx(round(u, 9), abs=0)
+        n[exp] += 1
+    # rough mass sanity on 500 uniform draws
+    assert n["train"] > 400 and n["val"] > 0 and n["test"] > 0
+    # re-running and repartitioning never migrates a doc
+    again = {
+        r["doc_id"]: r["split"]
+        for r in mixing.hash_split(
+            df.repartition(7), {"train": 0.9, "val": 0.05, "test": 0.05}, seed=7
+        ).collect()
+    }
+    assert again == {i: rows[i]["split"] for i in range(500)}
+    with pytest.raises(ValueError):
+        mixing.hash_split(df, {"a": 0.5, "b": 0.4})
