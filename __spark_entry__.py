@@ -1067,6 +1067,35 @@ def _bfs_sql(depth: int) -> str:
     return "\n".join(parts)
 
 
+def _sssp_sql(rounds: int = 8, mod: int = 100) -> str:
+    """Weighted SSSP oracle (operators/sssp.py): ``rounds`` unrolled
+    min-plus relaxations over the undirected weighted order↔part graph
+    (integer weights, exact cross-engine).  After k rounds both the
+    frontier-pruned operator and the all-vertex relaxation hold the min
+    over ≤ k-edge paths, so the replay is 1:1 converged or not."""
+    parts = [
+        "WITH e AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst, "
+        "CAST((l_orderkey + l_partkey) % 7 + 1 AS BIGINT) AS w FROM lineitem),",
+        "ue AS MATERIALIZED (SELECT src, dst, w FROM e "
+        "UNION ALL SELECT dst, src, w FROM e),",
+        "v AS (SELECT DISTINCT src AS vertex FROM ue),",
+        f"srcs AS (SELECT DISTINCT 'p' || l_partkey AS vertex FROM lineitem "
+        f"WHERE l_partkey % {mod} = 0),",
+        "r0 AS MATERIALIZED (SELECT s.vertex, CAST(0 AS BIGINT) AS distance "
+        "FROM srcs s JOIN v USING (vertex)),",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vertex, MIN(distance) AS distance "
+            f"FROM (SELECT vertex, distance FROM {p} "
+            f"UNION ALL SELECT ue.dst AS vertex, r.distance + ue.w "
+            f"FROM {p} r JOIN ue ON ue.src = r.vertex) GROUP BY vertex),"
+        )
+    parts.append(f"fin AS (SELECT 1) SELECT vertex, distance FROM r{rounds}")
+    return "\n".join(parts)
+
+
 def _landmark_sql(depth: int = 4, k: int = 4) -> str:
     """Landmark distance-oracle replay (operators/landmarks.py): top-k
     degree landmarks on the DISTINCT undirected edge set (ties on
@@ -1764,6 +1793,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["landmark_distances"] = _landmark
 
+    def _sssp(spark, sf):
+        from smatchpp_spark.operators.sssp import sssp
+
+        li = _read(spark, sf, "lineitem")
+        we = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            ((F.col("l_orderkey") + F.col("l_partkey")) % 7 + 1)
+            .cast("long")
+            .alias("weight"),
+        )
+        seeds = (
+            li.filter(F.col("l_partkey") % 100 == 0)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                    "vertex"
+                )
+            )
+            .distinct()
+        )
+        return sssp(we, seeds, max_supersteps=8, directed=False).distances
+
+    q["sssp_weighted"] = _sssp
+
     def _betweenness(spark, sf):
         from smatchpp_spark.operators.betweenness import betweenness_approx
 
@@ -2186,6 +2239,7 @@ _DRIVER_WINDOW_FRONT = [
     "doc_split",
     "effective_diameter",
     "landmark_distances",
+    "sssp_weighted",
     # round-4-stale rows (green in CORRECTNESS_r04, out of window in r5)
     "bootstrap_ci",
     "bootstrap_macro_ci",
@@ -2390,6 +2444,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
         "landmark_distances": _landmark_sql(4, 4),
+        "sssp_weighted": _sssp_sql(8, 100),
         "betweenness_approx": _betweenness_sql(4, 200),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),

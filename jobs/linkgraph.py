@@ -30,7 +30,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "labelprop", "triangles", "degrees", "kcore",
                             "bfs", "scc", "hyperball", "clustering",
                             "linkpred", "walks", "node2vec", "louvain",
-                            "betweenness", "landmarks"])
+                            "betweenness", "landmarks", "sssp"])
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
@@ -80,6 +80,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "and aggs on the bucket key then run exchange-free")
     p.add_argument("--src-col", default="src")
     p.add_argument("--dst-col", default="dst")
+    p.add_argument("--weight-col", default="weight",
+                   help="sssp: edge-weight column in the edge table")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-supersteps", type=int, default=100)
@@ -225,6 +227,29 @@ def main() -> None:
         )
         out, summary["supersteps"], summary["converged"] = (
             res.scores, res.rounds, res.converged
+        )
+    elif args.op == "sssp":
+        from smatchpp_spark.operators.sssp import sssp
+
+        if not args.sources:
+            raise SystemExit("--op sssp requires --sources")
+        if args.sources.startswith("@"):
+            seeds = spark.read.parquet(args.sources[1:])
+        else:
+            seeds = args.sources.split(",")
+        wedges = src.select(
+            F.col(args.src_col).alias("src"),
+            F.col(args.dst_col).alias("dst"),
+            F.col(args.weight_col).alias("weight"),
+        )
+        res = sssp(
+            wedges, seeds, weight_col="weight",
+            max_supersteps=args.max_supersteps,
+            directed=not args.undirected,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.distances, res.rounds, res.converged
         )
     elif args.op == "landmarks":
         from smatchpp_spark.operators.landmarks import (

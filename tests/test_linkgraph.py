@@ -1109,3 +1109,65 @@ def test_landmark_distances_multi_landmark_tightens_bound(spark):
     # true x-y distance is 4 (x-a-m-b-y); both landmarks lie on the path
     assert est["est_distance"] == 4
     assert est["n_landmarks"] == 2
+
+
+def test_sssp_prefers_longer_lighter_path(spark):
+    from smatchpp_spark.operators.sssp import sssp
+
+    # a->b direct costs 10; a->x->y->b costs 1+1+1
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "x", 1), ("x", "y", 1), ("y", "b", 1)],
+        "src string, dst string, weight long",
+    )
+    res = sssp(edges, ["a"], max_supersteps=10, directed=True)
+    d = {r["vertex"]: r["distance"] for r in res.distances.collect()}
+    assert res.converged
+    assert d == {"a": 0, "x": 1, "y": 2, "b": 3}
+
+    # undirected expansion reaches 'a' from 'b' too
+    res_u = sssp(edges, ["b"], max_supersteps=10, directed=False)
+    du = {r["vertex"]: r["distance"] for r in res_u.distances.collect()}
+    assert du["a"] == 3 and du["y"] == 1
+
+
+def test_sssp_unit_weights_match_bfs(spark):
+    from pyspark.sql import functions as F
+
+    from smatchpp_spark.operators.bfs import bfs_distances
+    from smatchpp_spark.operators.sssp import sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "d"), ("d", "f")],
+        "src string, dst string",
+    )
+    w = edges.withColumn("weight", F.lit(1).cast("long"))
+    got = {
+        r["vertex"]: r["distance"]
+        for r in sssp(w, ["a"], max_supersteps=10, directed=True)
+        .distances.collect()
+    }
+    exp = {
+        r["vertex"]: r["distance"]
+        for r in bfs_distances(edges, ["a"], max_depth=10, directed=True)
+        .distances.collect()
+    }
+    assert got == exp
+
+
+def test_sssp_truncation_matches_k_edge_invariant(spark):
+    from smatchpp_spark.operators.sssp import sssp
+
+    # cheapest a->d path needs 3 edges; with max_supersteps=2 the state
+    # must hold the best <=2-edge path (the oracle replay invariant)
+    edges = spark.createDataFrame(
+        [("a", "d", 100), ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+         ("b", "d", 50)],
+        "src string, dst string, weight long",
+    )
+    res = sssp(edges, ["a"], max_supersteps=2, directed=True)
+    d = {r["vertex"]: r["distance"] for r in res.distances.collect()}
+    assert not res.converged
+    assert d["d"] == 51  # best 2-edge path a-b-d; 3-edge path not yet seen
+    full = sssp(edges, ["a"], max_supersteps=5, directed=True)
+    df = {r["vertex"]: r["distance"] for r in full.distances.collect()}
+    assert df["d"] == 3 and full.converged

@@ -227,3 +227,42 @@ def test_linkgraph_job_betweenness(spark, tmp_path, monkeypatch, capsys):
         ["a", "c", "e"], max_depth=10, directed=False)
     want = {r.vertex: r.betweenness for r in lib.scores.collect()}
     assert got == want and len(got) > 0
+
+
+def test_linkgraph_job_sssp_and_landmarks(spark, tmp_path, monkeypatch, capsys):
+    """--op sssp forwards the weight column; --op landmarks defaults to
+    the top-degree pick; both match the library results."""
+    wpairs = [("a", "b", 10), ("a", "x", 1), ("x", "y", 1), ("y", "b", 1)]
+    wpath = str(tmp_path / "wedges")
+    spark.createDataFrame(
+        wpairs, "src string, dst string, weight long"
+    ).write.mode("overwrite").parquet(wpath)
+    out = str(tmp_path / "sssp")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "sssp", "--edges", wpath, "--sources", "a",
+         "--max-supersteps", "10", "-o", out],
+    )
+    assert s["converged"] is True
+    got = {r.vertex: r.distance for r in spark.read.parquet(out).collect()}
+    assert got == {"a": 0, "x": 1, "y": 2, "b": 3}
+
+    pairs = [(a, b) for a, b, _ in wpairs] + [("h", "a"), ("h", "b"), ("h", "y")]
+    epath = _write_edges(spark, tmp_path, pairs, name="ledges")
+    out2 = str(tmp_path / "lmd")
+    s2 = _run_job(
+        monkeypatch, capsys,
+        ["--op", "landmarks", "--edges", epath, "--n-landmarks", "1",
+         "--max-supersteps", "5", "--undirected", "-o", out2],
+    )
+    assert s2["converged"] is True
+    rows = spark.read.parquet(out2).collect()
+    lms = {r.landmark for r in rows}
+    from smatchpp_spark.operators.landmarks import pick_landmarks
+
+    want_lm = pick_landmarks(
+        spark.createDataFrame(pairs, "src string, dst string"),
+        k=1, directed=False,
+    ).collect()[0]["vertex"]
+    assert lms == {want_lm}
+    assert len(rows) > 0
