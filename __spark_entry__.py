@@ -1096,6 +1096,96 @@ def _sssp_sql(rounds: int = 8, mod: int = 100) -> str:
     return "\n".join(parts)
 
 
+def _mis_sql(rounds: int = 5, seed: int = 7) -> str:
+    """Luby MIS replay (operators/mis.py): per round the portable md5
+    priority draw, the active⋈edges⋈active neighbor-min, strict-< winner
+    selection, winners' active neighbors removed; status CASE merge.
+    Same 1:1 round-unrolling contract as sssp (no-op rounds past the
+    fixpoint)."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM e WHERE src <> dst)),",
+        "s0 AS MATERIALIZED (SELECT DISTINCT src AS vertex, "
+        "CAST(0 AS INT) AS status FROM ue),",
+    ]
+    for i in range(1, rounds + 1):
+        h = duckdb_hash64_sql(f"(vertex || ':mis:{seed}:{i}')")
+        parts.append(
+            f"a{i} AS (SELECT vertex, {h} AS prio "
+            f"FROM s{i-1} WHERE status = 0),\n"
+            f"mn{i} AS (SELECT e.dst AS vertex, MIN(p.prio) AS mn "
+            f"FROM ue e JOIN a{i} p ON p.vertex = e.src "
+            f"JOIN a{i} d ON d.vertex = e.dst GROUP BY e.dst),\n"
+            f"w{i} AS (SELECT p.vertex FROM a{i} p LEFT JOIN mn{i} m "
+            f"ON m.vertex = p.vertex "
+            f"WHERE m.mn IS NULL OR p.prio < m.mn),\n"
+            f"rm{i} AS (SELECT DISTINCT e.dst AS vertex FROM ue e "
+            f"JOIN w{i} w ON w.vertex = e.src "
+            f"JOIN a{i} d ON d.vertex = e.dst),\n"
+            f"s{i} AS MATERIALIZED (SELECT s.vertex, "
+            f"CASE WHEN s.status != 0 THEN s.status "
+            f"WHEN w.vertex IS NOT NULL THEN 1 "
+            f"WHEN r.vertex IS NOT NULL THEN 2 ELSE 0 END AS status "
+            f"FROM s{i-1} s LEFT JOIN w{i} w ON w.vertex = s.vertex "
+            f"LEFT JOIN rm{i} r ON r.vertex = s.vertex),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, status = 1 AS in_mis, "
+        f"status != 0 AS decided FROM s{rounds}"
+    )
+    return "\n".join(parts)
+
+
+def _coloring_sql(rounds: int = 5, seed: int = 7) -> str:
+    """Jones–Plassmann replay (operators/coloring.py): one fixed
+    portable priority, per round the blocked-neighbor join ((prio,
+    vertex) strict order), ready = anti-join, and the greedy mex as an
+    ordered fold over the sorted distinct neighbor colors —
+    ``list_reduce([0] || cs, ...)`` ≡ Spark's ``aggregate(cs, 0, ...)``
+    (DuckDB's reduce takes its init from the first element).  Same 1:1
+    round-unrolling contract as mis/sssp."""
+    h = duckdb_hash64_sql(f"(vertex || ':color:{seed}')")
+    parts = [
+        f"WITH e AS ({SQL_E_SUPP}),",
+        "ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM e WHERE src <> dst)),",
+        f"s0 AS MATERIALIZED (SELECT vertex, {h} AS prio, "
+        "CAST(NULL AS INT) AS color FROM "
+        "(SELECT DISTINCT src AS vertex FROM ue)),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"u{i} AS (SELECT vertex, prio FROM s{i-1} WHERE color IS NULL),\n"
+            f"bl{i} AS (SELECT DISTINCT e.dst AS vertex FROM ue e "
+            f"JOIN u{i} a ON a.vertex = e.src "
+            f"JOIN u{i} b ON b.vertex = e.dst "
+            f"WHERE a.prio > b.prio "
+            f"OR (a.prio = b.prio AND e.src > e.dst)),\n"
+            f"rd{i} AS (SELECT vertex FROM u{i} "
+            f"WHERE vertex NOT IN (SELECT vertex FROM bl{i})),\n"
+            f"cs{i} AS (SELECT e.dst AS vertex, "
+            f"list_sort(list(DISTINCT c.color)) AS cs "
+            f"FROM ue e JOIN rd{i} r ON r.vertex = e.dst "
+            f"JOIN s{i-1} c ON c.vertex = e.src AND c.color IS NOT NULL "
+            f"GROUP BY e.dst),\n"
+            f"nc{i} AS (SELECT r.vertex, CAST(list_reduce("
+            f"[0] || COALESCE(cs.cs, []), "
+            f"(acc, c) -> CASE WHEN c = acc THEN acc + 1 ELSE acc END) "
+            f"AS INT) AS new_color "
+            f"FROM rd{i} r LEFT JOIN cs{i} cs ON cs.vertex = r.vertex),\n"
+            f"s{i} AS MATERIALIZED (SELECT s.vertex, s.prio, "
+            f"CAST(COALESCE(s.color, n.new_color) AS INT) AS color "
+            f"FROM s{i-1} s LEFT JOIN nc{i} n ON n.vertex = s.vertex),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, color FROM s{rounds}"
+    )
+    return "\n".join(parts)
+
+
 def _landmark_sql(depth: int = 4, k: int = 4) -> str:
     """Landmark distance-oracle replay (operators/landmarks.py): top-k
     degree landmarks on the DISTINCT undirected edge set (ties on
@@ -1817,6 +1907,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sssp_weighted"] = _sssp
 
+    def _mis(spark, sf):
+        from smatchpp_spark.operators.mis import maximal_independent_set
+
+        res = maximal_independent_set(
+            _e_op(spark, sf), max_supersteps=5, seed=7
+        )
+        return res.members
+
+    q["mis_luby"] = _mis
+
+    def _coloring(spark, sf):
+        from smatchpp_spark.operators.coloring import greedy_coloring
+
+        # the supplier↔nation graph: small diameter keeps the
+        # priority-decreasing-path round count low (3 at sf0.01)
+        res = greedy_coloring(
+            _e_supp(spark, sf), max_supersteps=5, seed=7
+        )
+        return res.colors
+
+    q["graph_coloring"] = _coloring
+
     def _betweenness(spark, sf):
         from smatchpp_spark.operators.betweenness import betweenness_approx
 
@@ -2240,6 +2352,8 @@ _DRIVER_WINDOW_FRONT = [
     "effective_diameter",
     "landmark_distances",
     "sssp_weighted",
+    "mis_luby",
+    "graph_coloring",
     # round-4-stale rows (green in CORRECTNESS_r04, out of window in r5)
     "bootstrap_ci",
     "bootstrap_macro_ci",
@@ -2445,6 +2559,8 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "bfs_distances": _bfs_sql(6),
         "landmark_distances": _landmark_sql(4, 4),
         "sssp_weighted": _sssp_sql(8, 100),
+        "mis_luby": _mis_sql(5, 7),
+        "graph_coloring": _coloring_sql(5, 7),
         "betweenness_approx": _betweenness_sql(4, 200),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),

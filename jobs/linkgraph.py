@@ -30,7 +30,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "labelprop", "triangles", "degrees", "kcore",
                             "bfs", "scc", "hyperball", "clustering",
                             "linkpred", "walks", "node2vec", "louvain",
-                            "betweenness", "landmarks", "sssp"])
+                            "betweenness", "landmarks", "sssp",
+                            "mis", "coloring"])
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
@@ -274,6 +275,27 @@ def main() -> None:
         out, summary["supersteps"], summary["converged"] = (
             res.distances, res.rounds, res.converged
         )
+    elif args.op == "mis":
+        from smatchpp_spark.operators.mis import maximal_independent_set
+
+        res = maximal_independent_set(
+            edges, max_supersteps=args.max_supersteps, seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.members, res.rounds, res.converged
+        )
+    elif args.op == "coloring":
+        from smatchpp_spark.operators.coloring import greedy_coloring
+
+        res = greedy_coloring(
+            edges, max_supersteps=args.max_supersteps, seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.colors, res.rounds, res.converged
+        )
+        summary["n_colors"] = res.n_colors
     elif args.op == "kcore":
         from smatchpp_spark.operators.kcore import k_core
 

@@ -1171,3 +1171,148 @@ def test_sssp_truncation_matches_k_edge_invariant(spark):
     full = sssp(edges, ["a"], max_supersteps=5, directed=True)
     df = {r["vertex"]: r["distance"] for r in full.distances.collect()}
     assert df["d"] == 3 and full.converged
+
+
+def _mis_replay(pairs, seed=7, rounds=30):
+    """Pure-python Luby replay with the portable md5 priorities."""
+    import hashlib
+
+    def h(v, r):
+        return int(
+            hashlib.md5(f"{v}:mis:{seed}:{r}".encode()).hexdigest()[:15], 16
+        )
+
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    status = {v: 0 for v in nbrs}
+    used = 0
+    for r in range(1, rounds + 1):
+        if all(s != 0 for s in status.values()):
+            break
+        used = r
+        act = {v for v, s in status.items() if s == 0}
+        pr = {v: h(v, r) for v in act}
+        winners = {
+            v
+            for v in act
+            if all(pr[v] < pr[u] for u in nbrs[v] & act)
+        }
+        for v in winners:
+            status[v] = 1
+        for v in winners:
+            for u in nbrs[v]:
+                if status[u] == 0:
+                    status[u] = 2
+    return status, used
+
+
+def test_mis_matches_python_replay_and_properties(spark):
+    from smatchpp_spark.operators.mis import maximal_independent_set
+
+    pairs = powerlaw_graph(n=120, m=360, seed=3)
+    spairs = [(str(a), str(b)) for a, b in pairs]
+    edges = spark.createDataFrame(spairs, "src string, dst string")
+    res = maximal_independent_set(edges, max_supersteps=30, seed=7)
+    got = {r["vertex"]: r for r in res.members.collect()}
+    assert res.converged
+    exp, _ = _mis_replay(spairs, seed=7)
+    assert {v: (1 if got[v]["in_mis"] else 2) for v in got} == exp
+
+    nbrs = {}
+    for a, b in spairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    mis = {v for v, r in got.items() if r["in_mis"]}
+    # independence: no two members adjacent
+    assert all(not (nbrs[v] & mis) for v in mis)
+    # maximality: every non-member has a member neighbor
+    assert all(nbrs[v] & mis for v in got if v not in mis)
+
+
+def test_mis_self_loops_and_determinism(spark):
+    from smatchpp_spark.operators.mis import maximal_independent_set
+
+    edges = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    r1 = maximal_independent_set(edges, seed=7)
+    r2 = maximal_independent_set(edges, seed=7)
+    a = sorted((x["vertex"], x["in_mis"]) for x in r1.members.collect())
+    b = sorted((x["vertex"], x["in_mis"]) for x in r2.members.collect())
+    assert a == b
+    mis = {v for v, m in a if m}
+    assert mis in ({"a", "c"}, {"b"})  # one of the two valid MISes
+
+
+def _jp_replay(pairs, seed=7):
+    """Pure-python Jones-Plassmann replay with portable priorities."""
+    import hashlib
+
+    def h(v):
+        return int(
+            hashlib.md5(f"{v}:color:{seed}".encode()).hexdigest()[:15], 16
+        )
+
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    colors = {}
+    unc = set(nbrs)
+    rounds = 0
+    while unc:
+        rounds += 1
+        ready = [
+            v
+            for v in unc
+            if all((h(u), u) < (h(v), v) for u in nbrs[v] & unc if u != v)
+        ]
+        assert ready, "stuck"
+        for v in ready:
+            used = {colors[u] for u in nbrs[v] if u in colors}
+            c = 0
+            while c in used:
+                c += 1
+            colors[v] = c
+        unc -= set(ready)
+    return colors, rounds
+
+
+def test_coloring_matches_replay_and_is_proper(spark):
+    from smatchpp_spark.operators.coloring import greedy_coloring
+
+    pairs = powerlaw_graph(n=60, m=140, seed=5)
+    spairs = [(str(a), str(b)) for a, b in pairs]
+    edges = spark.createDataFrame(spairs, "src string, dst string")
+    res = greedy_coloring(edges, max_supersteps=40, seed=7)
+    got = {r["vertex"]: r["color"] for r in res.colors.collect()}
+    assert res.converged
+    exp, _ = _jp_replay(spairs, seed=7)
+    assert got == exp
+    # proper: adjacent vertices differ
+    for a, b in spairs:
+        if a != b:
+            assert got[a] != got[b], (a, b)
+    assert res.n_colors == len(set(exp.values()))
+
+
+def test_coloring_clique_and_ring(spark):
+    from smatchpp_spark.operators.coloring import greedy_coloring
+
+    clique = [(f"v{i}", f"v{j}") for i in range(5) for j in range(i + 1, 5)]
+    res = greedy_coloring(spark.createDataFrame(clique, "src string, dst string"))
+    assert res.converged and res.n_colors == 5  # K5 needs 5 colors
+
+    res_r = greedy_coloring(
+        spark.createDataFrame(
+            [(f"r{i}", f"r{(i+1) % 6}") for i in range(6)],
+            "src string, dst string",
+        )
+    )
+    assert res_r.converged and res_r.n_colors in (2, 3)  # even ring, greedy
