@@ -1138,6 +1138,67 @@ def _mis_sql(rounds: int = 5, seed: int = 7) -> str:
     return "\n".join(parts)
 
 
+def _msf_sql(rounds: int = 6, cc_steps: int = 10, mod: int = 20) -> str:
+    """Borůvka MSF replay (operators/msf.py) on the l_partkey % ``mod``
+    slice of the order↔part graph: per round the component labeling of
+    the canonical edge table, the per-component (w, a, b) minimum via a
+    deterministic row_number window (≡ Spark's min-struct), and
+    ``cc_steps`` unrolled hash-min steps over the picked-edge component
+    graph (≡ connected_components' superstep 1:1).  Rounds past the
+    fixpoint pick nothing and are no-ops — same unrolling contract as
+    sssp/mis/coloring; the operator RAISES if a real merge would need
+    more than its cc cap, so a converged run can never silently exceed
+    the replayed step budget."""
+    parts = [
+        "WITH raw AS (SELECT 'o' || l_orderkey AS s, 'p' || l_partkey AS d, "
+        "CAST((l_orderkey + l_partkey) % 9 + 1 AS BIGINT) AS w "
+        f"FROM lineitem WHERE l_partkey % {mod} = 0),",
+        "e AS MATERIALIZED (SELECT least(s, d) AS a, greatest(s, d) AS b, "
+        "MIN(w) AS w FROM raw WHERE s <> d GROUP BY 1, 2),",
+        "c0 AS MATERIALIZED (SELECT vertex, vertex AS component FROM "
+        "(SELECT a AS vertex FROM e UNION SELECT b FROM e)),",
+        "f0 AS (SELECT a, b, w FROM e WHERE 1 = 0),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"e{r} AS (SELECT e.w, e.a, e.b, x.component AS ca, "
+            f"y.component AS cb FROM e "
+            f"JOIN c{r-1} x ON x.vertex = e.a "
+            f"JOIN c{r-1} y ON y.vertex = e.b "
+            f"WHERE x.component <> y.component),\n"
+            f"p{r} AS MATERIALIZED (SELECT DISTINCT w, a, b, ca, cb FROM ("
+            f"SELECT w, a, b, ca, cb, ROW_NUMBER() OVER "
+            f"(PARTITION BY comp ORDER BY w, a, b) AS rn FROM ("
+            f"SELECT ca AS comp, w, a, b, ca, cb FROM e{r} "
+            f"UNION ALL SELECT cb, w, a, b, ca, cb FROM e{r})) "
+            f"WHERE rn = 1),\n"
+            f"f{r} AS (SELECT a, b, w FROM f{r-1} "
+            f"UNION ALL SELECT a, b, w FROM p{r}),\n"
+            f"g{r} AS (SELECT DISTINCT v, n FROM ("
+            f"SELECT ca AS v, cb AS n FROM p{r} "
+            f"UNION ALL SELECT cb, ca FROM p{r})),\n"
+            f"m{r}_0 AS (SELECT DISTINCT v AS vertex, v AS label FROM g{r}),"
+        )
+        for j in range(1, cc_steps + 1):
+            parts.append(
+                f"m{r}_{j} AS (SELECT vertex, MIN(label) AS label FROM ("
+                f"SELECT vertex, label FROM m{r}_{j-1} "
+                f"UNION ALL SELECT g.v AS vertex, m.label "
+                f"FROM g{r} g JOIN m{r}_{j-1} m ON m.vertex = g.n) "
+                f"GROUP BY vertex),"
+            )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT c.vertex, "
+            f"COALESCE(m.label, c.component) AS component "
+            f"FROM c{r-1} c LEFT JOIN m{r}_{cc_steps} m "
+            f"ON m.vertex = c.component),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT a, b, w AS weight FROM f{rounds}"
+    )
+    return "\n".join(parts)
+
+
 def _coloring_sql(rounds: int = 5, seed: int = 7) -> str:
     """Jones–Plassmann replay (operators/coloring.py): one fixed
     portable priority, per round the blocked-neighbor join ((prio,
@@ -1929,6 +1990,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_coloring"] = _coloring
 
+    def _msf(spark, sf):
+        from smatchpp_spark.operators.msf import minimum_spanning_forest
+
+        li = _read(spark, sf, "lineitem").filter(F.col("l_partkey") % 20 == 0)
+        we = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            ((F.col("l_orderkey") + F.col("l_partkey")) % 9 + 1)
+            .cast("long")
+            .alias("weight"),
+        )
+        res = minimum_spanning_forest(we, max_rounds=6, cc_supersteps=10)
+        return res.forest.select("a", "b", "weight")
+
+    q["msf_boruvka"] = _msf
+
     def _betweenness(spark, sf):
         from smatchpp_spark.operators.betweenness import betweenness_approx
 
@@ -2354,6 +2431,7 @@ _DRIVER_WINDOW_FRONT = [
     "sssp_weighted",
     "mis_luby",
     "graph_coloring",
+    "msf_boruvka",
     # round-4-stale rows (green in CORRECTNESS_r04, out of window in r5)
     "bootstrap_ci",
     "bootstrap_macro_ci",
@@ -2561,6 +2639,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "sssp_weighted": _sssp_sql(8, 100),
         "mis_luby": _mis_sql(5, 7),
         "graph_coloring": _coloring_sql(5, 7),
+        "msf_boruvka": _msf_sql(6, 10, 20),
         "betweenness_approx": _betweenness_sql(4, 200),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),

@@ -31,7 +31,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "bfs", "scc", "hyperball", "clustering",
                             "linkpred", "walks", "node2vec", "louvain",
                             "betweenness", "landmarks", "sssp",
-                            "mis", "coloring"])
+                            "mis", "coloring", "msf"])
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
@@ -82,7 +82,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--src-col", default="src")
     p.add_argument("--dst-col", default="dst")
     p.add_argument("--weight-col", default="weight",
-                   help="sssp: edge-weight column in the edge table")
+                   help="sssp/msf: edge-weight column in the edge table")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-supersteps", type=int, default=100)
@@ -296,6 +296,22 @@ def main() -> None:
             res.colors, res.rounds, res.converged
         )
         summary["n_colors"] = res.n_colors
+    elif args.op == "msf":
+        from smatchpp_spark.operators.msf import minimum_spanning_forest
+
+        wedges = src.select(
+            F.col(args.src_col).alias("src"),
+            F.col(args.dst_col).alias("dst"),
+            F.col(args.weight_col).alias("weight"),
+        )
+        res = minimum_spanning_forest(
+            wedges, max_rounds=args.max_supersteps,
+        )
+        out = res.forest
+        summary["supersteps"] = res.rounds
+        summary["converged"] = res.converged
+        summary["n_edges"] = res.n_edges
+        summary["total_weight"] = res.total_weight
     elif args.op == "kcore":
         from smatchpp_spark.operators.kcore import k_core
 

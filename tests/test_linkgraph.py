@@ -1316,3 +1316,65 @@ def test_coloring_clique_and_ring(spark):
         )
     )
     assert res_r.converged and res_r.n_colors in (2, 3)  # even ring, greedy
+
+
+def _kruskal_replay(wedges):
+    """Kruskal with the same (w, a, b) total order — with a consistent
+    tie-break every MST algorithm returns the identical forest."""
+    canon = {}
+    for s, d, w in wedges:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        if (a, b) not in canon or w < canon[(a, b)]:
+            canon[(a, b)] = w
+    parent = {}
+
+    def find(v):
+        parent.setdefault(v, v)
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    forest = []
+    for (a, b), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            forest.append((a, b, w))
+    return sorted(forest)
+
+
+def test_msf_matches_kruskal(spark):
+    from smatchpp_spark.operators.msf import minimum_spanning_forest
+
+    rng = random.Random(13)
+    pairs = powerlaw_graph(n=80, m=200, seed=9)
+    wedges = [
+        (str(a), str(b), rng.randrange(1, 6)) for a, b in pairs
+    ]  # small weight range forces plenty of ties
+    df = spark.createDataFrame(wedges, "src string, dst string, weight long")
+    res = minimum_spanning_forest(df)
+    got = sorted(
+        (r["a"], r["b"], r["weight"]) for r in res.forest.collect()
+    )
+    exp = _kruskal_replay(wedges)
+    assert res.converged
+    assert got == exp
+    assert res.n_edges == len(exp)
+    assert res.total_weight == sum(w for _, _, w in exp)
+
+
+def test_msf_parallel_edges_self_loops_and_forest(spark):
+    from smatchpp_spark.operators.msf import minimum_spanning_forest
+
+    wedges = [
+        ("a", "b", 5), ("b", "a", 2), ("a", "a", 1),  # parallel + loop
+        ("b", "c", 1), ("x", "y", 7),                  # two components
+    ]
+    df = spark.createDataFrame(wedges, "src string, dst string, weight long")
+    res = minimum_spanning_forest(df)
+    got = sorted((r["a"], r["b"], r["weight"]) for r in res.forest.collect())
+    assert got == [("a", "b", 2), ("b", "c", 1), ("x", "y", 7)]
+    assert res.converged and res.n_edges == 3 and res.total_weight == 10.0

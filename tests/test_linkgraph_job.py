@@ -266,3 +266,23 @@ def test_linkgraph_job_sssp_and_landmarks(spark, tmp_path, monkeypatch, capsys):
     ).collect()[0]["vertex"]
     assert lms == {want_lm}
     assert len(rows) > 0
+
+
+def test_linkgraph_job_msf(spark, tmp_path, monkeypatch, capsys):
+    """--op msf drives Boruvka through the job surface."""
+    wpairs = [("a", "b", 5), ("b", "a", 2), ("b", "c", 1), ("x", "y", 7)]
+    wpath = str(tmp_path / "msf_edges")
+    spark.createDataFrame(
+        wpairs, "src string, dst string, weight long"
+    ).write.mode("overwrite").parquet(wpath)
+    out = str(tmp_path / "msf")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "msf", "--edges", wpath, "-o", out],
+    )
+    assert s["converged"] is True
+    assert s["n_edges"] == 3 and s["total_weight"] == 10.0
+    got = sorted(
+        (r.a, r.b, r.weight) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("a", "b", 2), ("b", "c", 1), ("x", "y", 7)]

@@ -396,6 +396,50 @@ def main() -> None:
         timed("doc_domain_mix", scale, lambda: domain_mixture(
             inp["docs"], alpha=0.5, target_rate=0.5
         ).filter("keep").count())
+        # --- round-6 additions: sssp / mis / coloring / landmarks /
+        # repetition features -----------------------------------------
+        from smatchpp_spark.operators.coloring import greedy_coloring
+        from smatchpp_spark.operators.landmarks import (
+            landmark_distances,
+            pick_landmarks,
+        )
+        from smatchpp_spark.operators.mis import maximal_independent_set
+        from smatchpp_spark.operators.sssp import sssp
+        from smatchpp_spark.pipeline.text import repetition_features
+
+        w_op = e_op.withColumn(
+            "weight",
+            (
+                F.pmod(
+                    F.length("src").cast("long") + F.length("dst"), F.lit(7)
+                )
+                + 1
+            ).cast("long"),
+        )
+        seeds = e_op.select("dst").distinct().filter(F.col("dst").rlike("00$"))
+        timed("sssp_5rounds", scale, lambda: sssp(
+            w_op, seeds, max_supersteps=5, directed=False
+        ).distances.count())
+        timed("mis_luby", scale, lambda: maximal_independent_set(
+            e_op, max_supersteps=10, seed=7
+        ).members.count())
+        # fixed 8 rounds: full JP convergence needs ~25+ rounds on the
+        # o-p graph; a fixed round budget keeps the 1x/10x work
+        # definition identical, which is what the exponent fit needs
+        timed("coloring_jp8", scale, lambda: greedy_coloring(
+            e_op, max_supersteps=8, seed=7
+        ).colors.count())
+
+        def _landmarks():
+            lms = pick_landmarks(e_op, k=4, directed=False)
+            return landmark_distances(
+                e_op, lms, max_depth=3, directed=False
+            ).distances.count()
+
+        timed("landmark_distances_d3", scale, _landmarks)
+        timed("doc_repetition", scale, lambda: repetition_features(
+            inp["docs"]
+        ).count())
         e_op.unpersist()
 
     fits = {}
@@ -503,6 +547,11 @@ def main() -> None:
         "  the quadratic regime the auto escape exists for.",
         "* **doc_domain_mix** — one K-domain groupBy + a literal-map",
         "  scan; expect ≤ linear with a large fixed floor.",
+        "* **sssp/mis/coloring/landmarks** — fixed round budgets at both",
+        "  scales (the exponent fit needs an identical work definition;",
+        "  coloring's full JP convergence is round-count-dependent).  All",
+        "  four are frontier/active-set supersteps over vertex-keyed joins;",
+        "  expected ≤ linear with large fixed floors.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
