@@ -2209,6 +2209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["doc_bpe_tokens"] = lambda spark, sf: text.bpe_token_count(_docs(spark, sf))
     q["doc_repetition"] = lambda spark, sf: text.repetition_features(_docs(spark, sf))
+    q["doc_line_dedup"] = lambda spark, sf: text.line_dedup(
+        _docs(spark, sf), min_count=3
+    )
 
     def _substr_dedup(spark, sf):
         return dedup.substring_dedup_spans(
@@ -2425,6 +2428,7 @@ _DRIVER_WINDOW_FRONT = [
     "emb_dedup_clusters",
     "doc_domain_mix",
     "doc_repetition",
+    "doc_line_dedup",
     "doc_split",
     "effective_diameter",
     "landmark_distances",
@@ -3056,6 +3060,7 @@ SELECT doc_id,
 FROM documents
 """,
         "doc_repetition": _repetition_sql(),
+        "doc_line_dedup": _line_dedup_sql(3),
         "doc_split": _split_sql(),
         "emb_neardup_pairs": _emb_neardup_sql(0.3),
         "emb_dedup_clusters": _emb_dedup_clusters_sql(0.3),
@@ -3206,6 +3211,31 @@ WITH t AS (SELECT doc_id,
            CAST({u} AS DOUBLE) / 1152921504606846976.0 AS u
            FROM documents)
 SELECT doc_id, ROUND(u, 9) AS u, {case} AS split FROM t
+"""
+
+
+def _line_dedup_sql(min_count: int = 3) -> str:
+    """line_dedup replay (pipeline/text.py): positional line explode,
+    corpus-wide normalized-line counts, boilerplate = count ≥
+    ``min_count``, per-doc ordered reconstruction (string_agg ORDER BY
+    pos ≡ Spark's array_join ∘ transform ∘ array_sort on (pos, line))."""
+    return f"""
+WITH p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+l AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.line AS line,
+        lower(trim(u.line)) AS norm
+     FROM (SELECT doc_id, unnest(list_transform(range(0, len(parts)),
+            i -> {{'pos': i, 'line': parts[i+1]}})) AS u FROM p)),
+boiler AS (SELECT norm FROM l WHERE norm <> ''
+           GROUP BY norm HAVING COUNT(*) >= {min_count}),
+t AS (SELECT l.doc_id, l.pos, l.line,
+        (b.norm IS NOT NULL AND l.norm <> '') AS "drop"
+      FROM l LEFT JOIN boiler b ON b.norm = l.norm)
+SELECT doc_id,
+  CAST(COUNT(*) AS INT) AS n_lines,
+  CAST(SUM(CASE WHEN "drop" THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+           FILTER (WHERE NOT "drop"), '') AS text_clean
+FROM t GROUP BY doc_id
 """
 
 

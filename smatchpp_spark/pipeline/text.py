@@ -276,3 +276,76 @@ def repetition_features(
             frac(F.col("g3_dup"), F.col("g3_tot")).alias("dup_3gram_frac"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication — the CCNet boilerplate-removal
+    pass (Wenzek et al. 2019, public): a line whose normalized form
+    (trimmed, lowercased) occurs ``min_count`` or more times ACROSS THE
+    CORPUS is boilerplate (headers, footers, nav text) and is dropped
+    from every document; empty lines are structure, never dropped.
+
+    Output per input doc: ``(doc_id, n_lines, n_dropped, text_clean)``
+    — ``text_clean`` is the document rebuilt from the surviving lines
+    in their original order (original un-normalized text, original
+    positions, '\\n'-joined).
+
+    Scale shape at 100 TB: one posexplode, one map-side-combined
+    groupBy on the normalized line (hot boilerplate lines are exactly
+    the ones partial aggregation absorbs), one line→count equi-join and
+    one per-doc ordered reconstruction agg — all keys are the line hash
+    or the doc id, nothing quadratic, no driver-side state.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    boiler = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("norm")
+    )
+    tagged = lines.join(
+        boiler.withColumn("is_boiler", F.lit(True)), "norm", "left"
+    ).select(
+        id_col,
+        "pos",
+        "line",
+        (F.col("is_boiler").isNotNull() & (F.col("norm") != "")).alias("drop"),
+    )
+    rebuilt = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.when(F.col("drop"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

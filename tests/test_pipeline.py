@@ -1044,3 +1044,29 @@ def test_hash_split_replay_and_stability(spark):
     assert again == {i: rows[i]["split"] for i in range(500)}
     with pytest.raises(ValueError):
         mixing.hash_split(df, {"a": 0.5, "b": 0.4})
+
+
+def test_line_dedup_removes_corpus_boilerplate(spark):
+    docs = [
+        (0, "COMMON HEADER\nunique alpha\ncommon footer"),
+        (1, "common header\nunique beta\nCOMMON FOOTER"),
+        (2, "Common Header\nunique gamma\n\ncommon footer"),
+        (3, ""),
+        (4, "unique delta only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.line_dedup(df, min_count=3).collect()}
+    # header and footer each occur 3x case-insensitively -> boilerplate
+    assert out[0]["text_clean"] == "unique alpha"
+    assert out[1]["text_clean"] == "unique beta"
+    assert out[2]["text_clean"] == "unique gamma\n"  # empty line survives
+    assert out[2]["n_lines"] == 4 and out[2]["n_dropped"] == 2
+    # empty doc: one empty line, nothing dropped
+    assert out[3]["n_lines"] == 1 and out[3]["n_dropped"] == 0
+    assert out[3]["text_clean"] == ""
+    assert out[4]["text_clean"] == "unique delta only"
+    # below-threshold repeats stay
+    out2 = {
+        r["doc_id"]: r for r in text.line_dedup(df, min_count=4).collect()
+    }
+    assert out2[0]["text_clean"] == docs[0][1]
