@@ -2212,6 +2212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_line_dedup"] = lambda spark, sf: text.line_dedup(
         _docs(spark, sf), min_count=3
     )
+    q["doc_vocabulary"] = lambda spark, sf: text.vocabulary(
+        _docs(spark, sf), k=500
+    )
 
     def _substr_dedup(spark, sf):
         return dedup.substring_dedup_spans(
@@ -2429,6 +2432,7 @@ _DRIVER_WINDOW_FRONT = [
     "doc_domain_mix",
     "doc_repetition",
     "doc_line_dedup",
+    "doc_vocabulary",
     "doc_split",
     "effective_diameter",
     "landmark_distances",
@@ -3061,6 +3065,7 @@ FROM documents
 """,
         "doc_repetition": _repetition_sql(),
         "doc_line_dedup": _line_dedup_sql(3),
+        "doc_vocabulary": _vocab_sql(500),
         "doc_split": _split_sql(),
         "emb_neardup_pairs": _emb_neardup_sql(0.3),
         "emb_dedup_clusters": _emb_dedup_clusters_sql(0.3),
@@ -3211,6 +3216,25 @@ WITH t AS (SELECT doc_id,
            CAST({u} AS DOUBLE) / 1152921504606846976.0 AS u
            FROM documents)
 SELECT doc_id, ROUND(u, 9) AS u, {case} AS split FROM t
+"""
+
+
+def _vocab_sql(k: int = 500) -> str:
+    """vocabulary replay (pipeline/text.py): corpus word counts over the
+    non-empty lowercased tokens, top-k by (cnt desc, word asc), rank +
+    running coverage share windowed over the surviving rows (total
+    ordering makes the default RANGE frame ≡ ROWS in both engines)."""
+    return f"""
+WITH wds AS (SELECT unnest({SQL_TOKS_LOWER}) AS word FROM documents),
+c AS (SELECT word, COUNT(*) AS cnt FROM wds
+      WHERE length(word) > 0 GROUP BY word),
+tot AS (SELECT SUM(cnt) AS tot FROM c),
+topk AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT {k})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS INT) AS "rank",
+  word, cnt,
+  ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word) AS DOUBLE)
+        / CAST(tot AS DOUBLE), 6) AS cum_share
+FROM topk, tot
 """
 
 

@@ -12,7 +12,7 @@ zero, no overflow (rolling-hash arithmetic stays < 2^61).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from smatchpp_spark.functions.hashing import hash64
@@ -348,4 +348,46 @@ def line_dedup(
         F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
         F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+def vocabulary(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` corpus vocabulary with cumulative coverage — the
+    vocab-induction step of a tokenizer/training pipeline.
+
+    Output: ``(rank, word, cnt, cum_share)`` — rank 1..k by
+    ``(count desc, word asc)`` (deterministic under ties),
+    ``cum_share`` = running token-count share, i.e. the fraction of all
+    token occurrences a vocabulary cut at this rank would cover (the
+    curve used to pick vocab sizes / measure OOV rates).
+
+    Scale shape at 100 TB: one explode + one map-side-combined word
+    count (hot words are exactly what partial aggregation absorbs),
+    then a global top-k — Spark executes orderBy+limit as per-partition
+    TakeOrdered (k rows per partition cross the wire, never the full
+    vocabulary); rank and running share are windowed over the k
+    surviving rows only.
+    """
+    words = docs.select(
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("word")
+    ).filter(F.length("word") > 0)
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return (
+        top.crossJoin(total)
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "word",
+            "cnt",
+            F.round(
+                (F.sum("cnt").over(w)).cast("double") / F.col("tot"), 6
+            ).alias("cum_share"),
+        )
     )

@@ -1070,3 +1070,25 @@ def test_line_dedup_removes_corpus_boilerplate(spark):
         r["doc_id"]: r for r in text.line_dedup(df, min_count=4).collect()
     }
     assert out2[0]["text_clean"] == docs[0][1]
+
+
+def test_vocabulary_topk_and_coverage(spark):
+    vdocs = [
+        (0, "apple banana apple cherry"),
+        (1, "apple banana banana"),
+        (2, "apple Cherry"),
+    ]
+    df = spark.createDataFrame(vdocs, "doc_id long, text string")
+    rows = text.vocabulary(df, k=3).collect()
+    # apple:4 banana:3 cherry:2 (case-folded); total tokens 9
+    assert [(r["rank"], r["word"], r["cnt"]) for r in rows] == [
+        (1, "apple", 4), (2, "banana", 3), (3, "cherry", 2),
+    ]
+    assert rows[0]["cum_share"] == pytest.approx(round(4 / 9, 6), abs=0)
+    assert rows[2]["cum_share"] == pytest.approx(1.0, abs=0)
+    # deterministic tie-break: equal counts order alphabetically
+    df2 = spark.createDataFrame(
+        [(0, "zz aa zz aa")], "doc_id long, text string"
+    )
+    r2 = text.vocabulary(df2, k=2).collect()
+    assert [r["word"] for r in r2] == ["aa", "zz"]

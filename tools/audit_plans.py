@@ -14,6 +14,20 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.01"
 
 CHECKS = {
+    "doc_repetition": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "ONE scan of 2/5 document columns feeds lines + both gram sizes "
+         "(tagged-struct concat — not a union of projections)"),
+        ("BroadcastHashJoin LeftOuter",
+         "per-doc feature table broadcasts back onto the id spine"),
+    ],
+    "doc_line_dedup": [
+        ("ReadSchema: struct<text:string>",
+         "the corpus-wide boilerplate count side reads ONLY text"),
+        ("HashAggregate",
+         "line counts combine map-side before the shuffle"),
+    ],
+
     "degrees": [
         ("ReadSchema: struct<l_orderkey:bigint>",
          "column pruning per union branch: each endpoint scan reads ONE of "
