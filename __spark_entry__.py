@@ -1199,6 +1199,58 @@ def _msf_sql(rounds: int = 6, cc_steps: int = 10, mod: int = 20) -> str:
     return "\n".join(parts)
 
 
+def _ktruss_sql(k: int = 4, rounds: int = 5, mod: int = 5) -> str:
+    """k-truss replay (operators/ktruss.py) on the l_partkey % ``mod``
+    co-purchase slice: per peeling round the canonical wedge self-join +
+    closing-edge join, per-edge support via the 3-corner explode, and
+    the support ≥ k−2 filter; final support recomputed ON the fixpoint
+    set (left join, 0 for truncated leftovers).  Same 1:1 fixed-round
+    unrolling contract as sssp/mis — rounds past the fixpoint are
+    no-ops."""
+
+    def sup(src: str) -> str:
+        return (
+            f"SELECT a, b, COUNT(*) AS support FROM ("
+            f"SELECT w1.a AS a, w1.b AS b FROM {src} w1 "
+            f"JOIN {src} w2 ON w2.a = w1.a AND w1.b < w2.b "
+            f"JOIN {src} c ON c.a = w1.b AND c.b = w2.b "
+            f"UNION ALL "
+            f"SELECT w1.a, w2.b FROM {src} w1 "
+            f"JOIN {src} w2 ON w2.a = w1.a AND w1.b < w2.b "
+            f"JOIN {src} c ON c.a = w1.b AND c.b = w2.b "
+            f"UNION ALL "
+            f"SELECT w1.b, w2.b FROM {src} w1 "
+            f"JOIN {src} w2 ON w2.a = w1.a AND w1.b < w2.b "
+            f"JOIN {src} c ON c.a = w1.b AND c.b = w2.b"
+            f") GROUP BY a, b"
+        )
+
+    parts = [
+        "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem "
+        f"WHERE l_partkey % {mod} = 0),",
+        # canonical order is on the STRING ids ('p10' < 'p5'), matching
+        # the operator's least/greatest over the concatenated vertex ids
+        "e0 AS MATERIALIZED (SELECT DISTINCT "
+        "least('p' || x.l_partkey, 'p' || y.l_partkey) AS a, "
+        "greatest('p' || x.l_partkey, 'p' || y.l_partkey) AS b FROM li x "
+        "JOIN li y ON y.l_orderkey = x.l_orderkey "
+        "AND x.l_partkey < y.l_partkey),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED ({sup(f'e{r-1}')}),\n"
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r-1} e "
+            f"JOIN s{r} s ON s.a = e.a AND s.b = e.b "
+            f"WHERE s.support >= {k - 2}),"
+        )
+    parts.append(
+        f"sf AS ({sup(f'e{rounds}')}) "
+        f"SELECT e.a, e.b, COALESCE(s.support, 0) AS support "
+        f"FROM e{rounds} e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b"
+    )
+    return "\n".join(parts)
+
+
 def _coloring_sql(rounds: int = 5, seed: int = 7) -> str:
     """Jones–Plassmann replay (operators/coloring.py): one fixed
     portable priority, per round the blocked-neighbor join ((prio,
@@ -2006,6 +2058,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["msf_boruvka"] = _msf
 
+    def _ktruss(spark, sf):
+        from smatchpp_spark.operators.ktruss import ktruss
+
+        li = _read(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        li = li.filter(F.col("l_partkey") % 5 == 0)
+        a = li.withColumnRenamed("l_partkey", "pa")
+        b = li.withColumnRenamed("l_partkey", "pb")
+        e = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(
+                F.concat(F.lit("p"), F.col("pa").cast("string")).alias("src"),
+                F.concat(F.lit("p"), F.col("pb").cast("string")).alias("dst"),
+            )
+        )
+        return ktruss(e, k=4, max_rounds=5).edges
+
+    q["ktruss_4"] = _ktruss
+
     def _betweenness(spark, sf):
         from smatchpp_spark.operators.betweenness import betweenness_approx
 
@@ -2440,6 +2511,7 @@ _DRIVER_WINDOW_FRONT = [
     "mis_luby",
     "graph_coloring",
     "msf_boruvka",
+    "ktruss_4",
     # round-4-stale rows (green in CORRECTNESS_r04, out of window in r5)
     "bootstrap_ci",
     "bootstrap_macro_ci",
@@ -2648,6 +2720,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "mis_luby": _mis_sql(5, 7),
         "graph_coloring": _coloring_sql(5, 7),
         "msf_boruvka": _msf_sql(6, 10, 20),
+        "ktruss_4": _ktruss_sql(4, 5, 5),
         "betweenness_approx": _betweenness_sql(4, 200),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),

@@ -31,7 +31,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "bfs", "scc", "hyperball", "clustering",
                             "linkpred", "walks", "node2vec", "louvain",
                             "betweenness", "landmarks", "sssp",
-                            "mis", "coloring", "msf"])
+                            "mis", "coloring", "msf", "ktruss"])
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
@@ -71,7 +71,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="linkpred: drop super-hub pivots (skew cap)")
     p.add_argument("--centrality", action="store_true",
                    help="hyperball: also accumulate harmonic centrality")
-    p.add_argument("--k", type=int, default=3, help="kcore: the core order")
+    p.add_argument("--k", type=int, default=3, help="kcore: the core order; ktruss: the truss order")
     p.add_argument("--edges", required=True,
                    help="parquet dir of the edge table, or (with "
                         "--edges-table) a catalog table name")
@@ -312,6 +312,13 @@ def main() -> None:
         summary["converged"] = res.converged
         summary["n_edges"] = res.n_edges
         summary["total_weight"] = res.total_weight
+    elif args.op == "ktruss":
+        from smatchpp_spark.operators.ktruss import ktruss
+
+        res = ktruss(edges, k=args.k, max_rounds=args.max_supersteps)
+        out = res.edges
+        summary["supersteps"] = res.rounds
+        summary["converged"] = res.converged
     elif args.op == "kcore":
         from smatchpp_spark.operators.kcore import k_core
 

@@ -1378,3 +1378,58 @@ def test_msf_parallel_edges_self_loops_and_forest(spark):
     got = sorted((r["a"], r["b"], r["weight"]) for r in res.forest.collect())
     assert got == [("a", "b", 2), ("b", "c", 1), ("x", "y", 7)]
     assert res.converged and res.n_edges == 3 and res.total_weight == 10.0
+
+
+def _ktruss_replay(pairs, k):
+    edges = {tuple(sorted((a, b))) for a, b in pairs if a != b}
+    while True:
+        sup = {}
+        es = edges
+        for a, b in es:
+            for c in {x for x in _nbrs(es, a) if x in _nbrs(es, b)}:
+                sup[(a, b)] = sup.get((a, b), 0) + 1
+        kept = {e for e in es if sup.get(e, 0) >= k - 2}
+        if kept == es:
+            return {e: sup.get(e, 0) for e in es}
+        edges = kept
+
+
+def _nbrs(edges, v):
+    return {b for a, b in edges if a == v} | {a for a, b in edges if b == v}
+
+
+def test_ktruss_peels_to_fixpoint(spark):
+    from smatchpp_spark.operators.ktruss import ktruss
+
+    # K4 on a-d plus a pendant triangle e-f-a plus a dangling edge
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pairs = k4 + [("a", "e"), ("a", "f"), ("e", "f"), ("f", "g")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+
+    r3 = ktruss(df, k=3)
+    got3 = {(r["a"], r["b"]): r["support"] for r in r3.edges.collect()}
+    assert r3.converged
+    assert got3 == _ktruss_replay(pairs, 3)
+    assert ("f", "g") not in got3  # dangling edge peeled
+    assert ("e", "f") in got3  # pendant triangle survives k=3
+
+    r4 = ktruss(df, k=4)
+    got4 = {(r["a"], r["b"]): r["support"] for r in r4.edges.collect()}
+    assert r4.converged
+    assert got4 == _ktruss_replay(pairs, 4)
+    assert set(got4) == {tuple(sorted(e)) for e in k4}  # only K4 survives
+    assert all(s == 2 for s in got4.values())
+
+    r9 = ktruss(df, k=9)
+    assert r9.converged and r9.edges.count() == 0  # everything peels
+
+
+def test_ktruss_powerlaw_vs_replay(spark):
+    from smatchpp_spark.operators.ktruss import ktruss
+
+    pairs = [(str(a), str(b)) for a, b in powerlaw_graph(n=80, m=400, seed=21)]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    res = ktruss(df, k=3, max_rounds=30)
+    got = {(r["a"], r["b"]): r["support"] for r in res.edges.collect()}
+    assert res.converged
+    assert got == _ktruss_replay(pairs, 3)
