@@ -1174,14 +1174,15 @@ def _msf_sql(rounds: int = 6, cc_steps: int = 10, mod: int = 20) -> str:
             f"WHERE rn = 1),\n"
             f"f{r} AS (SELECT a, b, w FROM f{r-1} "
             f"UNION ALL SELECT a, b, w FROM p{r}),\n"
-            f"g{r} AS (SELECT DISTINCT v, n FROM ("
+            f"g{r} AS MATERIALIZED (SELECT DISTINCT v, n FROM ("
             f"SELECT ca AS v, cb AS n FROM p{r} "
             f"UNION ALL SELECT cb, ca FROM p{r})),\n"
-            f"m{r}_0 AS (SELECT DISTINCT v AS vertex, v AS label FROM g{r}),"
+            f"m{r}_0 AS MATERIALIZED (SELECT DISTINCT v AS vertex, "
+            f"v AS label FROM g{r}),"
         )
         for j in range(1, cc_steps + 1):
             parts.append(
-                f"m{r}_{j} AS (SELECT vertex, MIN(label) AS label FROM ("
+                f"m{r}_{j} AS MATERIALIZED (SELECT vertex, MIN(label) AS label FROM ("
                 f"SELECT vertex, label FROM m{r}_{j-1} "
                 f"UNION ALL SELECT g.v AS vertex, m.label "
                 f"FROM g{r} g JOIN m{r}_{j-1} m ON m.vertex = g.n) "

@@ -440,6 +440,34 @@ def main() -> None:
         timed("doc_repetition", scale, lambda: repetition_features(
             inp["docs"]
         ).count())
+        from smatchpp_spark.operators.ktruss import ktruss
+        from smatchpp_spark.operators.msf import minimum_spanning_forest
+        from smatchpp_spark.pipeline.text import line_dedup, vocabulary
+
+        w_msf = inp["e_co"].withColumn(
+            "weight",
+            (
+                F.pmod(
+                    F.length("src").cast("long") * 3 + F.length("dst"),
+                    F.lit(11),
+                )
+                + 1
+            ).cast("long"),
+        )
+        timed("msf_boruvka", scale, lambda: minimum_spanning_forest(
+            w_msf, max_rounds=8
+        ).n_edges)
+        # fixed 2 peeling rounds on the triangle-rich co-purchase graph
+        # (identical work definition at both scales)
+        timed("ktruss4_2rounds", scale, lambda: ktruss(
+            inp["e_co"], k=4, max_rounds=2
+        ).edges.count())
+        timed("doc_line_dedup", scale, lambda: line_dedup(
+            inp["docs"], min_count=3
+        ).count())
+        timed("doc_vocabulary", scale, lambda: vocabulary(
+            inp["docs"], k=1000
+        ).count())
         e_op.unpersist()
 
     fits = {}
