@@ -286,3 +286,19 @@ def test_linkgraph_job_msf(spark, tmp_path, monkeypatch, capsys):
         (r.a, r.b, r.weight) for r in spark.read.parquet(out).collect()
     )
     assert got == [("a", "b", 2), ("b", "c", 1), ("x", "y", 7)]
+
+
+def test_linkgraph_job_ktruss(spark, tmp_path, monkeypatch, capsys):
+    """--op ktruss peels through the job surface."""
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("d", "e")]
+    epath = _write_edges(spark, tmp_path, k4, name="truss_edges")
+    out = str(tmp_path / "truss")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "ktruss", "--edges", epath, "--k", "4", "-o", out],
+    )
+    assert s["converged"] is True
+    got = sorted((r.a, r.b) for r in spark.read.parquet(out).collect())
+    assert got == [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                   ("b", "d"), ("c", "d")]
