@@ -580,6 +580,10 @@ def main() -> None:
         "  coloring's full JP convergence is round-count-dependent).  All",
         "  four are frontier/active-set supersteps over vertex-keyed joins;",
         "  expected ≤ linear with large fixed floors.",
+        "* **ktruss** — per-round support is the same wedge self-join as",
+        "  triangle_counts, so its exponent tracks the triangle row (~0.93",
+        "  at this density): O(m^1.5) work, orientation-bounded, documented",
+        "  there; fixed 2 peeling rounds keep the work definition identical.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
