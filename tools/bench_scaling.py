@@ -278,11 +278,16 @@ def main() -> None:
     for cpus in (hi, lo):
         out_dir = f"{OUT}/run_{cpus}"
         merged = {}
+        # SPARK_GRAFT_SCALE_PHASES=align re-measures one phase and reuses
+        # the other phases' persisted result files (same re-measure
+        # discipline as the sweep's SWEEP_ONLY)
+        phases = os.environ.get("SPARK_GRAFT_SCALE_PHASES", "pr,cc,align").split(",")
         for phase in ("pr", "cc", "align"):
-            subprocess.run(
-                [sys.executable, __file__, "child", str(cpus), out_dir, phase],
-                check=True, cwd=REPO,
-            )
+            if phase in phases:
+                subprocess.run(
+                    [sys.executable, __file__, "child", str(cpus), out_dir, phase],
+                    check=True, cwd=REPO,
+                )
             with open(f"{out_dir}/result_{phase}.json") as fh:
                 merged.update(json.load(fh))
         results[cpus] = merged
