@@ -1200,6 +1200,52 @@ def _msf_sql(rounds: int = 6, cc_steps: int = 10, mod: int = 20) -> str:
     return "\n".join(parts)
 
 
+def _double_sweep_sql(depth: int = 12) -> str:
+    """Double-sweep replay (operators/bfs.py double_sweep_diameter):
+    min-vertex start, ``depth`` unrolled relaxations, (distance desc,
+    vertex asc) argmax, second sweep from the far vertex, same argmax —
+    the bfs 1:1 unrolling contract twice over."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "ue AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION ALL SELECT dst, src FROM e),",
+        "v AS (SELECT DISTINCT src AS vertex FROM ue),",
+        "s1 AS (SELECT MIN(vertex) AS vertex FROM v),",
+        "r0 AS MATERIALIZED (SELECT vertex, CAST(0 AS BIGINT) AS distance "
+        "FROM s1),",
+    ]
+    for i in range(1, depth + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vertex, MIN(distance) AS distance "
+            f"FROM (SELECT vertex, distance FROM {p} "
+            f"UNION ALL SELECT ue.dst AS vertex, r.distance + 1 "
+            f"FROM {p} r JOIN ue ON ue.src = r.vertex) GROUP BY vertex),"
+        )
+    parts.append(
+        f"far AS (SELECT vertex FROM r{depth} "
+        f"ORDER BY distance DESC, vertex LIMIT 1),\n"
+        "q0 AS MATERIALIZED (SELECT vertex, CAST(0 AS BIGINT) AS distance "
+        "FROM far),"
+    )
+    for i in range(1, depth + 1):
+        p = f"q{i-1}"
+        parts.append(
+            f"q{i} AS MATERIALIZED (SELECT vertex, MIN(distance) AS distance "
+            f"FROM (SELECT vertex, distance FROM {p} "
+            f"UNION ALL SELECT ue.dst AS vertex, r.distance + 1 "
+            f"FROM {p} r JOIN ue ON ue.src = r.vertex) GROUP BY vertex),"
+        )
+    parts.append(
+        f"ecc AS (SELECT distance FROM q{depth} "
+        f"ORDER BY distance DESC, vertex LIMIT 1)\n"
+        "SELECT (SELECT vertex FROM s1) AS start_vertex, "
+        "(SELECT vertex FROM far) AS far_vertex, "
+        "(SELECT distance FROM ecc) AS diameter_lower_bound"
+    )
+    return "\n".join(parts)
+
+
 def _ktruss_sql(k: int = 4, rounds: int = 5, mod: int = 5) -> str:
     """k-truss replay (operators/ktruss.py) on the l_partkey % ``mod``
     co-purchase slice: per peeling round the canonical wedge self-join +
@@ -2078,6 +2124,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ktruss_4"] = _ktruss
 
+    def _double_sweep(spark, sf):
+        from smatchpp_spark.operators.bfs import double_sweep_diameter
+
+        return double_sweep_diameter(
+            _e_op(spark, sf), max_depth=12, directed=False
+        ).select("start_vertex", "far_vertex", "diameter_lower_bound")
+
+    q["diameter_double_sweep"] = _double_sweep
+
     def _betweenness(spark, sf):
         from smatchpp_spark.operators.betweenness import betweenness_approx
 
@@ -2518,6 +2573,7 @@ _DRIVER_WINDOW_FRONT = [
     "graph_coloring",
     "msf_boruvka",
     "ktruss_4",
+    "diameter_double_sweep",
     # round-4-stale rows (green in CORRECTNESS_r04, out of window in r5)
     "bootstrap_ci",
     "bootstrap_macro_ci",
@@ -2727,6 +2783,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "graph_coloring": _coloring_sql(5, 7),
         "msf_boruvka": _msf_sql(6, 10, 20),
         "ktruss_4": _ktruss_sql(4, 5, 5),
+        "diameter_double_sweep": _double_sweep_sql(12),
         "betweenness_approx": _betweenness_sql(4, 200),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),

@@ -99,3 +99,48 @@ def bfs_distances(
     return BFSResult(
         distances=res.state, rounds=res.supersteps, converged=res.converged
     )
+
+
+def double_sweep_diameter(
+    edges: DataFrame,
+    start: str | int | None = None,
+    max_depth: int = 30,
+    directed: bool = False,
+) -> DataFrame:
+    """Double-sweep diameter LOWER bound (Magnien-Latapy-Habib 2009,
+    public): BFS from a start vertex, then BFS from the farthest vertex
+    found — the second eccentricity lower-bounds the true diameter
+    (exact on trees; empirically tight on web-like graphs).  The upper
+    companion is HyperBall's effective diameter (hyperball.py).
+
+    ``start`` defaults to the minimum vertex id (deterministic).
+    Tie-break at both sweeps: (distance desc, vertex asc).  Returns ONE
+    row: (start_vertex, far_vertex, diameter_lower_bound, converged) —
+    converged false means a sweep hit ``max_depth`` and the bound may
+    be short.  Cost: exactly two multi-source-BFS runs + two 1-row
+    argmax aggregations; nothing new shuffles beyond bfs_distances.
+    """
+    spark = edges.sparkSession
+    if start is None:
+        vertices = (
+            edges.select(F.col("src").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("v")))
+        )
+        start = vertices.agg(F.min("v")).collect()[0][0]
+    r1 = bfs_distances(edges, [start], max_depth=max_depth, directed=directed)
+    far = (
+        r1.distances.orderBy(F.col("distance").desc(), F.col("vertex").asc())
+        .limit(1)
+        .collect()[0]["vertex"]
+    )
+    r2 = bfs_distances(edges, [far], max_depth=max_depth, directed=directed)
+    ecc = (
+        r2.distances.orderBy(F.col("distance").desc(), F.col("vertex").asc())
+        .limit(1)
+        .collect()[0]["distance"]
+    )
+    return spark.createDataFrame(
+        [(str(start), str(far), int(ecc), bool(r1.converged and r2.converged))],
+        "start_vertex string, far_vertex string, "
+        "diameter_lower_bound long, converged boolean",
+    )

@@ -1433,3 +1433,27 @@ def test_ktruss_powerlaw_vs_replay(spark):
     got = {(r["a"], r["b"]): r["support"] for r in res.edges.collect()}
     assert res.converged
     assert got == _ktruss_replay(pairs, 3)
+
+
+def test_double_sweep_diameter_bound(spark):
+    from smatchpp_spark.operators.bfs import double_sweep_diameter
+
+    # path graph: double sweep is EXACT (min vertex "a" is an endpoint)
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(path, "src string, dst string")
+    row = double_sweep_diameter(df, max_depth=10).collect()[0]
+    assert row["diameter_lower_bound"] == 4
+    assert row["converged"] is True
+    assert row["start_vertex"] == "a" and row["far_vertex"] == "e"
+
+    # star: diameter 2, found from any leaf
+    star_e = [("hub", f"l{i}") for i in range(5)]
+    row2 = double_sweep_diameter(
+        spark.createDataFrame(star_e, "src string, dst string"), max_depth=5
+    ).collect()[0]
+    assert row2["diameter_lower_bound"] == 2
+
+    # truncation: max_depth caps the bound and clears converged
+    row3 = double_sweep_diameter(df, max_depth=2).collect()[0]
+    assert row3["diameter_lower_bound"] == 2
+    assert row3["converged"] is False
