@@ -1200,6 +1200,39 @@ def _msf_sql(rounds: int = 6, cc_steps: int = 10, mod: int = 20) -> str:
     return "\n".join(parts)
 
 
+def _coreness_sql(rounds: int = 10) -> str:
+    """h-index coreness replay (operators/kcore.py coreness): degrees
+    as round 0, then per round the neighbor-h message join and the
+    H-index window ``MAX(LEAST(nbr_h, row_number over h desc))`` —
+    tie order inside equal nbr_h never changes the max-of-min.  Same
+    1:1 fixed-round unrolling contract as sssp/mis (monotone ⇒ rounds
+    past the fixpoint are no-ops)."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM e WHERE src <> dst)),",
+        "s0 AS MATERIALIZED (SELECT src AS vertex, "
+        "CAST(COUNT(*) AS BIGINT) AS h FROM ue GROUP BY src),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"m{i} AS (SELECT e.dst AS vertex, s.h AS nbr_h "
+            f"FROM ue e JOIN s{i-1} s ON s.vertex = e.src),\n"
+            f"n{i} AS (SELECT vertex, MAX(LEAST(nbr_h, rn)) AS h FROM ("
+            f"SELECT vertex, nbr_h, CAST(ROW_NUMBER() OVER "
+            f"(PARTITION BY vertex ORDER BY nbr_h DESC) AS BIGINT) AS rn "
+            f"FROM m{i}) GROUP BY vertex),\n"
+            f"s{i} AS MATERIALIZED (SELECT s.vertex, "
+            f"CAST(COALESCE(n.h, 0) AS BIGINT) AS h "
+            f"FROM s{i-1} s LEFT JOIN n{i} n ON n.vertex = s.vertex),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, h AS coreness FROM s{rounds}"
+    )
+    return "\n".join(parts)
+
+
 def _double_sweep_sql(depth: int = 12) -> str:
     """Double-sweep replay (operators/bfs.py double_sweep_diameter):
     min-vertex start, ``depth`` unrolled relaxations, (distance desc,
@@ -2133,6 +2166,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["diameter_double_sweep"] = _double_sweep
 
+    def _coreness(spark, sf):
+        from smatchpp_spark.operators.kcore import coreness
+
+        return coreness(_e_op(spark, sf), max_supersteps=10).coreness
+
+    q["core_decomposition"] = _coreness
+
     def _betweenness(spark, sf):
         from smatchpp_spark.operators.betweenness import betweenness_approx
 
@@ -2574,6 +2614,7 @@ _DRIVER_WINDOW_FRONT = [
     "msf_boruvka",
     "ktruss_4",
     "diameter_double_sweep",
+    "core_decomposition",
     # round-4-stale rows (green in CORRECTNESS_r04, out of window in r5)
     "bootstrap_ci",
     "bootstrap_macro_ci",
@@ -2784,6 +2825,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "msf_boruvka": _msf_sql(6, 10, 20),
         "ktruss_4": _ktruss_sql(4, 5, 5),
         "diameter_double_sweep": _double_sweep_sql(12),
+        "core_decomposition": _coreness_sql(10),
         "betweenness_approx": _betweenness_sql(4, 200),
         "connected_components": f"""
 WITH RECURSIVE e AS ({SQL_E_CUST}),

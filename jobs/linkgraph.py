@@ -31,7 +31,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "bfs", "scc", "hyperball", "clustering",
                             "linkpred", "walks", "node2vec", "louvain",
                             "betweenness", "landmarks", "sssp",
-                            "mis", "coloring", "msf", "ktruss"])
+                            "mis", "coloring", "msf", "ktruss", "coreness"])
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
@@ -319,6 +319,16 @@ def main() -> None:
         out = res.edges
         summary["supersteps"] = res.rounds
         summary["converged"] = res.converged
+    elif args.op == "coreness":
+        from smatchpp_spark.operators.kcore import coreness
+
+        res = coreness(
+            edges, max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.coreness, res.rounds, res.converged
+        )
     elif args.op == "kcore":
         from smatchpp_spark.operators.kcore import k_core
 

@@ -96,3 +96,110 @@ def k_core(
         rounds=res.supersteps,
         converged=res.converged,
     )
+
+
+@dataclass
+class CorenessResult:
+    coreness: DataFrame  # (vertex, coreness long)
+    rounds: int
+    converged: bool
+
+
+def coreness(
+    edges: DataFrame,
+    max_supersteps: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> CorenessResult:
+    """FULL core decomposition — every vertex's core number at once —
+    via the distributed h-index iteration (Lü-Zhou-Zhang-Stanley 2016,
+    public): start from ``h = degree`` and repeatedly set ``h(v)`` to
+    the H-index of its neighbors' current values (the largest m such
+    that at least m neighbors have h ≥ m).  The sequence is monotone
+    non-increasing and converges exactly to the coreness; a fixed-k
+    ``k_core`` membership is then just ``coreness ≥ k``.
+
+    Round invariant (oracle-replay contract): after k rounds the
+    (vertex, h) table is identical in any engine replaying the same
+    update — the sssp/mis 1:1 unrolling argument (monotonicity makes
+    extra rounds past the fixpoint no-ops).
+
+    Scale shape at 100 TB: per round one state⋈edges message join and
+    one per-vertex window (sort by neighbor-h inside the vertex
+    partition — bounded by the max degree; the H-index is
+    ``max(min(nbr_h, row_number))`` over the descending sort).  Hub
+    vertices make that window a hub-degree sort, the same hazard as the
+    walks neighbor index (walks.py) — at web scale either pre-cap hub
+    degrees or accept the documented skew.  prev-h rides the state so
+    the convergence delta is a scan, not a join (hits.py pattern).
+    """
+    spark = edges.sparkSession
+    ue = (
+        undirected_simple(edges)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .persist()
+    )
+    deg = (
+        ue.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    init = deg.select(
+        "vertex",
+        F.col("h").cast("long").alias("h"),
+        F.lit(None).cast("long").alias("prev_h"),
+    )
+
+    from pyspark.sql import Window
+
+    def step(state: DataFrame, _r: int) -> DataFrame:
+        msgs = (
+            ue.join(
+                state.select(
+                    F.col("vertex").alias("src"), F.col("h").alias("nbr_h")
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("vertex"), "nbr_h")
+        )
+        w = Window.partitionBy("vertex").orderBy(F.col("nbr_h").desc())
+        hidx = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            .groupBy("vertex")
+            .agg(
+                F.max(F.least(F.col("nbr_h"), F.col("rn").cast("long"))).alias(
+                    "new_h"
+                )
+            )
+        )
+        return (
+            state.join(hidx, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("new_h", F.lit(0)).cast("long").alias("h"),
+                F.col("h").alias("prev_h"),
+            )
+        )
+
+    runner = SuperstepRunner(
+        spark,
+        op="coreness",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_supersteps,
+        tol=0.0,
+    )
+    res = runner.run(
+        init,
+        step,
+        lambda old, new: float(
+            new.filter(
+                F.col("prev_h").isNull() | (F.col("h") != F.col("prev_h"))
+            ).count()
+        ),
+        resume=resume,
+    )
+    ue.unpersist()
+    return CorenessResult(
+        coreness=res.state.select("vertex", F.col("h").alias("coreness")),
+        rounds=res.supersteps,
+        converged=res.converged,
+    )

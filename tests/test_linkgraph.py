@@ -1457,3 +1457,54 @@ def test_double_sweep_diameter_bound(spark):
     row3 = double_sweep_diameter(df, max_depth=2).collect()[0]
     assert row3["diameter_lower_bound"] == 2
     assert row3["converged"] is False
+
+
+def _coreness_replay(pairs):
+    """True core numbers via sequential peeling (min-degree removal)."""
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    core = {}
+    alive = set(nbrs)
+    k = 0
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        alive.discard(v)
+        for u in nbrs[v]:
+            if u in alive:
+                deg[u] -= 1
+    return core
+
+
+def test_coreness_matches_peeling(spark):
+    from smatchpp_spark.operators.kcore import coreness, k_core
+
+    pairs = [(str(a), str(b)) for a, b in powerlaw_graph(n=150, m=600, seed=17)]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    res = coreness(df, max_supersteps=50)
+    got = {r["vertex"]: r["coreness"] for r in res.coreness.collect()}
+    assert res.converged
+    assert got == _coreness_replay(pairs)
+    # consistency with the fixed-k membership operator
+    k = 3
+    members = {r["vertex"] for r in k_core(df, k=k).vertices.collect()}
+    assert members == {v for v, c in got.items() if c >= k}
+
+
+def test_coreness_clique_plus_tail(spark):
+    from smatchpp_spark.operators.kcore import coreness
+
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    tail = [("c0", "t1"), ("t1", "t2")]
+    res = coreness(
+        spark.createDataFrame(clique + tail, "src string, dst string")
+    )
+    got = {r["vertex"]: r["coreness"] for r in res.coreness.collect()}
+    assert all(got[f"c{i}"] == 4 for i in range(5))
+    assert got["t1"] == 1 and got["t2"] == 1
