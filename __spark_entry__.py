@@ -2592,8 +2592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Round-6 front: the 24 entries whose last green row is round 4 (they
 # were rotated out of the window in round 5), plus operators new this
 # round.  Everything else was verified green in round 5 AND in this
-# round's LOCAL full-contract run (tools/check_contract.py over all 88
-# entries: 88 pass 0 fail — BENCH/CONTRACT_LOCAL_r06.txt), so nothing
+# round's LOCAL full-contract run (tools/check_contract.py; 90 pass 0
+# fail incl. late adds — BENCH/CONTRACT_LOCAL_r06.txt), so nothing
 # is actually unverified; the driver window just can't hold all of it.
 # Round-7 rotation: put the 38 entries beyond this round's first-50
 # window back in front.

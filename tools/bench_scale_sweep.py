@@ -468,6 +468,16 @@ def main() -> None:
         timed("doc_vocabulary", scale, lambda: vocabulary(
             inp["docs"], k=1000
         ).count())
+        from smatchpp_spark.operators.bfs import double_sweep_diameter
+        from smatchpp_spark.operators.kcore import coreness
+
+        timed("diameter_double_sweep_d6", scale, lambda: double_sweep_diameter(
+            e_op, max_depth=6, directed=False
+        ).count())
+        # fixed 6 h-index rounds (identical work definition both scales)
+        timed("coreness_6rounds", scale, lambda: coreness(
+            e_op, max_supersteps=6
+        ).coreness.count())
         e_op.unpersist()
 
     fits = {}
