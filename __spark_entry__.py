@@ -2577,11 +2577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Driver-verification rotation: the correctness driver oracles only
     # the FIRST 50 dict entries per round, so reorder to put the
-    # least-recently-verified queries inside that window.  Round-5
-    # front: the 19 entries whose last green row predates round 4
-    # (events_trending_topk had never been driver-checked; the doc/emb/
-    # events rows were last verified in round 3) plus operators new this
-    # round.  Rotate next round so every query stays ≤1 round stale.
+    # least-recently-verified queries inside that window (see
+    # _DRIVER_WINDOW_FRONT below for this round's front and rationale).
+    # Rotate every round so no query's newest driver row is >1 round
+    # old.
     front = [k for k in _DRIVER_WINDOW_FRONT if k in q]
     rest = [k for k in q if k not in set(front)]
     return {k: q[k] for k in front + rest}
@@ -2589,57 +2588,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # queries()-dict keys to place inside the driver's first-50 oracle
 # window this round (least-recently-verified first; see queries()).
-# Round-6 front: the 24 entries whose last green row is round 4 (they
-# were rotated out of the window in round 5), plus operators new this
-# round.  Everything else was verified green in round 5 AND in this
-# round's LOCAL full-contract run (tools/check_contract.py; 90 pass 0
-# fail incl. late adds — BENCH/CONTRACT_LOCAL_r06.txt), so nothing
-# is actually unverified; the driver window just can't hold all of it.
-# Round-7 rotation: put the 38 entries beyond this round's first-50
-# window back in front.
+# Round-7 front: exactly the 40 entries whose last green driver row is
+# round 5 (they sat beyond round 6's first-50 window).  Everything else
+# was verified green by the round-6 driver run (CORRECTNESS_r06: 50/50)
+# and by the local full-contract run (tools/check_contract.py), so with
+# this rotation no query's newest driver row is ever >1 round old.
+# Round-8 rotation: put the 40 entries beyond this round's window back
+# in front (plus anything new or touched this round).
 _DRIVER_WINDOW_FRONT = [
-    # new in round 6
-    "betweenness_approx",
-    "emb_dedup_clusters",
-    "doc_domain_mix",
-    "doc_repetition",
-    "doc_line_dedup",
-    "doc_vocabulary",
-    "doc_split",
-    "effective_diameter",
-    "landmark_distances",
-    "sssp_weighted",
-    "mis_luby",
-    "graph_coloring",
-    "msf_boruvka",
+    # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
+    "graph_modularity",
+    "degree_histogram",
+    "graph_contraction",
+    "linkpred_common_neighbors",
+    "strongly_connected_components",
+    "hyperball_nf",
+    "random_walks",
+    "node2vec_walks",
+    "doc_jaccard_verify",
+    "dedup_clusters",
+    "hits_scores",
+    "eigenvector_centrality",
+    "louvain_communities",
+    "linkpred_ppr",
+    "kcore_membership",
+    "bfs_distances",
+    "connected_components_twophase",
+    "label_propagation",
+    "doc_langid",
+    "doc_fingerprints",
+    "doc_exact_dedup",
+    "doc_minhash",
+    "doc_neardup_pairs",
+    "doc_simhash",
+    "doc_bpe_tokens",
+    "doc_substring_dedup",
+    "doc_pack_sequences",
+    "doc_decontaminate",
+    "emb_neardup_pairs",
+    "multimodal_features",
+    "emb_cosine_topk",
+    "emb_lsh_buckets",
+    "emb_bucketed_topk",
+    "emb_hyperplane_topk",
+    "emb_ivf_topk",
+    "events_sessionize",
+    "events_minute_rollup",
+    "events_trending_topk",
+    "amr_standardize_sizes",
+    "smatch_micro_macro",
+    # operators whose plans changed this round — re-verify same-round
     "ktruss_4",
-    "diameter_double_sweep",
     "core_decomposition",
-    # round-4-stale rows (green in CORRECTNESS_r04, out of window in r5)
-    "bootstrap_ci",
-    "bootstrap_macro_ci",
-    "concept_as_root",
-    "dedup_triples",
-    "deinvert",
-    "dereify_triples",
-    "doc_quality",
-    "doc_token_stats",
-    "edge_relabel",
-    "graph_degrees",
-    "label_propagation_weighted",
-    "lower_dequote",
-    "micro_macro_scores",
-    "norm_logical_ops",
-    "pairwise_scores",
-    "reentrancies",
-    "reify_attributes",
-    "reify_edges",
-    "relabel_vars",
-    "superstep_metrics",
-    "triangle_counts",
-    "triangle_counts_approx",
-    "unlabel",
-    "variables_table",
 ]
 
 
