@@ -47,6 +47,7 @@ def sssp(
     directed: bool = True,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    check_nonnegative: bool = True,
 ) -> SSSPResult:
     """Minimum path weight from the ``sources`` set to every reachable
     vertex.  ``edges`` must carry ``src``, ``dst`` and ``weight_col``
@@ -54,6 +55,13 @@ def sssp(
     doubles work but inherit float-sum ordering caveats).  Seeds absent
     from the graph are ignored; unreached vertices are absent from the
     output.  With unit weights this degenerates to ``bfs_distances``.
+
+    Non-negativity is ENFORCED (one map-side-combined ``min(weight)``
+    scan) because the changed-frontier pruning below is only sound for
+    non-negative weights — a negative edge could improve an already
+    settled vertex after its wave passed, silently converging to a
+    wrong fixpoint.  Callers that have already validated their weights
+    upstream can skip the scan with ``check_nonnegative=False``.
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst", F.col(weight_col).alias("w"))
@@ -66,6 +74,16 @@ def sssp(
             )
         )
     e = e.persist()
+    if check_nonnegative:
+        mn = e.agg(F.min("w").alias("m")).collect()[0]["m"]
+        if mn is not None and mn < 0:
+            e.unpersist()
+            raise ValueError(
+                f"sssp requires non-negative weights (min {weight_col} = "
+                f"{mn}); the frontier pruning is unsound under negative "
+                "edges. Pass check_nonnegative=False only if weights are "
+                "validated upstream."
+            )
 
     vertices = (
         e.select(F.col("src").alias("vertex"))

@@ -49,12 +49,29 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Output (query_id, neighbor_id, cosine_sim), self-matches excluded,
     ties broken by neighbor id (deterministic across partitionings).
+
+    This is the documented EXACT path: it broadcasts the query side and
+    cross-joins it against the full corpus, so cost is
+    |queries| x |corpus|.  The ``max_queries`` guard (same discipline as
+    dedup's ``max_bucket``) refuses a corpus-sized query side — at that
+    scale use the bucketed variants (``bucketed_topk`` /
+    ``hyperplane_topk`` / ``ivf_topk``) instead; raise the limit
+    explicitly only when the corpus side is known-small.
     """
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk is the exact all-pairs path: {n_q} query rows "
+            f"exceed max_queries={max_queries}. Use bucketed_topk / "
+            "hyperplane_topk / ivf_topk for corpus-scale query sides, or "
+            "raise max_queries explicitly if the corpus side is small."
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qv")

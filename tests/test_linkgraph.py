@@ -1130,6 +1130,23 @@ def test_sssp_prefers_longer_lighter_path(spark):
     assert du["a"] == 3 and du["y"] == 1
 
 
+def test_sssp_rejects_negative_weights(spark):
+    """Frontier pruning is unsound under negative edges, so sssp must
+    refuse them up front rather than converge to a wrong fixpoint."""
+    import pytest
+
+    from smatchpp_spark.operators.sssp import sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", -2)], "src string, dst string, weight long"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp(edges, ["a"], max_supersteps=5)
+    # documented opt-out still runs (caller takes responsibility)
+    res = sssp(edges, ["a"], max_supersteps=5, check_nonnegative=False)
+    assert {r["vertex"] for r in res.distances.collect()} == {"a", "b", "c"}
+
+
 def test_sssp_unit_weights_match_bfs(spark):
     from pyspark.sql import functions as F
 

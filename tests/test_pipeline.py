@@ -167,6 +167,20 @@ def test_cosine_topk_vs_numpy(spark):
         assert top_sim == pytest.approx([sims[q][j] for j in order], abs=1e-6)
 
 
+def test_cosine_topk_guards_oversized_query_side(spark):
+    """The exact path is |queries| x |corpus|: a corpus-sized query side
+    must raise instead of silently planning an all-pairs cross join."""
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk(emb, emb, k=2, max_queries=10)
+    # explicit opt-up works when the caller knows both sides are small
+    out = similarity.cosine_topk(emb, emb, k=2, max_queries=100)
+    assert out.count() == 60
+
+
 def test_bucketed_topk_subset_of_bucket(spark):
     rng = np.random.RandomState(3)
     vecs = rng.randn(60, 8).astype(np.float32)
