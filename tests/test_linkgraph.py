@@ -1397,6 +1397,29 @@ def test_msf_parallel_edges_self_loops_and_forest(spark):
     assert res.converged and res.n_edges == 3 and res.total_weight == 10.0
 
 
+def test_msf_checkpoint_resume_identical(spark, tmp_path):
+    """MSF now runs through SuperstepRunner: a run truncated after one
+    productive round and resumed from its committed (labels + forest)
+    state must produce the same forest as an uninterrupted run."""
+    from smatchpp_spark.operators.msf import minimum_spanning_forest
+
+    rng = random.Random(29)
+    pairs = powerlaw_graph(n=60, m=150, seed=31)
+    wedges = [(str(a), str(b), rng.randrange(1, 6)) for a, b in pairs]
+    df = spark.createDataFrame(wedges, "src string, dst string, weight long")
+    exp = _kruskal_replay(wedges)
+
+    ck = str(tmp_path / "msf")
+    r1 = minimum_spanning_forest(df, max_rounds=1, checkpoint_dir=ck)
+    assert not r1.converged  # truncated mid-Borůvka on purpose
+    r2 = minimum_spanning_forest(
+        df, max_rounds=20, checkpoint_dir=ck, resume=True
+    )
+    got = sorted((r["a"], r["b"], r["weight"]) for r in r2.forest.collect())
+    assert r2.converged
+    assert got == exp
+
+
 def _ktruss_replay(pairs, k):
     edges = {tuple(sorted((a, b))) for a, b in pairs if a != b}
     while True:
