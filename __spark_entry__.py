@@ -2076,6 +2076,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["landmark_distances"] = _landmark
 
+    def _landmark_packed(spark, sf):
+        # the array-state variant (one row per vertex, k-slot distance
+        # array) unpacks to the identical (landmark, vertex, distance)
+        # table, so it shares the keyed variant's oracle SQL
+        from smatchpp_spark.operators.landmarks import (
+            estimate_distances,
+            landmark_distances_packed,
+            pick_landmarks,
+        )
+
+        e = _e_op(spark, sf)
+        lms = pick_landmarks(e, k=4, directed=False)
+        d = landmark_distances_packed(e, lms, max_depth=4, directed=False)
+        li = _read(spark, sf, "lineitem")
+        pa = (
+            li.filter(F.col("l_partkey") % 150 == 0)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src")
+            )
+            .distinct()
+        )
+        pb = (
+            li.filter(F.col("l_partkey") % 150 == 50)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst")
+            )
+            .distinct()
+        )
+        pairs = pa.crossJoin(pb).where(F.col("src") != F.col("dst"))
+        return estimate_distances(d.distances, pairs)
+
+    q["landmark_distances_packed"] = _landmark_packed
+
     def _sssp(spark, sf):
         from smatchpp_spark.operators.sssp import sssp
 
@@ -2637,9 +2670,10 @@ _DRIVER_WINDOW_FRONT = [
     "events_trending_topk",
     "amr_standardize_sizes",
     "smatch_micro_macro",
-    # operators whose plans changed this round — re-verify same-round
+    # operators new or re-planned this round — verify same-round
     "ktruss_4",
     "core_decomposition",
+    "landmark_distances_packed",
 ]
 
 
@@ -2819,6 +2853,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "kcore_membership": _kcore_sql(3, 12),
         "bfs_distances": _bfs_sql(6),
         "landmark_distances": _landmark_sql(4, 4),
+        "landmark_distances_packed": _landmark_sql(4, 4),
         "sssp_weighted": _sssp_sql(8, 100),
         "mis_luby": _mis_sql(5, 7),
         "graph_coloring": _coloring_sql(5, 7),

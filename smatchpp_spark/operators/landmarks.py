@@ -123,6 +123,137 @@ def landmark_distances(
     )
 
 
+def landmark_distances_packed(
+    edges: DataFrame,
+    landmarks: DataFrame | list,
+    max_depth: int = 6,
+    directed: bool = False,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> LandmarkResult:
+    """``landmark_distances`` with the per-vertex ARRAY state: one state
+    row per vertex carrying a k-slot distance array (slot i = distance
+    to landmark i), instead of one row per (landmark, vertex).
+
+    Use this once k grows: the superstep join width drops from k·V rows
+    to V rows — the edge table is joined against a V-row frontier whose
+    landmark dimension rides as a payload array, and the per-element
+    ``min`` aggregation is k independent map-side-combinable aggregates
+    in one shuffle (k is a small literal, 4-64, so the expressions stay
+    whole-stage-codegen'd).  Landmark ids are driver-collected (≤ k
+    rows by contract) and shipped as plan literals to fix the slot
+    order deterministically.
+
+    Correctness note: the per-slot relaxation ``min over in-neighbors
+    (d+1)`` sets each slot EXACTLY ONCE at its true BFS depth (induction
+    from the landmark seeds: every non-null slot value is exact, so
+    candidates are ≥ the true distance and the shortest-path
+    predecessor's exact value arrives at depth d), so ``changed`` =
+    "any slot newly set" and rounds past the fixpoint are no-ops —
+    the same oracle-replay contract as the keyed variant.  Output is
+    unpacked to the identical (landmark, vertex, distance) table, so
+    ``estimate_distances`` and the driver oracle are shared.
+    """
+    spark = edges.sparkSession
+    step_edges = _undirect(edges, directed).persist()
+    vertices = (
+        step_edges.select(F.col("src").alias("vertex"))
+        .unionByName(step_edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    if isinstance(landmarks, DataFrame):
+        lm_df = landmarks.select(
+            F.col(landmarks.columns[0]).alias("vertex")
+        ).distinct()
+    else:
+        lm_df = vertices.filter(F.col("vertex").isin(list(landmarks)))
+    lms = sorted(
+        r["vertex"]
+        for r in vertices.join(lm_df, "vertex", "left_semi").collect()
+    )
+    k = len(lms)
+    if k == 0:
+        empty = spark.createDataFrame(
+            [], "landmark string, vertex string, distance long"
+        )
+        step_edges.unpersist()
+        return LandmarkResult(distances=empty, rounds=0, converged=True)
+    null_slot = F.lit(None).cast("long")
+
+    init = lm_df.join(vertices, "vertex", "left_semi").select(
+        "vertex",
+        F.array(
+            *[
+                F.when(F.col("vertex") == F.lit(l), F.lit(0).cast("long")).otherwise(
+                    null_slot
+                )
+                for l in lms
+            ]
+        ).alias("dists"),
+        F.lit(True).alias("changed"),
+    )
+
+    def step(state: DataFrame, _r: int) -> DataFrame:
+        wave = state.filter(F.col("changed")).select("vertex", "dists")
+        msgs = wave.join(
+            step_edges, wave["vertex"] == step_edges["src"]
+        ).select(F.col("dst").alias("vertex"), "dists")
+        # k independent per-slot mins in ONE shuffle, all map-side
+        # combinable; +1 after the agg (null + 1 stays null)
+        cand = msgs.groupBy("vertex").agg(
+            F.array(
+                *[
+                    (F.min(F.element_at(F.col("dists"), i + 1)) + 1).alias(f"_{i}")
+                    for i in range(k)
+                ]
+            ).alias("cd")
+        )
+        nulls = F.array(*[null_slot for _ in range(k)])
+        merged = state.drop("changed").join(cand, "vertex", "full_outer")
+        old = F.coalesce(F.col("dists"), nulls)
+        new = F.zip_with(old, F.coalesce(F.col("cd"), nulls), lambda a, b: F.least(a, b))
+        return merged.select(
+            "vertex",
+            new.alias("dists"),
+            F.exists(
+                F.zip_with(
+                    old,
+                    new,
+                    lambda a, b: a.isNull() & b.isNotNull(),
+                ),
+                lambda x: x,
+            ).alias("changed"),
+        )
+
+    runner = SuperstepRunner(
+        spark,
+        op="landmark_bfs_packed",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_depth,
+        tol=0.0,
+    )
+    res = runner.run(
+        init,
+        step,
+        lambda old, new: float(new.filter(F.col("changed")).count()),
+        resume=resume,
+    )
+    step_edges.unpersist()
+    lm_arr = F.array(*[F.lit(l) for l in lms])
+    unpacked = (
+        res.state.select("vertex", F.posexplode("dists").alias("pos", "distance"))
+        .filter(F.col("distance").isNotNull())
+        .select(
+            F.element_at(lm_arr, F.col("pos") + 1).alias("landmark"),
+            "vertex",
+            "distance",
+        )
+    )
+    return LandmarkResult(
+        distances=unpacked, rounds=res.supersteps, converged=res.converged
+    )
+
+
 def estimate_distances(distances: DataFrame, pairs: DataFrame) -> DataFrame:
     """Triangle-bound distance estimates for ``pairs`` (src, dst).
 

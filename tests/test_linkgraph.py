@@ -1111,6 +1111,37 @@ def test_landmark_distances_multi_landmark_tightens_bound(spark):
     assert est["n_landmarks"] == 2
 
 
+def test_landmark_packed_parity_with_keyed(spark):
+    """The array-state variant (one row per vertex, k-slot distance
+    array) must unpack to EXACTLY the keyed variant's (landmark, vertex,
+    distance) table — same landmarks, same depths, same reached set."""
+    from smatchpp_spark.operators.landmarks import (
+        landmark_distances,
+        landmark_distances_packed,
+        pick_landmarks,
+    )
+
+    pairs = [(str(a), str(b)) for a, b in powerlaw_graph(n=90, m=260, seed=23)]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    lm = pick_landmarks(edges, k=6, directed=False)
+
+    keyed = landmark_distances(edges, lm, max_depth=6, directed=False)
+    packed = landmark_distances_packed(edges, lm, max_depth=6, directed=False)
+    as_set = lambda res: {
+        (r["landmark"], r["vertex"], r["distance"])
+        for r in res.distances.collect()
+    }
+    assert keyed.converged == packed.converged
+    assert as_set(keyed) == as_set(packed)
+
+    # directed variant + list-of-ids input parity too
+    keyed_d = landmark_distances(edges, ["1", "2"], max_depth=4, directed=True)
+    packed_d = landmark_distances_packed(
+        edges, ["1", "2"], max_depth=4, directed=True
+    )
+    assert as_set(keyed_d) == as_set(packed_d)
+
+
 def test_sssp_prefers_longer_lighter_path(spark):
     from smatchpp_spark.operators.sssp import sssp
 
