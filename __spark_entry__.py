@@ -1418,6 +1418,52 @@ def _landmark_sql(depth: int = 4, k: int = 4) -> str:
     return "\n".join(parts)
 
 
+def _harmonic_sql(depth: int = 4, k: int = 4) -> str:
+    """harmonic_centrality replay (operators/landmarks.py): the same
+    top-k-degree seed pick and ``depth`` unrolled multi-source BFS as
+    the landmark oracle, folded to ``SUM(1/d)`` over d ≥ 1 (≤ k terms
+    per vertex — round 9 exact)."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),",
+        f"lm AS (SELECT src AS vertex FROM ue GROUP BY src "
+        f"ORDER BY COUNT(*) DESC, src LIMIT {k}),",
+        "r0 AS MATERIALIZED (SELECT vertex AS landmark, vertex, "
+        "CAST(0 AS BIGINT) AS distance FROM lm),",
+    ]
+    for i in range(1, depth + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT landmark, vertex, "
+            f"MIN(distance) AS distance FROM "
+            f"(SELECT landmark, vertex, distance FROM {p} UNION ALL "
+            f"SELECT r.landmark, ue.dst AS vertex, r.distance + 1 "
+            f"FROM {p} r JOIN ue ON ue.src = r.vertex) GROUP BY 1, 2),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1)\n"
+        f"SELECT vertex, ROUND(SUM(1.0 / distance), 9) AS harmonic,\n"
+        f"  CAST(COUNT(*) AS INT) AS n_sources\n"
+        f"FROM r{depth} WHERE distance > 0 GROUP BY vertex"
+    )
+    return "\n".join(parts)
+
+
+def _core_hist_sql(rounds: int = 10) -> str:
+    """core_histogram replay (operators/kcore.py): the coreness h-index
+    unrolling folded to one row per core value with the degeneracy
+    (max coreness) flag."""
+    base = _coreness_sql(rounds)
+    return f"""
+WITH core AS ({base}),
+h AS (SELECT coreness, CAST(COUNT(*) AS BIGINT) AS n_vertices
+      FROM core GROUP BY coreness),
+d AS (SELECT MAX(coreness) AS m FROM h)
+SELECT coreness, n_vertices, coreness = m AS is_degeneracy FROM h, d
+"""
+
+
 def _betweenness_sql(depth: int = 4, mod: int = 200) -> str:
     """Truncated sampled-source Brandes oracle (operators/betweenness.py):
     ``depth`` unrolled forward BFS levels with shortest-path counting,
@@ -1807,6 +1853,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["linkpred_common_neighbors"] = _linkpred
+
+    def _linkpred_jac(spark, sf):
+        from smatchpp_spark.operators.linkpred import linkpred_scores
+
+        # same capped bipartite graph as the CN row; jaccard normalizes
+        # the integer CN count by the degree union, so the only floats
+        # are one division (round 9 — exact cross-engine)
+        li = _read(spark, sf, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+        e = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        return linkpred_scores(e, method="jaccard", max_pivot_degree=6)
+
+    q["linkpred_jaccard"] = _linkpred_jac
+
+    def _harmonic(spark, sf):
+        from smatchpp_spark.operators.landmarks import (
+            harmonic_centrality,
+            pick_landmarks,
+        )
+
+        e = _e_op(spark, sf)
+        seeds = pick_landmarks(e, k=4, directed=False)
+        return harmonic_centrality(e, seeds, max_depth=4, directed=False)
+
+    q["harmonic_centrality"] = _harmonic
+
+    def _core_hist(spark, sf):
+        from smatchpp_spark.operators.kcore import core_histogram
+
+        return core_histogram(_e_op(spark, sf))
+
+    q["core_histogram"] = _core_hist
 
     def _scc(spark, sf):
         from smatchpp_spark.operators.scc import strongly_connected_components
@@ -2416,6 +2496,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), k=500
     )
 
+    def _tfidf(spark, sf):
+        from smatchpp_spark.pipeline import relevance
+
+        return relevance.tfidf_topk(_docs(spark, sf), k=3)
+
+    q["doc_tfidf_topk"] = _tfidf
+
+    def _bm25(spark, sf):
+        from smatchpp_spark.pipeline import relevance
+
+        return relevance.bm25_search(
+            _docs(spark, sf), ["join", "spark", "vector"], top_n=20
+        )
+
+    q["doc_bm25_search"] = _bm25
+
+    def _lm(spark, sf):
+        from smatchpp_spark.pipeline import relevance
+
+        return relevance.bigram_lm_scores(_docs(spark, sf), alpha=0.5)
+
+    q["doc_lm_score"] = _lm
+
     def _substr_dedup(spark, sf):
         return dedup.substring_dedup_spans(
             _docs(spark, sf), ngram=5, min_span=8, portable=True
@@ -2674,6 +2777,12 @@ _DRIVER_WINDOW_FRONT = [
     "ktruss_4",
     "core_decomposition",
     "landmark_distances_packed",
+    "doc_tfidf_topk",
+    "doc_bm25_search",
+    "doc_lm_score",
+    "linkpred_jaccard",
+    "harmonic_centrality",
+    "core_histogram",
 ]
 
 
@@ -2854,6 +2963,29 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "bfs_distances": _bfs_sql(6),
         "landmark_distances": _landmark_sql(4, 4),
         "landmark_distances_packed": _landmark_sql(4, 4),
+        "harmonic_centrality": _harmonic_sql(4, 4),
+        "core_histogram": _core_hist_sql(10),
+        "doc_tfidf_topk": _tfidf_sql(3),
+        "doc_bm25_search": _bm25_sql(["join", "spark", "vector"], 20),
+        "doc_lm_score": _bigram_lm_sql(0.5),
+        "linkpred_jaccard": """
+WITH raw AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+             FROM lineitem WHERE l_orderkey % 7 = 0),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS MATERIALIZED (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS z, COUNT(*) AS dz FROM und GROUP BY a),
+piv AS (SELECT z FROM deg WHERE dz >= 2 AND dz <= 6),
+nbrs AS (SELECT und.a AS z, und.b AS n FROM und JOIN piv ON piv.z = und.a),
+pairs AS (SELECT e1.n AS u, e2.n AS v
+          FROM nbrs e1 JOIN nbrs e2 ON e1.z = e2.z AND e1.n < e2.n),
+cn AS (SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS cnt FROM pairs GROUP BY u, v),
+scored AS (SELECT u, v,
+             ROUND(cnt / (du.dz + dv.dz - cnt), 9) AS score
+           FROM cn JOIN deg du ON du.z = cn.u JOIN deg dv ON dv.z = cn.v)
+SELECT s.u, s.v, s.score FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
+""",
         "sssp_weighted": _sssp_sql(8, 100),
         "mis_luby": _mis_sql(5, 7),
         "graph_coloring": _coloring_sql(5, 7),
@@ -3429,6 +3561,80 @@ WITH t AS (SELECT doc_id,
            CAST({u} AS DOUBLE) / 1152921504606846976.0 AS u
            FROM documents)
 SELECT doc_id, ROUND(u, 9) AS u, {case} AS split FROM t
+"""
+
+
+def _tfidf_sql(k: int = 3) -> str:
+    """tfidf_topk replay (pipeline/relevance.py): per-doc term counts,
+    doc frequencies, sklearn smooth idf ``ln((N+1)/(df+1)) + 1``, score
+    rounded BEFORE the per-doc (score desc, term asc) rank so tie order
+    matches the Spark window exactly."""
+    return f"""
+WITH t AS (SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS term FROM documents),
+tt AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+       WHERE length(term) > 0 GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM tt GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (SELECT doc_id, term, tf,
+         ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 9) AS score
+       FROM tt JOIN dft USING (term) CROSS JOIN nd),
+rk AS (SELECT doc_id, term, tf, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS INT) AS "rank"
+       FROM sc)
+SELECT doc_id, term, tf, score, "rank" FROM rk WHERE "rank" <= {k}
+"""
+
+
+def _bm25_sql(terms: list, top_n: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """bm25_search replay (pipeline/relevance.py): Robertson idf
+    ``ln((N-df+0.5)/(df+0.5)+1)`` over the query-term slice, Lucene-
+    style tf saturation with corpus avgdl over ALL documents."""
+    in_list = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in terms}))
+    return f"""
+WITH t AS (SELECT doc_id, unnest({SQL_TOKS_LOWER}) AS term FROM documents),
+qt AS (SELECT doc_id, term FROM t WHERE term IN ({in_list})),
+tt AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM tt GROUP BY term),
+dl AS (SELECT doc_id, CAST(len({SQL_TOKS}) AS DOUBLE) AS dl FROM documents),
+st AS (SELECT COUNT(*) AS n_docs,
+              AVG(CAST(len({SQL_TOKS}) AS DOUBLE)) AS avgdl FROM documents)
+SELECT tt.doc_id,
+  ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        * tf * ({k1} + 1.0)
+        / (tf + {k1} * (1.0 - {b} + {b} * dl.dl / avgdl))), 9) AS score,
+  CAST(COUNT(*) AS INT) AS n_matched
+FROM tt JOIN dft USING (term) JOIN dl ON dl.doc_id = tt.doc_id CROSS JOIN st
+GROUP BY tt.doc_id
+ORDER BY score DESC, tt.doc_id
+LIMIT {top_n}
+"""
+
+
+def _bigram_lm_sql(alpha: float = 0.5) -> str:
+    """bigram_lm_scores replay (pipeline/relevance.py): the (w1, w2)
+    bigram stream per doc (empty for < 2 tokens — DuckDB's
+    ``range(1, len)`` is empty when len ≤ 1, matching the Spark guard),
+    corpus bigram counts + left marginal + vocab size, add-alpha log
+    probability averaged per doc (round 6; per-doc float-sum order
+    differs across engines by ~1e-13 at this doc length)."""
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       FROM t, unnest(range(1, len(toks))) AS r(i)),
+db AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, SUM(n) AS c12 FROM db GROUP BY 1, 2),
+lc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+vv AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+       FROM (SELECT unnest({SQL_TOKS_LOWER}) AS term FROM documents)
+       WHERE length(term) > 0),
+pd AS (SELECT db.doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         ROUND(SUM(n * ln((c12 + {alpha}) / (c1 + {alpha} * v))) / SUM(n), 6)
+           AS avg_logp
+       FROM db JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN vv
+       GROUP BY db.doc_id)
+SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams, pd.avg_logp
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 """
 
 

@@ -215,3 +215,24 @@ def coreness(
         rounds=res.supersteps,
         converged=res.converged,
     )
+
+
+def core_histogram(
+    edges: DataFrame,
+    max_supersteps: int = 50,
+) -> DataFrame:
+    """Core-number distribution + degeneracy summary: one row per core
+    value ``(coreness, n_vertices, is_degeneracy)`` — the standard
+    one-look density profile of a web graph (the degeneracy row is the
+    graph's largest k with a non-empty k-core, i.e. the max coreness).
+    A map-side-combined groupBy over the ``coreness`` fixpoint plus a
+    1-row max attached by crossJoin — no extra iteration.
+    """
+    c = coreness(edges, max_supersteps=max_supersteps).coreness
+    hist = c.groupBy("coreness").agg(F.count(F.lit(1)).alias("n_vertices"))
+    degeneracy = hist.agg(F.max("coreness").alias("_deg"))
+    return hist.crossJoin(degeneracy).select(
+        "coreness",
+        "n_vertices",
+        (F.col("coreness") == F.col("_deg")).alias("is_degeneracy"),
+    )

@@ -254,6 +254,35 @@ def landmark_distances_packed(
     )
 
 
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame | list,
+    max_depth: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Sampled harmonic centrality (Boldi–Vigna's axiomatically-favored
+    closeness variant, public): ``H(v) = Σ_s 1/d(s, v)`` over the seed
+    set, unreachable pairs contributing 0 — exact on the sample, an
+    unbiased up-scaling of the full sum when the seeds are sampled
+    uniformly.  Output ``(vertex, harmonic double, n_sources int)`` for
+    every vertex reached by ≥ 1 seed; seeds reach themselves at
+    distance 0, which contributes nothing (1/d only for d ≥ 1).
+
+    Plan: all seeds ride ONE multi-source BFS state (the landmark
+    superstep — the edge table is scanned once per depth regardless of
+    seed count), then a single map-side-combined groupBy folds the
+    (seed, vertex, distance) rows into the harmonic sum.
+    """
+    res = landmark_distances(
+        edges, sources, max_depth=max_depth, directed=directed
+    )
+    pos = res.distances.filter(F.col("distance") > 0)
+    return pos.groupBy("vertex").agg(
+        F.round(F.sum(F.lit(1.0) / F.col("distance")), 9).alias("harmonic"),
+        F.count(F.lit(1)).cast("int").alias("n_sources"),
+    )
+
+
 def estimate_distances(distances: DataFrame, pairs: DataFrame) -> DataFrame:
     """Triangle-bound distance estimates for ``pairs`` (src, dst).
 

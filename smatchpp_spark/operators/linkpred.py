@@ -39,20 +39,30 @@ def linkpred_scores(
     """Score candidate pairs by shared-neighborhood weight.
 
     ``method``: ``common_neighbors`` (weight 1 per shared z),
-    ``adamic_adar`` (1/ln d(z)), or ``resource_allocation`` (1/d(z)).
-    Output (u, v, score double) with u < v; ``top_k`` keeps the global
-    best pairs (ties by u, v — deterministic); ``exclude_existing``
-    anti-joins pairs already linked.  Pivots with degree < 2 generate no
-    wedges and pivots above ``max_pivot_degree`` are dropped (see module
-    docstring).
+    ``adamic_adar`` (1/ln d(z)), ``resource_allocation`` (1/d(z)), or
+    ``jaccard`` (|N(u)∩N(v)| / |N(u)∪N(v)| — the common-neighbor count
+    normalized by the degree union, two extra broadcast-free equi-joins
+    against the degree table).  Output (u, v, score double) with u < v;
+    ``top_k`` keeps the global best pairs (ties by u, v —
+    deterministic); ``exclude_existing`` anti-joins pairs already
+    linked.  Pivots with degree < 2 generate no wedges and pivots above
+    ``max_pivot_degree`` are dropped (see module docstring; under the
+    cap, jaccard's intersection count is computed on the capped wedge
+    set while the union stays exact — scores are a documented lower
+    bound for pairs touching dropped super-hubs).
     """
-    if method not in ("common_neighbors", "adamic_adar", "resource_allocation"):
+    if method not in (
+        "common_neighbors",
+        "adamic_adar",
+        "resource_allocation",
+        "jaccard",
+    ):
         raise ValueError(f"unknown link-prediction method {method!r}")
     und = undirected_simple(edges)  # (a, b), both directions, distinct
     deg = und.groupBy(F.col("a").alias("z")).agg(
         F.count(F.lit(1)).alias("dz")
     )
-    if method == "common_neighbors":
+    if method in ("common_neighbors", "jaccard"):
         wcol = F.lit(1.0)
     elif method == "adamic_adar":
         # d(z) == 1 pivots generate no wedge; d(z) ≥ 2 ⟹ ln d(z) > 0
@@ -74,6 +84,21 @@ def linkpred_scores(
         .groupBy("u", "v")
         .agg(F.round(F.sum("w"), 9).alias("score"))
     )
+    if method == "jaccard":
+        cn = pairs.withColumnRenamed("score", "cn")
+        du = deg.select(F.col("z").alias("u"), F.col("dz").alias("du"))
+        dv = deg.select(F.col("z").alias("v"), F.col("dz").alias("dv"))
+        pairs = (
+            cn.join(du, "u")
+            .join(dv, "v")
+            .select(
+                "u",
+                "v",
+                F.round(
+                    F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")), 9
+                ).alias("score"),
+            )
+        )
     if exclude_existing:
         canon = und.filter(F.col("a") < F.col("b")).select(
             F.col("a").alias("u"), F.col("b").alias("v")

@@ -809,3 +809,24 @@ def test_linkpred_ppr_numeric_vertex_string_seeds(spark):
     # native-typed seeds give the identical result
     out2 = linkpred_ppr(e, [1, 5], steps=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_linkpred_jaccard_vs_python(spark):
+    from smatchpp_spark.operators.linkpred import linkpred_scores
+
+    pairs = _rand_pairs(30, 140, seed=5)
+    edges = _edges_df(spark, pairs)
+    got = {
+        (r.u, r.v): r.score
+        for r in linkpred_scores(edges, method="jaccard").collect()
+    }
+    cn = _py_linkpred(pairs, "common_neighbors")
+    nbrs = _und(pairs)
+    deg = {str(v): len(nb) for v, nb in nbrs.items()}
+    want = {
+        k: c / (deg[k[0]] + deg[k[1]] - c) for k, c in cn.items()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-8), k
+        assert 0.0 < got[k] <= 1.0

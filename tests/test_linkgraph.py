@@ -1638,3 +1638,65 @@ def test_coreness_clique_plus_tail(spark):
     got = {r["vertex"]: r["coreness"] for r in res.coreness.collect()}
     assert all(got[f"c{i}"] == 4 for i in range(5))
     assert got["t1"] == 1 and got["t2"] == 1
+
+
+def test_harmonic_centrality_vs_bfs_replay(spark):
+    from smatchpp_spark.operators.landmarks import harmonic_centrality
+
+    pairs = [(str(a), str(b)) for a, b in powerlaw_graph(n=70, m=180, seed=41)]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    seeds = ["1", "2", "3", "4"]
+    got = {
+        r["vertex"]: (r["harmonic"], r["n_sources"])
+        for r in harmonic_centrality(
+            edges, seeds, max_depth=8, directed=False
+        ).collect()
+    }
+
+    # python BFS per seed
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for s in seeds:
+        if s not in nbrs:
+            continue
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier and d < 8:
+            d += 1
+            nxt = []
+            for v in frontier:
+                for u in nbrs.get(v, ()):
+                    if u not in dist:
+                        dist[u] = d
+                        nxt.append(u)
+            frontier = nxt
+        for v, dd in dist.items():
+            if dd > 0:
+                h, c = want.get(v, (0.0, 0))
+                want[v] = (h + 1.0 / dd, c + 1)
+    assert set(got) == set(want)
+    for v, (h, c) in want.items():
+        assert got[v][1] == c
+        assert got[v][0] == pytest.approx(round(h, 9), abs=1e-8), v
+
+
+def test_core_histogram_matches_replay(spark):
+    from smatchpp_spark.operators.kcore import core_histogram
+
+    pairs = [(str(a), str(b)) for a, b in powerlaw_graph(n=120, m=420, seed=19)]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    rows = core_histogram(df).collect()
+    core = _coreness_replay(pairs)
+    want = {}
+    for c in core.values():
+        want[c] = want.get(c, 0) + 1
+    got = {r["coreness"]: r["n_vertices"] for r in rows}
+    assert got == want
+    degen = max(core.values())
+    assert {r["coreness"] for r in rows if r["is_degeneracy"]} == {degen}

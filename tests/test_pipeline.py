@@ -1106,3 +1106,123 @@ def test_vocabulary_topk_and_coverage(spark):
     )
     r2 = text.vocabulary(df2, k=2).collect()
     assert [r["word"] for r in r2] == ["aa", "zz"]
+
+
+# ---------------------------------------------------------------------------
+# relevance: TF-IDF / BM25 / bigram LM vs pure-Python oracles
+
+
+def _py_terms(text):
+    return [w.lower() for w in text.strip().split() if w]
+
+
+def test_tfidf_topk_vs_python(spark):
+    from smatchpp_spark.pipeline import relevance
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = relevance.tfidf_topk(docs, k=3).collect()
+
+    n = len(DOCS)
+    tf = {}
+    df = {}
+    for did, txt in DOCS:
+        cnt = {}
+        for w in _py_terms(txt):
+            cnt[w] = cnt.get(w, 0) + 1
+        tf[did] = cnt
+        for w in cnt:
+            df[w] = df.get(w, 0) + 1
+    exp = {}
+    for did, cnt in tf.items():
+        scored = sorted(
+            (
+                (round(c * (math.log((n + 1) / (df[w] + 1)) + 1), 9), w, c)
+                for w, c in cnt.items()
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        exp[did] = [
+            (w, c, s, r + 1) for r, (s, w, c) in enumerate(scored)
+        ]
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["score"], r["rank"])
+        )
+    for did in by_doc:
+        by_doc[did].sort(key=lambda t: t[3])
+    assert by_doc == {d: v for d, v in exp.items() if v}
+
+
+def test_bm25_search_vs_python(spark):
+    from smatchpp_spark.pipeline import relevance
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = ["cat", "numbers", "spark"]
+    got = [
+        (r["doc_id"], r["score"], r["n_matched"])
+        for r in relevance.bm25_search(docs, q, top_n=5).collect()
+    ]
+
+    k1, b = 1.2, 0.75
+    n = len(DOCS)
+    dls = {d: len(_py_terms(t)) for d, t in DOCS}
+    avgdl = sum(dls.values()) / n
+    tf = {}
+    for did, txt in DOCS:
+        cnt = {}
+        for w in _py_terms(txt):
+            if w in q:
+                cnt[w] = cnt.get(w, 0) + 1
+        if cnt:
+            tf[did] = cnt
+    df = {}
+    for cnt in tf.values():
+        for w in cnt:
+            df[w] = df.get(w, 0) + 1
+    exp = []
+    for did, cnt in tf.items():
+        s = 0.0
+        for w, c in cnt.items():
+            idf = math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1)
+            s += idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[did] / avgdl))
+        exp.append((did, round(s, 9), len(cnt)))
+    exp.sort(key=lambda t: (-t[1], t[0]))
+    assert got == exp[:5]
+
+
+def test_bigram_lm_scores_vs_python(spark):
+    from smatchpp_spark.pipeline import relevance
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    alpha = 0.5
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in relevance.bigram_lm_scores(docs, alpha=alpha).collect()
+    }
+
+    bg = {}
+    vocab = set()
+    doc_bgs = {}
+    for did, txt in DOCS:
+        toks = _py_terms(txt)
+        vocab.update(toks)
+        pairs = list(zip(toks, toks[1:]))
+        doc_bgs[did] = pairs
+        for p in pairs:
+            bg[p] = bg.get(p, 0) + 1
+    left = {}
+    for (w1, _), c in bg.items():
+        left[w1] = left.get(w1, 0) + c
+    v = len(vocab)
+    for did, txt in DOCS:
+        pairs = doc_bgs[did]
+        if not pairs:
+            assert got[did] == (0, None), did
+            continue
+        lp = sum(
+            math.log((bg[p] + alpha) / (left[p[0]] + alpha * v)) for p in pairs
+        ) / len(pairs)
+        n_bg, avg = got[did]
+        assert n_bg == len(pairs)
+        assert avg == pytest.approx(round(lp, 6), abs=2e-6), did
