@@ -1804,6 +1804,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_modularity"] = _modul
 
+    def _conduct(spark, sf):
+        from smatchpp_spark.operators.graphstats import community_conductance
+
+        e = _e_co(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("vertex"))
+            .unionByName(e.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        labels = verts.select(
+            "vertex",
+            F.concat(
+                F.lit("g"),
+                F.pmod(
+                    F.expr("CAST(substring(vertex, 2) AS BIGINT)"), F.lit(8)
+                ).cast("string"),
+            ).alias("label"),
+        )
+        return community_conductance(e, labels)
+
+    q["community_conductance"] = _conduct
+
+    def _transit(spark, sf):
+        from smatchpp_spark.operators.graphstats import transitivity
+
+        return transitivity(_e_co(spark, sf))
+
+    q["graph_transitivity"] = _transit
+
     def _deg_hist(spark, sf):
         from smatchpp_spark.operators.graphstats import degree_histogram
 
@@ -2519,6 +2548,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lm_score"] = _lm
 
+    def _gopher(spark, sf):
+        # min_words=30 so the synthetic corpus splits into keeps and
+        # word-count fails (docs are 20-60 tokens at these SFs);
+        # min_required_stopwords=1 because the word-soup corpus carries
+        # only 'the' from the required list
+        return text.gopher_filter(
+            _docs(spark, sf), min_words=30, min_required_stopwords=1
+        )
+
+    q["doc_gopher_filter"] = _gopher
+
     def _substr_dedup(spark, sf):
         return dedup.substring_dedup_spans(
             _docs(spark, sf), ngram=5, min_span=8, portable=True
@@ -2771,8 +2811,10 @@ _DRIVER_WINDOW_FRONT = [
     "events_sessionize",
     "events_minute_rollup",
     "events_trending_topk",
-    "amr_standardize_sizes",
-    "smatch_micro_macro",
+    # amr_standardize_sizes / smatch_micro_macro (the two rows-only
+    # queries — no oracle, so the driver check is weak anyway and both
+    # are heavily pytest-covered) yield their slots to the 12 new or
+    # re-planned oracled queries below; rotate them back in round 8.
     # operators new or re-planned this round — verify same-round
     "ktruss_4",
     "core_decomposition",
@@ -2780,9 +2822,12 @@ _DRIVER_WINDOW_FRONT = [
     "doc_tfidf_topk",
     "doc_bm25_search",
     "doc_lm_score",
+    "doc_gopher_filter",
     "linkpred_jaccard",
     "harmonic_centrality",
     "core_histogram",
+    "community_conductance",
+    "graph_transitivity",
 ]
 
 
@@ -2893,6 +2938,44 @@ SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
                  - POW(deg_sum / (2.0 * (SELECT m FROM m)), 2)), 9) AS modularity
 FROM per_c
 """,
+        "community_conductance": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+tagged AS MATERIALIZED (
+  SELECT a,
+         'g' || (CAST(substr(a, 2) AS BIGINT) % 8) AS la,
+         'g' || (CAST(substr(b, 2) AS BIGINT) % 8) AS lb
+  FROM und),
+tm AS (SELECT COUNT(*) AS two_m FROM tagged),
+per AS (SELECT la AS label, COUNT(*) AS volume,
+               SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS cut,
+               COUNT(DISTINCT a) AS n_vertices
+        FROM tagged GROUP BY la)
+SELECT label, CAST(n_vertices AS BIGINT) AS n_vertices,
+  CAST(volume AS BIGINT) AS volume, CAST(cut AS BIGINT) AS cut,
+  CASE WHEN LEAST(volume, two_m - volume) <= 0 THEN 0.0
+       ELSE ROUND(cut / CAST(LEAST(volume, two_m - volume) AS DOUBLE), 9)
+  END AS conductance
+FROM per, tm
+""",
+        "graph_transitivity": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+w AS (SELECT CAST(COALESCE(SUM(d * (d - 1) / 2), 0) AS BIGINT) AS wedges FROM deg),
+tri AS (SELECT COUNT(*) AS t
+        FROM c e1 JOIN c e2 ON e2.a = e1.b
+                  JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST(t AS BIGINT) AS n_triangles, wedges AS n_wedges,
+  CASE WHEN wedges = 0 THEN 0.0
+       ELSE ROUND(3.0 * t / wedges, 9) END AS transitivity
+FROM tri, w
+""",
+        "doc_gopher_filter": _gopher_sql(30),
         "hyperball_nf": _hyperball_sql(),
         "effective_diameter": f"""
 WITH curve AS ({_hyperball_sql()}),
@@ -3561,6 +3644,52 @@ WITH t AS (SELECT doc_id,
            CAST({u} AS DOUBLE) / 1152921504606846976.0 AS u
            FROM documents)
 SELECT doc_id, ROUND(u, 9) AS u, {case} AS split FROM t
+"""
+
+
+def _gopher_sql(min_words: int = 30, min_req: int = 1) -> str:
+    """gopher_filter replay (pipeline/text.py): the Gopher §A1.1 rule
+    booleans over one scan — replace-based symbol counting (identical
+    across engines), trimmed non-empty lines, per-word alpha regex,
+    required-stopword containment."""
+    req = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks, {SQL_TOKS_LOWER} AS low,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> length(l) > 0) AS lines
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END AS safe_tok,
+    CASE WHEN len(lines) = 0 THEN 1 ELSE len(lines) END AS safe_lines,
+    COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS tok_chars,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) / 3
+      + (length(text) - length(replace(text, '…', ''))) AS n_sym,
+    len(list_filter(lines, l -> starts_with(l, '•') OR starts_with(l, '-')
+        OR starts_with(l, '*'))) AS n_bullet,
+    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS n_ell,
+    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter({req}, w -> list_contains(low, w))) AS n_req
+  FROM base),
+rules AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    (n_tokens < {min_words} OR n_tokens > 100000) AS fail_word_count,
+    (tok_chars / CAST(safe_tok AS DOUBLE) < 3.0
+     OR tok_chars / CAST(safe_tok AS DOUBLE) > 10.0) AS fail_mean_word_len,
+    (n_sym / CAST(safe_tok AS DOUBLE) > 0.1) AS fail_symbol_ratio,
+    (n_bullet / CAST(safe_lines AS DOUBLE) > 0.9
+     OR n_ell / CAST(safe_lines AS DOUBLE) > 0.3) AS fail_bullet_ellipsis,
+    (n_alpha / CAST(safe_tok AS DOUBLE) < 0.8) AS fail_alpha_words,
+    (n_req < {min_req}) AS fail_stopwords
+  FROM feat)
+SELECT doc_id, n_tokens, fail_word_count, fail_mean_word_len,
+  fail_symbol_ratio, fail_bullet_ellipsis, fail_alpha_words, fail_stopwords,
+  NOT (fail_word_count OR fail_mean_word_len OR fail_symbol_ratio
+       OR fail_bullet_ellipsis OR fail_alpha_words OR fail_stopwords) AS keep
+FROM rules
 """
 
 

@@ -21,6 +21,8 @@ __spark_entry__.py); nothing iterates.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -259,4 +261,96 @@ def contract_graph(edges: DataFrame, labels: DataFrame) -> DataFrame:
         )
         .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the undirected simple graph:
+    ``phi(c) = cut(c) / min(vol(c), 2m − vol(c))`` with ``cut(c)`` the
+    number of undirected edges leaving ``c`` and ``vol(c)`` the summed
+    degree inside ``c`` — the standard community-quality score
+    complementing the global ``modularity`` row (same label contract:
+    vertices missing from ``labels`` are singletons).
+
+    Output (label, n_vertices, volume, cut, conductance) — conductance
+    0.0 for a whole-graph community (denominator 0 means no outside).
+
+    Plan: the modularity tagging joins (labels onto both endpoints),
+    then two map-side-combined groupBys over the label key; the 2m
+    scalar rides a 1-row crossJoin.  No iteration, no per-vertex state.
+    """
+    und = undirected_simple(edges)
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("v"),
+        F.col(labels.columns[1]).alias("lbl"),
+    ).distinct()
+    tagged = (
+        und.join(
+            lab.withColumnRenamed("v", "a").withColumnRenamed("lbl", "la"),
+            "a",
+            "left",
+        )
+        .join(
+            lab.withColumnRenamed("v", "b").withColumnRenamed("lbl", "lb"),
+            "b",
+            "left",
+        )
+        .select(
+            "a",
+            F.coalesce("la", F.col("a")).alias("la"),
+            F.coalesce("lb", F.col("b")).alias("lb"),
+        )
+    )
+    # per-community volume and cut: `und` carries both directions, so
+    # grouping by the a-side label counts each vertex's full degree
+    # (volume) and each leaving edge once per inside endpoint (cut)
+    per = tagged.groupBy(F.col("la").alias("label")).agg(
+        F.count(F.lit(1)).alias("volume"),
+        F.sum(F.when(F.col("la") != F.col("lb"), 1).otherwise(0)).alias("cut"),
+        F.count_distinct("a").alias("n_vertices"),
+    )
+    two_m = tagged.agg(F.count(F.lit(1)).alias("two_m"))
+    other = F.col("two_m") - F.col("volume")
+    denom = F.least(F.col("volume"), other)
+    return per.crossJoin(two_m).select(
+        "label",
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.col("volume").cast("long").alias("volume"),
+        F.col("cut").cast("long").alias("cut"),
+        F.when(denom <= 0, F.lit(0.0))
+        .otherwise(F.round(F.col("cut") / denom.cast("double"), 9))
+        .alias("conductance"),
+    )
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """Global transitivity (the graph-level clustering ratio):
+    ``T = 3·triangles / wedges`` with ``wedges = Σ_v d(v)·(d(v)−1)/2``
+    over the undirected simple graph — the one-row companion to the
+    per-vertex ``clustering_coefficient`` table.
+
+    Output one row: (n_triangles, n_wedges, transitivity).  Triangle
+    counting reuses the degree-oriented wedge join (triangles.py);
+    wedges are one degree agg — both hub-safe.
+    """
+    spark = edges.sparkSession
+    tri = triangle_count(edges).total
+    und = undirected_simple(edges)
+    row = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0)).alias("w"))
+        .collect()[0]
+    )
+    wedges = int(row["w"])
+    # half-away-from-zero rounding (matches SQL ROUND; python's round()
+    # is banker's and would diverge on exact .5 boundaries)
+    t = (
+        0.0
+        if wedges == 0
+        else math.floor(3.0 * tri / wedges * 1e9 + 0.5) / 1e9
+    )
+    return spark.createDataFrame(
+        [(int(tri), wedges, t)],
+        "n_triangles long, n_wedges long, transitivity double",
     )

@@ -391,3 +391,109 @@ def vocabulary(
             ).alias("cum_share"),
         )
     )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021 §A1.1,
+    public) as one boolean-per-rule projection plus the combined
+    ``keep`` verdict — the standard pre-training corpus filter.
+
+    Rules (each a ``fail_*`` column, True = rule violated):
+
+    * word count outside ``[min_words, max_words]``;
+    * mean word length outside ``[min_mean_word_len, max_mean_word_len]``;
+    * symbol-to-word ratio (``#`` and ``...``/``…``) above
+      ``max_symbol_ratio``;
+    * more than ``max_bullet_frac`` of lines starting with a bullet
+      (``•``, ``-``, ``*``) or more than ``max_ellipsis_frac`` ending
+      with an ellipsis;
+    * fewer than ``min_alpha_word_frac`` of words containing at least
+      one alphabetic character;
+    * fewer than ``min_required_stopwords`` distinct hits from the
+      required-stopword list (the/be/to/of/and/that/have/with).
+
+    Single text scan, no shuffle, column-pruned — a pure projection
+    whose symbol/ellipsis counts use replace-based counting (portable:
+    identical in Spark and DuckDB, no regex-dialect divergence).
+    Empty documents fail the word-count rule and are dropped.
+    """
+    c = F.col(text_col)
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    safe_tok = F.when(n_tok == 0, F.lit(1)).otherwise(n_tok)
+    mean_len = (
+        F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / safe_tok
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_dots = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    n_hell = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    symbol_ratio = (n_hash + n_dots + n_hell).cast("double") / safe_tok
+
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), F.trim), lambda l: F.length(l) > 0
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.when(n_lines == 0, F.lit(1)).otherwise(n_lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("•") | l.startswith("-") | l.startswith("*"),
+            )
+        ).cast("double")
+        / safe_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("double")
+        / safe_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / safe_tok
+    )
+    required = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    low = F.transform(t, F.lower)
+    n_req = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in required]),
+            lambda w: F.array_contains(low, w),
+        )
+    )
+
+    fails = {
+        "fail_word_count": (n_tok < min_words) | (n_tok > max_words),
+        "fail_mean_word_len": (mean_len < min_mean_word_len)
+        | (mean_len > max_mean_word_len),
+        "fail_symbol_ratio": symbol_ratio > max_symbol_ratio,
+        "fail_bullet_ellipsis": (bullet_frac > max_bullet_frac)
+        | (ellipsis_frac > max_ellipsis_frac),
+        "fail_alpha_words": alpha_frac < min_alpha_word_frac,
+        "fail_stopwords": n_req < min_required_stopwords,
+    }
+    keep = F.lit(True)
+    for expr in fails.values():
+        keep = keep & ~expr
+    return docs.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        *[expr.alias(name) for name, expr in fails.items()],
+        keep.alias("keep"),
+    )

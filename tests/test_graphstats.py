@@ -830,3 +830,68 @@ def test_linkpred_jaccard_vs_python(spark):
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-8), k
         assert 0.0 < got[k] <= 1.0
+
+
+def test_community_conductance_vs_python(spark):
+    from smatchpp_spark.operators.graphstats import community_conductance
+
+    pairs = _rand_pairs(40, 160, seed=11)
+    edges = _edges_df(spark, pairs)
+    # labels: vertex id parity (strings), some vertices left unlabeled
+    nbrs = _und(pairs)
+    verts = sorted(nbrs, key=str)
+    lab_rows = [(str(v), f"p{int(str(v)) % 2}") for v in verts if int(str(v)) < 30]
+    labels = spark.createDataFrame(lab_rows, "vertex string, label string")
+    got = {
+        r["label"]: (r["n_vertices"], r["volume"], r["cut"], r["conductance"])
+        for r in community_conductance(edges, labels).collect()
+    }
+
+    lab = {str(v): f"p{int(str(v)) % 2}" for v in verts if int(str(v)) < 30}
+    und = set()
+    for a, b in pairs:
+        if a != b:
+            und.add(tuple(sorted((str(a), str(b)))))
+    two_m = 2 * len(und)
+    vol, cut, members = {}, {}, {}
+    for a, b in und:
+        la, lb = lab.get(a, a), lab.get(b, b)
+        for v, lv in ((a, la), (b, lb)):
+            vol[lv] = vol.get(lv, 0) + 1
+            members.setdefault(lv, set()).add(v)
+        if la != lb:
+            cut[la] = cut.get(la, 0) + 1
+            cut[lb] = cut.get(lb, 0) + 1
+    want = {}
+    for c, v in vol.items():
+        denom = min(v, two_m - v)
+        phi = 0.0 if denom <= 0 else round(cut.get(c, 0) / denom, 9)
+        want[c] = (len(members[c]), v, cut.get(c, 0), phi)
+    assert got == want
+
+
+def test_transitivity_vs_python(spark):
+    from smatchpp_spark.operators.graphstats import transitivity
+
+    pairs = _rand_pairs(30, 130, seed=13)
+    edges = _edges_df(spark, pairs)
+    row = transitivity(edges).collect()[0]
+
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(str(a), set()).add(str(b))
+        nbrs.setdefault(str(b), set()).add(str(a))
+    tri = sum(
+        1
+        for v, ns in nbrs.items()
+        for u in ns
+        for w in ns
+        if u < w and w in nbrs.get(u, ())
+    ) // 1  # per-pivot count of closed wedges = 3 * triangles
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in nbrs.values())
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] * 3 == tri
+    expect = 0.0 if wedges == 0 else round(tri / wedges, 9)
+    assert row["transitivity"] == pytest.approx(expect, abs=1e-9)

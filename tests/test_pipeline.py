@@ -1226,3 +1226,34 @@ def test_bigram_lm_scores_vs_python(spark):
         n_bg, avg = got[did]
         assert n_bg == len(pairs)
         assert avg == pytest.approx(round(lp, 6), abs=2e-6), did
+
+
+def test_gopher_filter_rules(spark):
+    from smatchpp_spark.pipeline import text as T
+
+    long_good = "the cat sat with the dog and that was to be of note " * 6
+    rows = [
+        (0, long_good),                                   # passes everything
+        (1, "short doc only"),                            # fails word count
+        (2, "### " * 60 + "the be to of and have with that"),  # symbol-heavy
+        (3, "\n".join("- bullet line the be to of and" for _ in range(10))
+            + " " + "filler " * 50),                      # bullet lines
+        (4, ("99 11 22 33 44 55 66 77 " * 8)
+            + "the be to of and that have with"),         # numbery: alpha frac low
+        (5, ""),                                          # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in T.gopher_filter(docs, min_words=20).collect()}
+
+    assert got[0]["keep"] is True
+    assert got[1]["fail_word_count"] and not got[1]["keep"]
+    assert got[2]["fail_symbol_ratio"] and not got[2]["keep"]
+    assert got[3]["fail_bullet_ellipsis"] and not got[3]["keep"]
+    assert got[4]["fail_alpha_words"] and not got[4]["keep"]
+    assert got[5]["fail_word_count"] and not got[5]["keep"]
+    # python replay of the word-level rules on the passing doc
+    toks = long_good.split()
+    assert got[0]["n_tokens"] == len(toks)
+    assert not got[0]["fail_mean_word_len"]
+    mean = sum(len(w) for w in toks) / len(toks)
+    assert 3.0 <= mean <= 10.0
