@@ -1592,6 +1592,73 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
+def _simhash_blocks_cte(bits: int, n_blocks: int) -> str:
+    """Shared block-explode CTEs over the portable 16-bit SimHash codes
+    (mirrors dedup.simhash_blocks: contiguous bit blocks, wider blocks
+    first when bits % n_blocks != 0)."""
+    th = f"list_transform({SQL_TOKS}, w -> {_h('w')})"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> (h >> {i}) % 2 = 1)) - len(th) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    width = bits // n_blocks
+    widths = [width + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    rows, off = [], 0
+    for i, w in enumerate(widths):
+        rows.append(
+            f"SELECT doc_id, code, {i} AS block_idx, "
+            f"(code >> {off}) % {1 << w} AS block_val FROM codes"
+        )
+        off += w
+    block_rows = " UNION ALL ".join(rows)
+    return (
+        f"t AS (SELECT doc_id, {th} AS th FROM documents),\n"
+        f"codes AS MATERIALIZED (SELECT doc_id, {terms} AS code FROM t),\n"
+        f"blocks AS ({block_rows}),\n"
+        "cand AS (SELECT DISTINCT a.doc_id AS da, a.code AS ca,\n"
+        "                b.doc_id AS db, b.code AS cb\n"
+        "         FROM blocks a JOIN blocks b\n"
+        "           ON a.block_idx = b.block_idx AND a.block_val = b.block_val\n"
+        "          AND a.doc_id < b.doc_id)"
+    )
+
+
+def _simhash_neardup_sql(
+    bits: int = 16, n_blocks: int = 4, max_h: int = 3
+) -> str:
+    """neardup_pairs_simhash replay: block-match candidates (pigeonhole
+    recall at radius n_blocks−1) verified by bit_count(xor) ≤ max_h.
+    The max_bucket guard is not replayed — at the sf0.01 check scale no
+    block bucket can exceed the default 1000."""
+    return f"""
+WITH {_simhash_blocks_cte(bits, n_blocks)}
+SELECT da AS doc_a, db AS doc_b,
+       CAST(bit_count(xor(ca, cb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ca, cb)) <= {max_h}
+"""
+
+
+def _simhash_clusters_sql(
+    bits: int = 16, n_blocks: int = 4, max_h: int = 3
+) -> str:
+    """simhash_dedup_clusters replay: the neardup CTEs, then the same
+    recursive min-label CC + keep-lowest projection as
+    _dedup_clusters_sql over the verified pair graph."""
+    return f"""
+WITH RECURSIVE {_simhash_blocks_cte(bits, n_blocks)},
+ver AS MATERIALIZED (SELECT da, db FROM cand
+                     WHERE bit_count(xor(ca, cb)) <= {max_h}),
+und AS (SELECT da AS src, db AS dst FROM ver
+        UNION SELECT db, da FROM ver),
+reach(v, l) AS (SELECT src, src FROM und
+                UNION
+                SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.v)
+SELECT v AS doc_id, MIN(l) AS cluster_id, v = MIN(l) AS is_canonical
+FROM reach GROUP BY v
+"""
+
+
 def _sig_cols(num_hashes: int) -> str:
     cols = []
     for i in range(num_hashes):
@@ -2516,6 +2583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_simhash"] = lambda spark, sf: dedup.simhash(
         _docs(spark, sf), bits=16, portable=True
     )
+    q["doc_simhash_neardup"] = lambda spark, sf: dedup.neardup_pairs_simhash(
+        _docs(spark, sf), bits=32, n_blocks=8, max_hamming=3, portable=True
+    )
+    q["doc_simhash_clusters"] = lambda spark, sf: dedup.simhash_dedup_clusters(
+        _docs(spark, sf), bits=32, n_blocks=8, max_hamming=3, portable=True
+    )
     q["doc_bpe_tokens"] = lambda spark, sf: text.bpe_token_count(_docs(spark, sf))
     q["doc_repetition"] = lambda spark, sf: text.repetition_features(_docs(spark, sf))
     q["doc_line_dedup"] = lambda spark, sf: text.line_dedup(
@@ -2770,7 +2843,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and by the local full-contract run (tools/check_contract.py), so with
 # this rotation no query's newest driver row is ever >1 round old.
 # Round-8 rotation: put the 40 entries beyond this round's window back
-# in front (plus anything new or touched this round).
+# in front (plus anything new or touched this round).  Queries ADDED
+# later in round 7 after the 50 slots filled (doc_simhash_neardup,
+# doc_simhash_clusters, and any other late-round-7 additions — grep
+# CONTRACT_LOCAL_r07 for the full green list) overflow the window this
+# round: their correctness evidence is the local full-contract run;
+# put them FIRST in the round-8 front.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -3481,6 +3559,8 @@ FROM a
         "doc_minhash": _minhash_sql(4),
         "doc_neardup_pairs": _neardup_sql(8, 2),
         "doc_simhash": _simhash_sql(16),
+        "doc_simhash_neardup": _simhash_neardup_sql(32, 8, 3),
+        "doc_simhash_clusters": _simhash_clusters_sql(32, 8, 3),
         "doc_bpe_tokens": f"""
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -265,6 +265,144 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_blocks(
+    codes: DataFrame,
+    bits: int,
+    n_blocks: int,
+    id_col: str = "doc_id",
+    code_col: str = "simhash",
+) -> DataFrame:
+    """Split each SimHash code into ``n_blocks`` contiguous bit blocks;
+    output (id, block_idx, block_val, code) — the Manku et al. (WWW'07,
+    public) candidate-bucket table.  Pigeonhole: two codes within
+    hamming distance ``n_blocks − 1`` agree on at least one block, so an
+    equi-join on (block_idx, block_val) has full recall at that radius.
+    """
+    width = bits // n_blocks
+    widths = [width + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    blocks, off = [], 0
+    for i, w in enumerate(widths):
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                (F.shiftright(F.col(code_col), off) % F.lit(1 << w)).alias(
+                    "block_val"
+                ),
+            )
+        )
+        off += w
+    return codes.select(
+        id_col, code_col, F.explode(F.array(*blocks)).alias("b")
+    ).select(id_col, code_col, "b.block_idx", "b.block_val")
+
+
+def neardup_pairs_simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (Charikar fingerprint + Manku
+    block-match candidates): docs sharing ≥1 of ``n_blocks`` bit blocks
+    are candidates; verified by exact ``hamming64 ≤ max_hamming``.
+    Output (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Recall is EXACT for ``max_hamming ≤ n_blocks − 1`` (pigeonhole on
+    the blocks); larger radii need more blocks.  Scale shape matches the
+    MinHash path: candidates come from an equi-join on
+    (block_idx, block_val) — never all-pairs — and buckets larger than
+    ``max_bucket`` (e.g. the empty-text all-zeros code) are dropped
+    before the self-join, the standard degenerate-bucket guard.  The
+    verify step is a bit_count on the pair row — no second text scan.
+    """
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"neardup_pairs_simhash: max_hamming={max_hamming} exceeds the "
+            f"block-match recall radius n_blocks-1={n_blocks - 1}; raise "
+            "n_blocks"
+        )
+    # materialize codes once: the band explode + both join sides would
+    # otherwise each inline the full per-bit vote expression tree
+    # (projection collapse — same hazard as minhash signatures)
+    codes = simhash(docs, text_col, id_col, bits, portable).localCheckpoint(
+        eager=False
+    )
+    blocks = simhash_blocks(codes, bits, n_blocks, id_col)
+    sizes = blocks.groupBy("block_idx", "block_val").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    blocks = blocks.join(
+        sizes.filter(F.col("sz") <= max_bucket).select("block_idx", "block_val"),
+        ["block_idx", "block_val"],
+        "left_semi",
+    )
+    a = blocks.select(
+        "block_idx", "block_val",
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("code_a"),
+    )
+    b = blocks.select(
+        "block_idx", "block_val",
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("code_b"),
+    )
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            hamming64(F.col("code_a"), F.col("code_b")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    max_rounds: int = 30,
+    max_bucket: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash near-duplicate CLUSTERS with a canonical representative —
+    the fingerprint twin of ``duplicate_clusters`` (MinHash/Jaccard) and
+    ``embedding_dedup_clusters`` (cosine): block-match candidates →
+    hamming verify (``neardup_pairs_simhash``) → hash-min connected
+    components → keep-lowest policy.  Identical output contract:
+    ``(id_col, cluster_id, is_canonical)``, one row per doc with ≥1
+    near-duplicate; raises on a truncated CC fixpoint (a split cluster
+    would silently keep duplicates).
+    """
+    from smatchpp_spark.operators.components import connected_components
+
+    pairs = neardup_pairs_simhash(
+        docs, text_col, id_col, bits, n_blocks, max_hamming, max_bucket,
+        portable,
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges, max_supersteps=max_rounds)
+    if not cc.converged:
+        raise RuntimeError(
+            "simhash_dedup_clusters: connected-components did not converge "
+            f"within max_rounds={max_rounds} (pair-graph diameter exceeds "
+            "the cap); raise max_rounds"
+        )
+    return cc.components.select(
+        F.col("vertex").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("vertex") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def neardup_pairs_embedding(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -1257,3 +1257,83 @@ def test_gopher_filter_rules(spark):
     assert not got[0]["fail_mean_word_len"]
     mean = sum(len(w) for w in toks) / len(toks)
     assert 3.0 <= mean <= 10.0
+
+
+def _py_simhash(t: str, bits: int) -> int:
+    code = 0
+    for i in range(bits):
+        vote = sum(
+            1 if (oracle_hash64(w) >> i) % 2 == 1 else -1 for w in t.split()
+        )
+        if vote > 0:
+            code |= 1 << i
+    return code
+
+
+def test_simhash_neardup_pairs_vs_python(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base), (2, base.replace("dog", "cat")),
+            (3, "an entirely different document about spark shuffle plans and joins"),
+            (4, base.replace("quick", "slow").replace("today", "tomorrow")),
+            (5, "yet another unrelated text body mentioning parquet files and arrow")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bits, n_blocks, max_h = 16, 4, 3
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.neardup_pairs_simhash(
+            docs, bits=bits, n_blocks=n_blocks, max_hamming=max_h,
+            portable=True,
+        ).collect()
+    }
+    codes = {i: _py_simhash(t, bits) for i, t in rows}
+    # brute-force expectation: block-match recall is EXACT at radius
+    # n_blocks-1, so every pair within max_h must be found
+    want = {}
+    for a in codes:
+        for b in codes:
+            if a < b:
+                h = bin(codes[a] ^ codes[b]).count("1")
+                if h <= max_h:
+                    want[(a, b)] = h
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0  # exact dup pair found
+
+
+def test_simhash_dedup_clusters_keep_lowest(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(10, base), (11, base), (12, base.replace("dog", "cat")),
+            (13, "an entirely different document about spark shuffle plans and joins")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.simhash_dedup_clusters(
+            docs, bits=16, n_blocks=4, max_hamming=3, portable=True
+        ).collect()
+    }
+    # python replay: cluster = CC over hamming<=3 pairs
+    codes = {i: _py_simhash(t, 16) for i, t in rows}
+    import itertools
+    parent = {i: i for i in codes}
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+    for a, b in itertools.combinations(sorted(codes), 2):
+        if bin(codes[a] ^ codes[b]).count("1") <= 3:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in codes:
+        root = find(i)
+        members = [j for j in codes if find(j) == root]
+        if len(members) > 1:
+            want[i] = (min(members), i == min(members))
+    assert out == want
+    assert 13 not in out  # singleton absent
+
+
+def test_simhash_neardup_radius_guard(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="recall radius"):
+        dedup.neardup_pairs_simhash(docs, n_blocks=4, max_hamming=4)
