@@ -1592,6 +1592,43 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
+def _c4_sql(min_words: int = 3, min_sentences: int = 2) -> str:
+    """c4_filter replay (pipeline/text.py) over the derived multi-line
+    corpus (replace ' a ' -> '.' + newline): line retention (terminal
+    punctuation, word minimum, boilerplate phrases) + page drop rules
+    (kept-line minimum, lorem ipsum, curly brace), clean_text rejoin."""
+    return f"""
+WITH d AS (SELECT doc_id, replace(text, ' a ', '.' || chr(10)) AS text
+           FROM documents),
+base AS (SELECT doc_id, text,
+  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+              l -> length(l) > 0) AS lines
+  FROM d),
+k AS (SELECT doc_id, text, lines,
+  list_filter(lines, l ->
+    (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+     OR ends_with(l, '"'))
+    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= {min_words}
+    AND NOT (contains(lower(l), 'javascript')
+             OR contains(lower(l), 'privacy policy')
+             OR contains(lower(l), 'terms of use')
+             OR contains(lower(l), 'cookie'))) AS kept
+  FROM base),
+r AS (SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+  CAST(len(kept) AS INT) AS n_kept_lines,
+  len(kept) < {min_sentences} AS fail_min_sentences,
+  contains(lower(text), 'lorem ipsum') AS fail_lorem_ipsum,
+  contains(text, '{{') AS fail_curly_brace, kept
+  FROM k)
+SELECT doc_id, n_lines, n_kept_lines, fail_min_sentences, fail_lorem_ipsum,
+  fail_curly_brace,
+  NOT (fail_min_sentences OR fail_lorem_ipsum OR fail_curly_brace) AS keep,
+  CASE WHEN NOT (fail_min_sentences OR fail_lorem_ipsum OR fail_curly_brace)
+       THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text
+FROM r
+"""
+
+
 def _simhash_blocks_cte(bits: int, n_blocks: int) -> str:
     """Shared block-explode CTEs over the portable 16-bit SimHash codes
     (mirrors dedup.simhash_blocks: contiguous bit blocks, wider blocks
@@ -2632,6 +2669,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_gopher_filter"] = _gopher
 
+    def _c4(spark, sf):
+        # the synthetic corpus is single-line word soup: derive a
+        # deterministic multi-line corpus (replace ' a ' -> '.\n',
+        # identical in both engines) so the C4 line rules exercise a
+        # real keep/drop split (217/500 at these thresholds)
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.replace(F.col("text"), F.lit(" a "), F.lit(".\n")).alias("text"),
+        )
+        return text.c4_filter(d, min_words_per_line=3, min_sentences=2)
+
+    q["doc_c4_filter"] = _c4
+
     def _substr_dedup(spark, sf):
         return dedup.substring_dedup_spans(
             _docs(spark, sf), ngram=5, min_span=8, portable=True
@@ -3560,6 +3610,7 @@ FROM a
         "doc_neardup_pairs": _neardup_sql(8, 2),
         "doc_simhash": _simhash_sql(16),
         "doc_simhash_neardup": _simhash_neardup_sql(32, 8, 3),
+        "doc_c4_filter": _c4_sql(3, 2),
         "doc_simhash_clusters": _simhash_clusters_sql(32, 8, 3),
         "doc_bpe_tokens": f"""
 SELECT doc_id,

@@ -497,3 +497,76 @@ def gopher_filter(
         *[expr.alias(name) for name, expr in fails.items()],
         keep.alias("keep"),
     )
+
+
+def c4_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    emit_clean_text: bool = True,
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2, public) as a
+    single-scan projection: line-level retention plus page-level drop
+    rules — the standard web-corpus counterpart to ``gopher_filter``
+    (which scores, where this REWRITES).
+
+    Line kept iff it ends in terminal punctuation (``. ! ? "``), has at
+    least ``min_words_per_line`` words, and carries no boilerplate
+    phrase (``javascript``, ``privacy policy``, ``terms of use``,
+    ``cookie`` — case-insensitive).  Page dropped iff fewer than
+    ``min_sentences`` kept lines, or the page contains ``lorem ipsum``
+    (case-insensitive) or a curly brace.
+
+    Output: ``(id, n_lines, n_kept_lines, fail_min_sentences,
+    fail_lorem_ipsum, fail_curly_brace, keep[, clean_text])`` where
+    ``clean_text`` re-joins the kept lines for surviving pages ('' on
+    dropped pages, so the column is never null).  Pure projection —
+    no shuffle, text column pruned after the scan; all counting is
+    replace/contains-based (portable: identical in Spark and DuckDB).
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+    def _line_kept(l: Column) -> Column:
+        words = F.size(F.filter(F.split(l, " "), lambda w: w != F.lit("")))
+        ends = (
+            l.endswith(".") | l.endswith("!") | l.endswith("?")
+            | l.endswith('"')
+        )
+        low = F.lower(l)
+        boiler = (
+            low.contains("javascript")
+            | low.contains("privacy policy")
+            | low.contains("terms of use")
+            | low.contains("cookie")
+        )
+        return ends & (words >= min_words_per_line) & ~boiler
+
+    kept = F.filter(lines, _line_kept)
+    n_kept = F.size(kept)
+    low_all = F.lower(c)
+    fail_lorem = low_all.contains("lorem ipsum")
+    fail_brace = c.contains("{")
+    fail_min_sent = n_kept < min_sentences
+    keep = ~(fail_lorem | fail_brace | fail_min_sent)
+    cols = [
+        id_col,
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        fail_min_sent.alias("fail_min_sentences"),
+        fail_lorem.alias("fail_lorem_ipsum"),
+        fail_brace.alias("fail_curly_brace"),
+        keep.alias("keep"),
+    ]
+    if emit_clean_text:
+        cols.append(
+            F.when(keep, F.array_join(kept, "\n"))
+            .otherwise(F.lit(""))
+            .alias("clean_text")
+        )
+    return docs.select(*cols)

@@ -1337,3 +1337,47 @@ def test_simhash_neardup_radius_guard(spark):
     docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="recall radius"):
         dedup.neardup_pairs_simhash(docs, n_blocks=4, max_hamming=4)
+
+
+def test_c4_filter_rules(spark):
+    good = ("The quick brown fox jumps over the lazy dog today.\n"
+            "Every sentence here has plenty of words and ends well!\n"
+            "A third complete sentence keeps this page above the bar?\n"
+            "short line.\n"
+            "no terminal punctuation on this long enough line here\n"
+            "Please enable javascript to view this page properly.\n")
+    rows = [
+        (0, good),
+        (1, "Lorem ipsum dolor sit amet and more valid sentences follow here.\n"
+            "Another full sentence with enough words to be kept today.\n"
+            "And a third one to clear the minimum sentence count bar."),
+        (2, good + "function f() { return 1; }\n"),
+        (3, "Only one good sentence lives on this page right now."),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.c4_filter(docs).collect()}
+
+    assert got[0]["keep"] is True
+    # short line, no-punct line, javascript line all dropped
+    assert got[0]["n_lines"] == 6 and got[0]["n_kept_lines"] == 3
+    assert got[0]["clean_text"].count("\n") == 2
+    assert "javascript" not in got[0]["clean_text"]
+    assert got[1]["fail_lorem_ipsum"] and not got[1]["keep"]
+    assert got[2]["fail_curly_brace"] and not got[2]["keep"]
+    assert got[2]["clean_text"] == ""
+    assert got[3]["fail_min_sentences"] and not got[3]["keep"]
+    assert got[4]["n_lines"] == 0 and not got[4]["keep"]
+
+    # python replay of the line-retention rule on doc 0
+    kept = []
+    for l in (l.strip(" ") for l in good.split("\n")):
+        if not l:
+            continue
+        words = [w for w in l.split(" ") if w]
+        low = l.lower()
+        if (l.endswith((".", "!", "?", '"')) and len(words) >= 5
+                and "javascript" not in low and "privacy policy" not in low
+                and "terms of use" not in low and "cookie" not in low):
+            kept.append(l)
+    assert got[0]["clean_text"] == "\n".join(kept)
