@@ -1592,6 +1592,53 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
+_BUTTERFLY_CTES = """
+e AS MATERIALIZED (SELECT DISTINCT 'o' || l_orderkey AS l,
+                          'p' || l_partkey AS r FROM lineitem),
+dl AS (SELECT l, COUNT(*) AS d FROM e GROUP BY l),
+dr AS (SELECT r, COUNT(*) AS d FROM e GROUP BY r),
+wl AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS w,
+              COUNT(*) AS n FROM dl),
+wr AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS w,
+              COUNT(*) AS n FROM dr),
+pc AS (SELECT a.r AS u1, b.r AS u2, COUNT(*) AS c
+       FROM e a JOIN e b ON a.l = b.l AND a.r < b.r
+       GROUP BY a.r, b.r)
+"""
+
+
+def _butterfly_census_sql() -> str:
+    """butterfly_count replay (operators/butterflies.py) on the
+    order↔part bipartite graph.  The butterfly total is
+    pivot-independent, so the oracle always counts through the left
+    (order) pivot — the cheaper side here — while pivot_side replays
+    the operator's wedge-sum comparison."""
+    return f"""
+WITH {_BUTTERFLY_CTES}
+SELECT (SELECT n FROM wl) AS n_left, (SELECT n FROM wr) AS n_right,
+  (SELECT COUNT(*) FROM e) AS n_edges,
+  (SELECT w FROM wl) AS wedges_via_left,
+  (SELECT w FROM wr) AS wedges_via_right,
+  CASE WHEN (SELECT w FROM wr) <= (SELECT w FROM wl)
+       THEN 'right' ELSE 'left' END AS pivot_side,
+  CAST(0 AS BIGINT) AS n_dropped_pivots,
+  (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM pc)
+    AS n_butterflies
+"""
+
+
+def _butterflies_per_vertex_sql() -> str:
+    """vertex_butterflies(side='right') replay: per-part butterfly
+    counts via the order-pivot pair table."""
+    return f"""
+WITH {_BUTTERFLY_CTES}
+SELECT u AS vertex, CAST(SUM(b) AS BIGINT) AS n_butterflies
+FROM (SELECT u1 AS u, c * (c - 1) // 2 AS b FROM pc
+      UNION ALL SELECT u2, c * (c - 1) // 2 FROM pc)
+GROUP BY u HAVING SUM(b) > 0
+"""
+
+
 def _c4_sql(min_words: int = 3, min_sentences: int = 2) -> str:
     """c4_filter replay (pipeline/text.py) over the derived multi-line
     corpus (replace ' a ' -> '.' + newline): line retention (terminal
@@ -1936,6 +1983,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return transitivity(_e_co(spark, sf))
 
     q["graph_transitivity"] = _transit
+
+    def _bfly(spark, sf):
+        from smatchpp_spark.operators.butterflies import butterfly_count
+
+        return butterfly_count(_e_op(spark, sf), left_col="src", right_col="dst")
+
+    q["butterfly_census"] = _bfly
+
+    def _bfly_v(spark, sf):
+        from smatchpp_spark.operators.butterflies import vertex_butterflies
+
+        return vertex_butterflies(
+            _e_op(spark, sf), side="right", left_col="src", right_col="dst"
+        )
+
+    q["butterflies_per_part"] = _bfly_v
 
     def _deg_hist(spark, sf):
         from smatchpp_spark.operators.graphstats import degree_histogram
@@ -3611,6 +3674,8 @@ FROM a
         "doc_simhash": _simhash_sql(16),
         "doc_simhash_neardup": _simhash_neardup_sql(32, 8, 3),
         "doc_c4_filter": _c4_sql(3, 2),
+        "butterfly_census": _butterfly_census_sql(),
+        "butterflies_per_part": _butterflies_per_vertex_sql(),
         "doc_simhash_clusters": _simhash_clusters_sql(32, 8, 3),
         "doc_bpe_tokens": f"""
 SELECT doc_id,
