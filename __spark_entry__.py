@@ -523,6 +523,64 @@ def _hits_sql(iters: int) -> str:
     return "\n".join(parts)
 
 
+def _salsa_sql(iters: int) -> str:
+    """Unrolled fixed-iteration SALSA oracle over the simple order→part
+    graph (operators/hits.py salsa): degree-normalized half-steps
+    (hub/out on the forward pass, authority/in on the backward pass),
+    L1 normalization each half, zeros included via left joins."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({SQL_E_OP})),",
+        "ow AS (SELECT src, 1.0 / COUNT(*) AS w_fwd FROM e GROUP BY src),",
+        "iw AS (SELECT dst, 1.0 / COUNT(*) AS w_bwd FROM e GROUP BY dst),",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, ow.w_fwd, iw.w_bwd "
+        "FROM e JOIN ow ON ow.src = e.src JOIN iw ON iw.dst = e.dst),",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT COUNT(*) AS n FROM v),",
+        "s0 AS (SELECT vertex, 1.0 / (SELECT n FROM nn) AS hub, "
+        "1.0 / (SELECT n FROM nn) AS authority FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"ha{k} AS MATERIALIZED (SELECT s.vertex, s.hub, "
+            f"COALESCE(x.ar, 0.0) AS a_raw FROM {p} s LEFT JOIN "
+            f"(SELECT ew.dst AS vertex, SUM(s2.hub * ew.w_fwd) AS ar "
+            f"FROM {p} s2 JOIN ew ON ew.src = s2.vertex GROUP BY ew.dst) x "
+            f"ON x.vertex = s.vertex),"
+        )
+        parts.append(
+            f"an{k} AS (SELECT SUM(abs(a_raw)) AS n FROM ha{k}),"
+        )
+        parts.append(
+            f"hb{k} AS MATERIALIZED (SELECT vertex, hub, a_raw / "
+            f"(CASE WHEN (SELECT n FROM an{k}) > 0 "
+            f"THEN (SELECT n FROM an{k}) ELSE 1.0 END) AS authority "
+            f"FROM ha{k}),"
+        )
+        parts.append(
+            f"hc{k} AS MATERIALIZED (SELECT b.vertex, "
+            f"COALESCE(y.hr, 0.0) AS h_raw, b.authority FROM hb{k} b "
+            f"LEFT JOIN (SELECT ew.src AS vertex, "
+            f"SUM(b2.authority * ew.w_bwd) AS hr "
+            f"FROM hb{k} b2 JOIN ew ON ew.dst = b2.vertex GROUP BY ew.src) y "
+            f"ON y.vertex = b.vertex),"
+        )
+        parts.append(
+            f"hn{k} AS (SELECT SUM(abs(h_raw)) AS n FROM hc{k}),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT vertex, h_raw / "
+            f"(CASE WHEN (SELECT n FROM hn{k}) > 0 "
+            f"THEN (SELECT n FROM hn{k}) ELSE 1.0 END) AS hub, authority "
+            f"FROM hc{k}),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, ROUND(hub, 9) AS hub, "
+        f"ROUND(authority, 9) AS authority FROM s{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _eigen_sql(iters: int) -> str:
     """Unrolled fixed-iteration eigenvector-centrality oracle over the
     undirected simple supplier→nation graph: per iteration one
@@ -2234,6 +2292,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_scores"] = _hits
 
+    def _salsa(spark, sf):
+        from smatchpp_spark.operators.hits import salsa
+
+        r = salsa(_e_op(spark, sf), max_supersteps=PR_STEPS, tol=-1.0)
+        return r.scores.select(
+            "vertex",
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
+        )
+
+    q["salsa_scores"] = _salsa
+
     def _eigen(spark, sf):
         from smatchpp_spark.operators.hits import eigenvector_centrality
 
@@ -3227,6 +3297,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
             weighted=True,
         ),
         "hits_scores": _hits_sql(PR_STEPS),
+        "salsa_scores": _salsa_sql(PR_STEPS),
         "eigenvector_centrality": _eigen_sql(PR_STEPS),
         "louvain_communities": _louvain_sql(3, 2),
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),

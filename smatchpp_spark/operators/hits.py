@@ -306,3 +306,172 @@ def eigenvector_centrality(
         converged=res.converged,
         metrics=res.metrics,
     )
+
+
+def salsa(
+    edges: DataFrame,
+    max_supersteps: int = 50,
+    tol: float = 1e-10,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> HITSResult:
+    """SALSA (Lempel & Moran 2000, public) — the stochastic HITS
+    variant: contributions are DEGREE-NORMALIZED random-walk steps
+    rather than raw sums, which kills HITS's topic-drift/TKC effect:
+
+    * authority half-step: ``a'(j) = Σ_{i→j} h(i) / out(i)``
+    * hub half-step:       ``h'(i) = Σ_{i→j} a'(j) / in(j)``
+
+    each L1-normalized (the scores are probability distributions — the
+    stationary authority mass inside a connected support component is
+    proportional to in-degree, the paper's closed form; the pytest
+    asserts it).  Defined on the SIMPLE directed graph (duplicate edges
+    collapse — the random surfer picks among distinct links; self-loops
+    dropped), ``tol=-1`` for the fixed-iteration oracle-replayable form.
+
+    Physical shape: both normalizations are pre-joined ONCE into the
+    static edge table (``w_fwd = 1/out(src)``, ``w_bwd = 1/in(dst)`` —
+    the PageRank static-contrib pattern), hash-partitioned by src and
+    persisted; each superstep is two join→map-side-combined-agg passes
+    over it plus two 1-row L1 scalars, exactly HITS's dataflow.
+    SuperstepRunner provides checkpoint/resume/metrics.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    simple = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out_w = simple.groupBy("src").agg(
+        (F.lit(1.0) / F.count(F.lit(1))).alias("w_fwd")
+    )
+    in_w = simple.groupBy("dst").agg(
+        (F.lit(1.0) / F.count(F.lit(1))).alias("w_bwd")
+    )
+    ew = (
+        simple.join(out_w, "src")
+        .join(in_w, "dst")
+        .select("src", "dst", "w_fwd", "w_bwd")
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    ew.count()
+    vertices = (
+        ew.select(F.col("src").alias("vertex"))
+        .unionByName(ew.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    n_row = vertices.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    n_vertices = int(n_row["n"])
+    nan = F.lit(float("nan"))
+    init = vertices.select(
+        "vertex",
+        F.lit(1.0 / n_vertices if n_vertices else 1.0).alias("hub"),
+        F.lit(1.0 / n_vertices if n_vertices else 1.0).alias("authority"),
+        nan.alias("prev_hub"),
+        nan.alias("prev_authority"),
+    )
+
+    def _l1(df: DataFrame, col: str) -> float:
+        row = df.agg(F.sum(F.abs(F.col(col))).alias("n")).collect()[0]
+        return float(row["n"] or 0.0)
+
+    step_ckpts: list[DataFrame] = []
+
+    def _free_step_ckpts() -> None:
+        while step_ckpts:
+            free_local_checkpoint(step_ckpts.pop())
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        _free_step_ckpts()
+        contrib = (
+            state.select(F.col("vertex").alias("src"), "hub")
+            .join(ew, "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum(F.col("hub") * F.col("w_fwd")).alias("a_raw"))
+        )
+        half = (
+            state.select(
+                "vertex", "hub", F.col("authority").alias("prev_authority")
+            )
+            .join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                "hub",
+                "prev_authority",
+                F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        half_ckpt = half
+        an = _l1(half, "a_raw")
+        half = half.select(
+            "vertex",
+            "hub",
+            "prev_authority",
+            (F.col("a_raw") / F.lit(an if an > 0 else 1.0)).alias("authority"),
+        )
+        back = (
+            half.select(F.col("vertex").alias("dst"), "authority")
+            .join(ew, "dst")
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.sum(F.col("authority") * F.col("w_bwd")).alias("h_raw"))
+        )
+        full = (
+            half.select(
+                "vertex",
+                F.col("hub").alias("prev_hub"),
+                "prev_authority",
+                "authority",
+            )
+            .join(back, "vertex", "left")
+            .select(
+                "vertex",
+                "prev_hub",
+                "prev_authority",
+                "authority",
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(half_ckpt)
+        step_ckpts.append(full)
+        hn = _l1(full, "h_raw")
+        return full.select(
+            "vertex",
+            (F.col("h_raw") / F.lit(hn if hn > 0 else 1.0)).alias("hub"),
+            "authority",
+            "prev_hub",
+            "prev_authority",
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        row = new.agg(
+            F.max(
+                F.greatest(
+                    F.abs(F.col("hub") - F.col("prev_hub")),
+                    F.abs(F.col("authority") - F.col("prev_authority")),
+                )
+            ).alias("d")
+        ).collect()[0]
+        return float(row["d"]) if row["d"] is not None else 0.0
+
+    runner = SuperstepRunner(
+        spark,
+        op="salsa",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_supersteps,
+        tol=tol,
+    )
+    res = runner.run(init, step, delta, resume=resume)
+    _free_step_ckpts()
+    ew.unpersist()
+    return HITSResult(
+        scores=res.state.select("vertex", "hub", "authority"),
+        supersteps=res.supersteps,
+        converged=res.converged,
+        metrics=res.metrics,
+    )

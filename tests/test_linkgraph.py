@@ -1700,3 +1700,79 @@ def test_core_histogram_matches_replay(spark):
     assert got == want
     degen = max(core.values())
     assert {r["coreness"] for r in rows if r["is_degeneracy"]} == {degen}
+
+
+def test_salsa_vs_numpy(spark):
+    """SALSA hub/authority allclose 1e-8 vs a numpy replay of the
+    degree-normalized half-steps with L1 normalization."""
+    from smatchpp_spark.operators.hits import salsa
+
+    rng = np.random.RandomState(11)
+    E = sorted(
+        {(int(a), int(b)) for a, b in rng.randint(0, 20, size=(90, 2)) if a != b}
+    )
+    edges = _edges_df(spark, E)
+    steps = 10
+    res = salsa(edges, max_supersteps=steps, tol=-1.0)
+    got = {r.vertex: (r.hub, r.authority) for r in res.scores.collect()}
+
+    verts = sorted({v for e in E for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for a, b in E:
+        A[idx[a], idx[b]] = 1.0
+    out_d = A.sum(axis=1)
+    in_d = A.sum(axis=0)
+    Wf = np.divide(A, out_d[:, None], out=np.zeros_like(A), where=out_d[:, None] > 0)
+    Wb = np.divide(A, in_d[None, :], out=np.zeros_like(A), where=in_d[None, :] > 0)
+    h = np.full(n, 1.0 / n)
+    a = np.full(n, 1.0 / n)
+    for _ in range(steps):
+        a = Wf.T @ h
+        na = np.abs(a).sum()
+        a = a / (na if na > 0 else 1.0)
+        h = Wb @ a
+        nh = np.abs(h).sum()
+        h = h / (nh if nh > 0 else 1.0)
+    for v in verts:
+        gh, ga = got[v]
+        assert abs(gh - h[idx[v]]) < 1e-8, v
+        assert abs(ga - a[idx[v]]) < 1e-8, v
+    # L1 distributions
+    assert sum(x for x, _ in got.values()) == pytest.approx(1.0)
+    assert sum(y for _, y in got.values()) == pytest.approx(1.0)
+
+
+def test_salsa_authority_proportional_to_indegree(spark):
+    """Lempel-Moran closed form: on a graph whose authority support
+    component is connected, stationary authority mass is proportional
+    to in-degree (the TKC-free property HITS lacks)."""
+    from smatchpp_spark.operators.hits import salsa
+
+    # bipartite, authority side {10, 11, 12} connected through shared hubs
+    E = [(0, 10), (0, 11), (1, 10), (1, 12), (2, 11), (2, 12), (3, 10)]
+    res = salsa(_edges_df(spark, E), max_supersteps=200, tol=1e-12)
+    assert res.converged
+    got = {r.vertex: r.authority for r in res.scores.collect()}
+    in_deg = {}
+    for _, b in E:
+        in_deg[b] = in_deg.get(b, 0) + 1
+    total = sum(in_deg.values())
+    for v, d in in_deg.items():
+        assert got[v] == pytest.approx(d / total, abs=1e-9), v
+
+
+def test_salsa_dedupes_multi_edges(spark):
+    """SALSA runs on the simple graph: duplicated edges must not change
+    the scores (random surfer picks among distinct links)."""
+    from smatchpp_spark.operators.hits import salsa
+
+    E = [(0, 2), (1, 2), (1, 3)]
+    res1 = salsa(_edges_df(spark, E), max_supersteps=8, tol=-1.0)
+    res2 = salsa(_edges_df(spark, E + E + [(1, 2)]), max_supersteps=8, tol=-1.0)
+    s1 = sorted((r.vertex, round(r.hub, 12), round(r.authority, 12))
+                for r in res1.scores.collect())
+    s2 = sorted((r.vertex, round(r.hub, 12), round(r.authority, 12))
+                for r in res2.scores.collect())
+    assert s1 == s2
