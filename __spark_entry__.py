@@ -1650,6 +1650,59 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
+def _matching_sql(rounds: int = 2) -> str:
+    """maximal_matching replay (operators/matching.py) on the part
+    co-purchase graph: per round the per-vertex best incident edge by
+    (portable_hash(a#b#round), a, b) — weight constant 1.0 drops out of
+    the key — handshake join, matched-endpoint removal; fixed
+    ``rounds``, partial matching output (a, b, weight, round)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({SQL_E_CO}) WHERE src <> dst),",
+    ]
+    prev = "e0"
+    finals = []
+    for k in range(1, rounds + 1):
+        h = _h(f"a || '#' || b || '#{k}'")
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT a, b, {h} AS prio FROM {prev}),"
+        )
+        parts.append(
+            f"inc{k} AS (SELECT a AS v, prio, a, b FROM p{k} "
+            f"UNION ALL SELECT b, prio, a, b FROM p{k}),"
+        )
+        parts.append(
+            f"best{k} AS MATERIALIZED (SELECT v, prio, a, b FROM "
+            f"(SELECT v, prio, a, b, ROW_NUMBER() OVER "
+            f"(PARTITION BY v ORDER BY prio, a, b) AS rn FROM inc{k}) "
+            f"WHERE rn = 1),"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT e.a, e.b FROM p{k} e "
+            f"JOIN best{k} x ON x.v = e.a AND x.prio = e.prio "
+            f"AND x.a = e.a AND x.b = e.b "
+            f"JOIN best{k} y ON y.v = e.b AND y.prio = e.prio "
+            f"AND y.a = e.a AND y.b = e.b),"
+        )
+        parts.append(
+            f"mv{k} AS (SELECT a AS v FROM m{k} UNION SELECT b FROM m{k}),"
+        )
+        parts.append(
+            # matched edges are covered by the endpoint removal (an
+            # edge in m{k} has both endpoints in mv{k})
+            f"act{k} AS MATERIALIZED (SELECT a, b FROM p{k} WHERE "
+            f"a NOT IN (SELECT v FROM mv{k}) "
+            f"AND b NOT IN (SELECT v FROM mv{k})),"
+        )
+        finals.append(
+            f"SELECT a, b, 1.0 AS weight, CAST({k} AS INT) AS round FROM m{k}"
+        )
+        prev = f"act{k}"
+    parts.append("fin AS (SELECT 1)")
+    parts.append(" UNION ALL ".join(finals))
+    return "\n".join(parts)
+
+
 _BUTTERFLY_CTES = """
 e AS MATERIALIZED (SELECT DISTINCT 'o' || l_orderkey AS l,
                           'p' || l_partkey AS r FROM lineitem),
@@ -2057,6 +2110,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["butterflies_per_part"] = _bfly_v
+
+    def _matching(spark, sf):
+        from smatchpp_spark.operators.matching import maximal_matching
+
+        r = maximal_matching(
+            _e_co(spark, sf), max_supersteps=2, tol=-1.0, portable=True
+        )
+        return r.matched
+
+    q["maximal_matching"] = _matching
 
     def _deg_hist(spark, sf):
         from smatchpp_spark.operators.graphstats import degree_histogram
@@ -3747,6 +3810,7 @@ FROM a
         "doc_c4_filter": _c4_sql(3, 2),
         "butterfly_census": _butterfly_census_sql(),
         "butterflies_per_part": _butterflies_per_vertex_sql(),
+        "maximal_matching": _matching_sql(2),
         "doc_simhash_clusters": _simhash_clusters_sql(32, 8, 3),
         "doc_bpe_tokens": f"""
 SELECT doc_id,
