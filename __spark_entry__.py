@@ -1650,6 +1650,55 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
+def _cms_sql(depth: int = 4, width: int = 256, k: int = 50) -> str:
+    """count_min_sketch + cms_estimate replay (pipeline/sketches.py):
+    row-salted portable-hash cells, min-over-rows estimates for the top
+    ``k`` exact word counts (never undercounts — the driver row proves
+    est >= exact on every key)."""
+    cell_rows = " UNION ALL ".join(
+        f"SELECT key, {d} AS row, "
+        + _h(f"key || '#cms{d}'")
+        + f" % {width} AS col FROM toks"
+        for d in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, {d} AS row, "
+        + _h(f"key || '#cms{d}'")
+        + f" % {width} AS col FROM top"
+        for d in range(depth)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (SELECT unnest({SQL_TOKS}) AS key FROM documents),
+cells AS ({cell_rows}),
+sk AS MATERIALIZED (SELECT row, col, COUNT(*) AS cnt
+                    FROM cells GROUP BY row, col),
+exact AS (SELECT key, COUNT(*) AS exact_count FROM toks GROUP BY key),
+top AS MATERIALIZED (SELECT key, exact_count FROM exact
+                     ORDER BY exact_count DESC, key LIMIT {k}),
+probes AS ({probe_rows}),
+est AS (SELECT p.key, MIN(COALESCE(s.cnt, 0)) AS est
+        FROM probes p LEFT JOIN sk s ON s.row = p.row AND s.col = p.col
+        GROUP BY p.key)
+SELECT e.key, CAST(e.est AS BIGINT) AS est, t.exact_count
+FROM est e JOIN top t ON t.key = e.key
+"""
+
+
+def _weighted_sample_sql() -> str:
+    """weighted_sample replay (pipeline/mixing.py, Efraimidis-Spirakis
+    A-ES): u = portable hash of 'id:7' / 2^60 nudged off zero, key =
+    ln(u)/w with w = token count, top 50 keys."""
+    h = _h("doc_id || ':7'")
+    return f"""
+WITH t AS (SELECT doc_id, CAST(len({SQL_TOKS}) AS DOUBLE) AS w FROM documents),
+d AS (SELECT doc_id, w,
+  ln(greatest({h} / 1152921504606846976.0, power(2.0, -60))) / w AS k
+  FROM t WHERE w > 0)
+SELECT doc_id, w AS weight, ROUND(k, 9) AS sample_key
+FROM d ORDER BY k DESC, doc_id LIMIT 50
+"""
+
+
 def _matching_sql(rounds: int = 2) -> str:
     """maximal_matching replay (operators/matching.py) on the part
     co-purchase graph: per round the per-vertex best incident edge by
@@ -2878,6 +2927,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_c4_filter"] = _c4
 
+    def _wsample(spark, sf):
+        from smatchpp_spark.pipeline import mixing
+        from smatchpp_spark.pipeline.text import tokens
+
+        d = _docs(spark, sf).select(
+            "doc_id", F.size(tokens("text")).cast("double").alias("w")
+        )
+        return mixing.weighted_sample(d, k=50, weight_col="w")
+
+    q["doc_weighted_sample"] = _wsample
+
+    def _cms(spark, sf):
+        from smatchpp_spark.pipeline.sketches import cms_estimate, count_min_sketch
+        from smatchpp_spark.pipeline.text import tokens
+
+        toks = _docs(spark, sf).select(F.explode(tokens("text")).alias("key"))
+        sk = count_min_sketch(toks, "key", depth=4, width=256, portable=True)
+        exact = toks.groupBy("key").agg(F.count(F.lit(1)).alias("exact_count"))
+        top = exact.orderBy(F.desc("exact_count"), "key").limit(50)
+        est = cms_estimate(
+            sk, top.select("key"), "key", depth=4, width=256, portable=True
+        )
+        return est.join(top, "key").select("key", "est", "exact_count")
+
+    q["doc_cms_wordcounts"] = _cms
+
     def _substr_dedup(spark, sf):
         return dedup.substring_dedup_spans(
             _docs(spark, sf), ngram=5, min_span=8, portable=True
@@ -3811,6 +3886,8 @@ FROM a
         "butterfly_census": _butterfly_census_sql(),
         "butterflies_per_part": _butterflies_per_vertex_sql(),
         "maximal_matching": _matching_sql(2),
+        "doc_weighted_sample": _weighted_sample_sql(),
+        "doc_cms_wordcounts": _cms_sql(4, 256, 50),
         "doc_simhash_clusters": _simhash_clusters_sql(32, 8, 3),
         "doc_bpe_tokens": f"""
 SELECT doc_id,

@@ -171,3 +171,68 @@ def hash_split(
         F.round(u, 9).alias("u"),
         split.alias("split"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: str | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the A-ES one-pass scheme
+    (Efraimidis & Spirakis 2006, public): every row draws
+    ``u = portable_hash64(id:seed) / 2^60`` and gets the sample key
+    ``ln(u) / w`` (the log form of ``u^(1/w)``, monotone-equivalent and
+    numerically stable); the ``k`` LARGEST keys are the sample.  Items
+    with non-positive weight are excluded (zero weight can never be
+    drawn; negative is invalid).
+
+    ``by`` selects per-stratum sampling: k rows per distinct ``by``
+    value via one window over the stratum (use for balanced per-domain
+    subcorpora); otherwise a global TakeOrdered top-k — no full sort,
+    per-partition heaps merge at the driver side of the plan.
+
+    The hash draw makes the sample deterministic, engine-portable
+    (DuckDB oracle replays it row by row), and stable under
+    repartitioning/re-runs — the property a training pipeline needs.
+
+    Output: ``(id[, by], weight, sample_key)`` with ``sample_key``
+    rounded to 9 dp for display; selection uses the unrounded key.
+    """
+    if k <= 0:
+        raise ValueError(f"weighted_sample: k must be positive, got {k}")
+    u = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ).cast("double") / F.lit(_TWO60)
+    # u == 0.0 (one hash value in 2^60) would give ln(0) = -inf; nudge
+    # into (0, 1) identically in both engines
+    u = F.greatest(u, F.lit(2.0 ** -60))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    base = docs.filter(w > 0).select(
+        F.col(id_col),
+        *([F.col(by)] if by else []),
+        w.alias("weight"),
+        key.alias("_k"),
+    )
+    if by:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(by).orderBy(
+            F.col("_k").desc(), F.col(id_col)
+        )
+        out = (
+            base.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    else:
+        out = base.orderBy(F.col("_k").desc(), F.col(id_col)).limit(k)
+    return out.select(
+        id_col,
+        *([by] if by else []),
+        "weight",
+        F.round("_k", 9).alias("sample_key"),
+    )

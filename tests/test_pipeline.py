@@ -1381,3 +1381,140 @@ def test_c4_filter_rules(spark):
                 and "terms of use" not in low and "cookie" not in low):
             kept.append(l)
     assert got[0]["clean_text"] == "\n".join(kept)
+
+
+def test_weighted_sample_vs_python(spark):
+    import math
+
+    from smatchpp_spark.pipeline import mixing
+
+    rows = [(i, f"d{i % 3}", float(1 + (i * 7) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, w double")
+
+    def py_key(i):
+        u = oracle_hash64(f"{i}:7") / float(1 << 60)
+        u = max(u, 2.0 ** -60)
+        return math.log(u) / dict((r[0], r[2]) for r in rows)[i]
+
+    got = [
+        (r["doc_id"], r["weight"], r["sample_key"])
+        for r in mixing.weighted_sample(df, k=10, weight_col="w").collect()
+    ]
+    keys = sorted(((py_key(i), i) for i, _, _ in rows), reverse=True)[:10]
+    want_ids = [i for _, i in keys]
+    assert [g[0] for g in got] == want_ids
+    for did, w, sk in got:
+        assert sk == pytest.approx(round(py_key(did), 9), abs=1e-9)
+
+    # per-stratum: exactly 10 per domain (60 rows, 3 domains, 20 each)
+    per = mixing.weighted_sample(df, k=10, weight_col="w", by="domain").collect()
+    from collections import Counter
+
+    cnt = Counter(r["domain"] for r in per)
+    assert cnt == {"d0": 10, "d1": 10, "d2": 10}
+    # per-domain selection matches the python replay too
+    for dom in cnt:
+        want = sorted(
+            ((py_key(i), i) for i, d, _ in rows if d == dom), reverse=True
+        )[:10]
+        got_d = sorted(r["doc_id"] for r in per if r["domain"] == dom)
+        assert got_d == sorted(i for _, i in want)
+
+
+def test_weighted_sample_weight_bias(spark):
+    """statistical sanity: an item with 50x the weight of the rest is
+    selected across most seeds."""
+    from smatchpp_spark.pipeline import mixing
+
+    rows = [(i, 50.0 if i == 0 else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    hits = 0
+    for seed in range(8):
+        ids = {r["doc_id"] for r in
+               mixing.weighted_sample(df, k=5, weight_col="w", seed=seed).collect()}
+        hits += 0 in ids
+    assert hits >= 7  # P(miss) per seed ≈ (1 - 50/89)^5-ish — tiny
+
+    with pytest.raises(ValueError, match="positive"):
+        mixing.weighted_sample(df, k=0, weight_col="w")
+    # zero/negative weights are excluded, never sampled
+    dfz = spark.createDataFrame(
+        [(0, 0.0), (1, -2.0), (2, 1.0)], "doc_id long, w double"
+    )
+    got = mixing.weighted_sample(dfz, k=3, weight_col="w").collect()
+    assert [r["doc_id"] for r in got] == [2]
+
+
+def test_count_min_sketch_vs_python(spark):
+    from smatchpp_spark.pipeline.sketches import cms_estimate, count_min_sketch
+
+    depth, width = 4, 64
+    rng = __import__("random").Random(17)
+    stream = [f"k{rng.randrange(30)}" for _ in range(400)]
+    items = spark.createDataFrame([(s,) for s in stream], "key string")
+    sk = count_min_sketch(items, "key", depth, width, portable=True)
+
+    # python replay of the exact grid
+    import collections
+
+    grid = collections.Counter()
+    for s in stream:
+        for d in range(depth):
+            grid[(d, oracle_hash64(f"{s}#cms{d}") % width)] += 1
+    got_grid = {(r["row"], r["col"]): r["cnt"] for r in sk.collect()}
+    assert got_grid == dict(grid)
+
+    # estimates: never undercount; min-over-rows replay matches
+    truth = collections.Counter(stream)
+    keys = spark.createDataFrame(
+        [(k,) for k in sorted(truth) + ["absent1", "absent2"]], "key string"
+    )
+    est = {
+        r["key"]: r["est"]
+        for r in cms_estimate(sk, keys, "key", depth, width, portable=True).collect()
+    }
+    for k in truth:
+        want = min(
+            grid[(d, oracle_hash64(f"{k}#cms{d}") % width)] for d in range(depth)
+        )
+        assert est[k] == want
+        assert est[k] >= truth[k]
+    for k in ("absent1", "absent2"):
+        assert est[k] >= 0  # may collide, never negative
+
+    # total count preserved per row
+    n = len(stream)
+    rowsums = collections.Counter()
+    for (d, _), c in grid.items():
+        rowsums[d] += c
+    assert all(v == n for v in rowsums.values())
+
+
+def test_count_min_sketch_merge_and_weights(spark):
+    from smatchpp_spark.pipeline.sketches import cms_estimate, count_min_sketch
+
+    depth, width = 3, 32
+    a = spark.createDataFrame([("x", 5), ("y", 2)], "key string, c int")
+    b = spark.createDataFrame([("x", 1), ("z", 7)], "key string, c int")
+    ska = count_min_sketch(a, "key", depth, width, count_col="c", portable=True)
+    skb = count_min_sketch(b, "key", depth, width, count_col="c", portable=True)
+    merged = (
+        ska.unionByName(skb)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_sketch(
+        a.unionByName(b), "key", depth, width, count_col="c", portable=True
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    keys = spark.createDataFrame([("x",), ("y",), ("z",)], "key string")
+    est = {
+        r["key"]: r["est"]
+        for r in cms_estimate(merged, keys, "key", depth, width, portable=True).collect()
+    }
+    assert est["x"] >= 6 and est["y"] >= 2 and est["z"] >= 7
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        count_min_sketch(a, "key", depth=0)
