@@ -1650,6 +1650,35 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
+def _bipartite_sql() -> str:
+    """bipartite_check replay (operators/components.py): the same
+    per-nation supplier cycle graph, double-cover edges, recursive
+    min-label CC, then the cc0/cc1 pivot to (component, is_bipartite,
+    side)."""
+    return """
+WITH RECURSIVE s AS (SELECT s_nationkey AS n, 's' || s_suppkey AS v,
+  ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rn,
+  COUNT(*) OVER (PARTITION BY s_nationkey) AS cnt FROM supplier),
+e0 AS (SELECT a.v AS src, b.v AS dst FROM s a JOIN s b
+       ON b.n = a.n AND b.rn = (a.rn % a.cnt) + 1 AND a.v <> b.v),
+cov AS (SELECT src || '|0' AS src, dst || '|1' AS dst FROM e0
+        UNION ALL SELECT src || '|1', dst || '|0' FROM e0),
+und AS (SELECT src, dst FROM cov UNION SELECT dst, src FROM cov),
+reach(v, l) AS (SELECT src, src FROM und
+                UNION
+                SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.v),
+cc AS (SELECT v, MIN(l) AS component FROM reach GROUP BY v),
+piv AS (SELECT substr(v, 1, length(v) - 2) AS vx,
+  MIN(CASE WHEN right(v, 1) = '0' THEN component END) AS cc0,
+  MIN(CASE WHEN right(v, 1) = '1' THEN component END) AS cc1
+  FROM cc GROUP BY vx)
+SELECT vx AS vertex, least(cc0, cc1) AS component,
+  cc0 <> cc1 AS is_bipartite,
+  CAST(CASE WHEN cc0 < cc1 THEN 0 WHEN cc0 > cc1 THEN 1 END AS INT) AS side
+FROM piv
+"""
+
+
 def _cms_sql(depth: int = 4, width: int = 256, k: int = 50) -> str:
     """count_min_sketch + cms_estimate replay (pipeline/sketches.py):
     row-salted portable-hash cells, min-over-rows estimates for the top
@@ -2169,6 +2198,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.matched
 
     q["maximal_matching"] = _matching
+
+    def _bipartite(spark, sf):
+        from pyspark.sql import Window
+
+        from smatchpp_spark.operators.components import bipartite_check
+
+        # deterministic mixed-parity cycle graph: suppliers of each
+        # nation form one cycle (odd length -> non-bipartite component,
+        # even -> bipartite with an alternating 2-coloring)
+        sup = _read(spark, sf, "supplier").select("s_nationkey", "s_suppkey")
+        w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+        r = sup.select(
+            "s_nationkey",
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("v"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("s_nationkey")).alias("cnt"),
+        )
+        a = r.select("s_nationkey", F.col("v").alias("src"), "rn", "cnt")
+        b = r.select(
+            "s_nationkey", F.col("v").alias("dst"), F.col("rn").alias("rn2")
+        )
+        e = (
+            a.join(b, "s_nationkey")
+            .filter(F.col("rn2") == F.pmod(F.col("rn"), F.col("cnt")) + 1)
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+        return bipartite_check(e).sides
+
+    q["graph_bipartite"] = _bipartite
 
     def _deg_hist(spark, sf):
         from smatchpp_spark.operators.graphstats import degree_histogram
@@ -3888,6 +3947,7 @@ FROM a
         "maximal_matching": _matching_sql(2),
         "doc_weighted_sample": _weighted_sample_sql(),
         "doc_cms_wordcounts": _cms_sql(4, 256, 50),
+        "graph_bipartite": _bipartite_sql(),
         "doc_simhash_clusters": _simhash_clusters_sql(32, 8, 3),
         "doc_bpe_tokens": f"""
 SELECT doc_id,

@@ -243,3 +243,96 @@ def two_phase_components(
         converged=converged,
         metrics=metrics,
     )
+
+
+@dataclass
+class BipartiteResult:
+    sides: DataFrame  # (vertex, component, is_bipartite, side)
+    supersteps: int
+    converged: bool
+    metrics: list
+
+
+def bipartite_check(
+    edges: DataFrame,
+    max_supersteps: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> BipartiteResult:
+    """Bipartiteness test + 2-coloring via the DOUBLE COVER reduction
+    (standard construction, public): every vertex v becomes two cover
+    nodes ``v|0`` / ``v|1``; each undirected edge (u, v) becomes
+    ``u|0—v|1`` and ``u|1—v|0``.  A component of the original graph is
+    bipartite iff its two cover copies land in DIFFERENT components of
+    the cover graph — an odd cycle is exactly what fuses them.  So the
+    whole test is one ``connected_components`` run on a 2×-sized edge
+    list: no new iteration code, the CC operator's hash-min supersteps,
+    checkpoint/resume and convergence contract are inherited verbatim.
+
+    Output one row per vertex: ``(vertex, component, is_bipartite,
+    side)`` — ``component`` is the min cover label of the vertex's
+    original component (a stable component id), ``is_bipartite`` is
+    constant across a component, and ``side`` is the 2-coloring
+    (0/1, NULL on non-bipartite components).  Vertices are cast to
+    string (the cover encoding appends ``|0``/``|1``; ids containing
+    ``|`` are rejected).  Raises if CC is truncated before its fixpoint
+    (a split cover component could fake bipartiteness).
+    """
+    a = F.col("src").cast("string")
+    b = F.col("dst").cast("string")
+    base = edges.select(a.alias("a"), b.alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    bad = base.filter(
+        F.col("a").contains("|") | F.col("b").contains("|")
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "bipartite_check: vertex ids must not contain '|' (cover "
+            "encoding delimiter)"
+        )
+    cover = base.select(
+        F.concat("a", F.lit("|0")).alias("src"),
+        F.concat("b", F.lit("|1")).alias("dst"),
+    ).unionByName(
+        base.select(
+            F.concat("a", F.lit("|1")).alias("src"),
+            F.concat("b", F.lit("|0")).alias("dst"),
+        )
+    )
+    cc = connected_components(
+        cover,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    if not cc.converged:
+        raise RuntimeError(
+            "bipartite_check: connected-components did not converge within "
+            f"max_supersteps={max_supersteps}; a truncated cover fixpoint "
+            "could report a fused component as two — raise max_supersteps"
+        )
+    split = cc.components.select(
+        F.expr("substring(vertex, 1, length(vertex) - 2)").alias("v"),
+        F.substring("vertex", -1, 1).alias("parity"),
+        "component",
+    )
+    piv = split.groupBy("v").agg(
+        F.min(F.when(F.col("parity") == "0", F.col("component"))).alias("cc0"),
+        F.min(F.when(F.col("parity") == "1", F.col("component"))).alias("cc1"),
+    )
+    sides = piv.select(
+        F.col("v").alias("vertex"),
+        F.least("cc0", "cc1").alias("component"),
+        (F.col("cc0") != F.col("cc1")).alias("is_bipartite"),
+        F.when(F.col("cc0") < F.col("cc1"), F.lit(0))
+        .when(F.col("cc0") > F.col("cc1"), F.lit(1))
+        .cast("int")
+        .alias("side"),
+    )
+    return BipartiteResult(
+        sides=sides,
+        supersteps=cc.supersteps,
+        converged=cc.converged,
+        metrics=cc.metrics,
+    )

@@ -1776,3 +1776,64 @@ def test_salsa_dedupes_multi_edges(spark):
     s2 = sorted((r.vertex, round(r.hub, 12), round(r.authority, 12))
                 for r in res2.scores.collect())
     assert s1 == s2
+
+
+def test_bipartite_check_cycles_and_coloring(spark):
+    from smatchpp_spark.operators.components import bipartite_check
+
+    # C4 (bipartite) + C5 (odd) + a path + an isolated edge
+    E = [(0, 1), (1, 2), (2, 3), (3, 0),
+         (10, 11), (11, 12), (12, 13), (13, 14), (14, 10),
+         (20, 21), (21, 22),
+         (30, 31)]
+    res = bipartite_check(_edges_df(spark, E))
+    assert res.converged
+    rows = {r["vertex"]: r for r in res.sides.collect()}
+
+    und = {}
+    for a, b in E:
+        und.setdefault(str(a), set()).add(str(b))
+        und.setdefault(str(b), set()).add(str(a))
+
+    # python 2-coloring oracle per component
+    color, bip = {}, {}
+    for s in sorted(und):
+        if s in color:
+            continue
+        comp, ok = [s], True
+        color[s] = 0
+        queue = [s]
+        while queue:
+            v = queue.pop()
+            for w in und[v]:
+                if w not in color:
+                    color[w] = 1 - color[v]
+                    comp.append(w)
+                    queue.append(w)
+                elif color[w] == color[v]:
+                    ok = False
+        for v in comp:
+            bip[v] = ok
+
+    for v, nbrs in und.items():
+        assert rows[v]["is_bipartite"] == bip[v], v
+        if bip[v]:
+            # proper coloring: neighbors on opposite sides
+            for w in nbrs:
+                assert rows[v]["side"] != rows[w]["side"], (v, w)
+            assert rows[v]["side"] in (0, 1)
+        else:
+            assert rows[v]["side"] is None
+    # component id constant within a component, distinct across
+    assert rows["0"]["component"] == rows["2"]["component"]
+    assert rows["10"]["component"] == rows["13"]["component"]
+    assert rows["0"]["component"] != rows["10"]["component"]
+
+
+def test_bipartite_check_rejects_delimiter(spark):
+    from smatchpp_spark.operators.components import bipartite_check
+
+    df = spark.createDataFrame([("a|x", "b")], "src string, dst string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="delimiter"):
+        bipartite_check(df)
