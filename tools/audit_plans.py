@@ -124,6 +124,59 @@ CHECKS = {
         ("MapInPandas",
          "single Arrow-batched Python stage, no per-row UDF"),
     ],
+    "doc_gopher_filter": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "all six Gopher rules ride ONE scan of 2/5 document columns"),
+        ("codegen id",
+         "the whole rule projection is a stateless codegen span — no "
+         "shuffle, no join"),
+    ],
+    "doc_c4_filter": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "line retention + page rules + clean_text rejoin in ONE scan "
+         "projection"),
+        ("codegen id", "pure projection stays in whole-stage codegen"),
+    ],
+    # butterfly_census itself returns a pre-reduced 1-row frame (the
+    # wedge sums / pair counts run inside the operator); the per-vertex
+    # variant exposes the real distributed plan
+    "butterflies_per_part": [
+        ("Scan ExistingRDD",
+         "the distinct edge table is localCheckpoint-materialized ONCE "
+         "and both self-join sides read the checkpoint (the minhash "
+         "projection-collapse guard), so no branch recomputes the scan"),
+        ("HashAggregate",
+         "pair and per-vertex butterfly counts combine map-side "
+         "(hub-safe)"),
+    ],
+    "doc_simhash_neardup": [
+        ("HashAggregate",
+         "per-pair shared-block counting combines map-side; candidates "
+         "come from the (block_idx, block_val) equi-join, never all-pairs"),
+        ("codegen id",
+         "the per-bit vote and block split stay in whole-stage codegen"),
+    ],
+    "doc_cms_wordcounts": [
+        ("BroadcastExchange",
+         "the ≤ depth×width sketch broadcasts to the probe side — "
+         "estimates never shuffle the sketch"),
+        ("HashAggregate",
+         "cell counts combine map-side: the shuffle is bounded by "
+         "depth×width per partition regardless of corpus size"),
+    ],
+    "doc_weighted_sample": [
+        ("TakeOrderedAndProject",
+         "global top-k by sample key — per-partition heaps, NO full sort "
+         "of the corpus"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "the weight derivation reads 2 of 5 document columns"),
+    ],
+    "community_conductance": [
+        ("HashAggregate",
+         "volume/cut/member counts combine map-side over the label key"),
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+         "co-purchase edge derivation prunes to the 2 key columns"),
+    ],
 }
 
 

@@ -478,6 +478,93 @@ def main() -> None:
         timed("coreness_6rounds", scale, lambda: coreness(
             e_op, max_supersteps=6
         ).coreness.count())
+
+        # ---- round-7 operators ----
+        from smatchpp_spark.operators.butterflies import butterfly_count
+        from smatchpp_spark.operators.components import bipartite_check
+        from smatchpp_spark.operators.graphstats import (
+            community_conductance,
+            transitivity,
+        )
+        from smatchpp_spark.operators.hits import salsa
+        from smatchpp_spark.operators.linkpred import linkpred_scores as _lps
+        from smatchpp_spark.operators.matching import maximal_matching
+        from smatchpp_spark.pipeline.mixing import weighted_sample
+        from smatchpp_spark.pipeline.relevance import (
+            bigram_lm_scores,
+            bm25_search,
+            tfidf_topk,
+        )
+        from smatchpp_spark.pipeline.sketches import count_min_sketch
+        from smatchpp_spark.pipeline.text import c4_filter, gopher_filter, tokens
+
+        timed("butterfly_census", scale, lambda: butterfly_count(
+            e_op, left_col="src", right_col="dst"
+        ).collect())
+        timed("salsa_5steps", scale, lambda: salsa(
+            e_op, max_supersteps=5, tol=-1.0
+        ).scores.count())
+        timed("matching_2rounds", scale, lambda: maximal_matching(
+            inp["e_co"], max_supersteps=2, tol=-1.0
+        ).matched.count())
+        timed("bipartite_check", scale, lambda: bipartite_check(
+            inp["e_cust"]
+        ).sides.count())
+        # hash-derived 8-way labels work at both scales (the replicated
+        # 10x ids carry an x{i}_ prefix, so no numeric parse)
+        _verts = (
+            inp["e_co"].select(F.col("src").alias("vertex"))
+            .unionByName(inp["e_co"].select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        _labels = _verts.select(
+            "vertex",
+            F.pmod(F.xxhash64("vertex"), F.lit(8)).cast("string").alias("label"),
+        )
+        timed("community_conductance", scale, lambda: community_conductance(
+            inp["e_co"], _labels
+        ).count())
+        timed("graph_transitivity", scale, lambda: transitivity(
+            inp["e_co"]
+        ).collect())
+        timed("linkpred_jaccard_cap64", scale, lambda: _lps(
+            inp["e_co"], method="jaccard", max_pivot_degree=64
+        ).count())
+        # 60-bit codes / 15-bit blocks: block buckets stay small at both
+        # scales, so candidate volume tracks the true near-dup structure
+        # (10 cross-copy dup cliques per base doc at 10x)
+        timed("doc_simhash_clusters", scale, lambda: dedup.simhash_dedup_clusters(
+            inp["docs"], bits=60, n_blocks=4, max_hamming=3
+        ).count())
+        timed("doc_c4_filter", scale, lambda: c4_filter(
+            inp["docs"].select(
+                "doc_id",
+                F.replace(F.col("text"), F.lit(" a "), F.lit(".\n")).alias("text"),
+            ),
+            min_words_per_line=3, min_sentences=2,
+        ).count())
+        timed("doc_gopher_filter", scale, lambda: gopher_filter(
+            inp["docs"], min_words=30, min_required_stopwords=1
+        ).count())
+        timed("doc_tfidf_topk", scale, lambda: tfidf_topk(
+            inp["docs"], k=3
+        ).count())
+        timed("doc_bm25_search", scale, lambda: bm25_search(
+            inp["docs"], ["merge", "join", "sort"], top_n=20
+        ).count())
+        timed("doc_lm_score", scale, lambda: bigram_lm_scores(
+            inp["docs"]
+        ).count())
+        timed("doc_weighted_sample", scale, lambda: weighted_sample(
+            inp["docs"].select(
+                "doc_id", F.size(tokens("text")).cast("double").alias("w")
+            ),
+            k=50, weight_col="w",
+        ).count())
+        timed("doc_cms_build", scale, lambda: count_min_sketch(
+            inp["docs"].select(F.explode(tokens("text")).alias("key")),
+            "key", depth=4, width=256,
+        ).count())
         e_op.unpersist()
 
     fits = {}
