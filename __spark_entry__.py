@@ -1650,6 +1650,64 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
+def _bloom_sql(n_bits: int = 1 << 16, n_hashes: int = 4) -> str:
+    """bloom_build + bloom_contains replay (pipeline/sketches.py):
+    even-doc shingles set the bits, every distinct corpus shingle is
+    probed; no false negatives by construction."""
+    bit_rows = " UNION ALL ".join(
+        "SELECT " + _h(f"key || '#bf{i}'") + f" % {n_bits} AS bit FROM ref"
+        for i in range(n_hashes)
+    )
+    probe_rows = " UNION ALL ".join(
+        "SELECT key, " + _h(f"key || '#bf{i}'") + f" % {n_bits} AS bit FROM probes"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS MATERIALIZED (SELECT doc_id, unnest({SQL_SHINGLES}) AS key FROM t),
+ref AS (SELECT DISTINCT key FROM s WHERE doc_id % 2 = 0),
+bits AS MATERIALIZED (SELECT DISTINCT bit FROM ({bit_rows})),
+probes AS (SELECT DISTINCT key FROM s),
+pb AS ({probe_rows})
+SELECT pb.key, MIN(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 1
+  AS maybe_present
+FROM pb LEFT JOIN bits b ON b.bit = pb.bit GROUP BY pb.key
+"""
+
+
+def _hll_distinct_sql(p: int = 6) -> str:
+    """hll_distinct replay (pipeline/sketches.py): portable 60-bit hash
+    registers (j = h % m, rho = 61-p if w = 0 else 60-p - floor(log2(w))),
+    max per register, alpha_m bias + linear-counting switch — the
+    hyperball estimator on one static register set."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+    h = _h("key")
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS MATERIALIZED (SELECT unnest({SQL_SHINGLES}) AS key FROM t),
+hh AS (SELECT key, {h} AS h FROM s),
+init AS (SELECT CAST(h % {m} AS INT) AS reg,
+  CASE WHEN h // {m} = 0 THEN {60 - p + 1}
+       ELSE {60 - p} - CAST(floor(log2(h // {m})) AS INT) END AS rho
+  FROM hh),
+regs AS (SELECT reg, MAX(rho) AS mx FROM init GROUP BY reg),
+agg AS (SELECT COALESCE(SUM(power(2.0, -mx)), 0.0) AS sm,
+               COUNT(*) AS nonzero FROM regs),
+fin AS (SELECT sm, nonzero, {m} - nonzero AS zeros,
+  {alpha!r} * {m} * {m} / (sm + ({m} - nonzero)) AS raw FROM agg)
+SELECT CAST({m} AS INT) AS m, CAST(zeros AS BIGINT) AS n_zero_registers,
+  ROUND(raw, 6) AS raw_estimate,
+  ROUND(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+             THEN {m} * ln(CAST({m} AS DOUBLE) / zeros) ELSE raw END, 6)
+    AS estimate,
+  (SELECT COUNT(DISTINCT key) FROM s) AS n_exact
+FROM fin
+"""
+
+
 def _bipartite_sql() -> str:
     """bipartite_check replay (operators/components.py): the same
     per-nation supplier cycle graph, double-cover edges, recursive
@@ -3012,6 +3070,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_cms_wordcounts"] = _cms
 
+    def _bloom(spark, sf):
+        from smatchpp_spark.pipeline.dedup import shingles
+        from smatchpp_spark.pipeline.sketches import bloom_build, bloom_contains
+
+        d = _docs(spark, sf)
+        sh = F.explode(shingles("text", 3)).alias("key")
+        ref = d.filter(F.col("doc_id") % 2 == 0).select(sh)
+        bf = bloom_build(ref, "key", n_bits=1 << 16, n_hashes=4, portable=True)
+        probes = d.select(sh).distinct()
+        return bloom_contains(
+            bf, probes, "key", n_bits=1 << 16, n_hashes=4, portable=True
+        )
+
+    q["doc_bloom_membership"] = _bloom
+
+    def _hll(spark, sf):
+        from smatchpp_spark.pipeline.dedup import shingles
+        from smatchpp_spark.pipeline.sketches import hll_distinct
+
+        d = _docs(spark, sf)
+        items = d.select(F.explode(shingles("text", 3)).alias("key"))
+        est = hll_distinct(items, "key", p=6, portable=True)
+        exact = items.agg(F.count_distinct("key").alias("n_exact"))
+        return est.crossJoin(exact)
+
+    q["doc_hll_distinct"] = _hll
+
     def _substr_dedup(spark, sf):
         return dedup.substring_dedup_spans(
             _docs(spark, sf), ngram=5, min_span=8, portable=True
@@ -3948,6 +4033,8 @@ FROM a
         "doc_weighted_sample": _weighted_sample_sql(),
         "doc_cms_wordcounts": _cms_sql(4, 256, 50),
         "graph_bipartite": _bipartite_sql(),
+        "doc_bloom_membership": _bloom_sql(1 << 16, 4),
+        "doc_hll_distinct": _hll_distinct_sql(6),
         "doc_simhash_clusters": _simhash_clusters_sql(32, 8, 3),
         "doc_bpe_tokens": f"""
 SELECT doc_id,

@@ -112,3 +112,137 @@ def cms_estimate(
             F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est")
         )
     )
+
+
+def bloom_build(
+    items: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Build a Bloom filter (Bloom 1970, public) as a SET-BITS table
+    ``(bit,)`` — at most ``n_bits`` rows, usually far fewer: each key
+    sets ``n_hashes`` salted-hash bits; the table is the sparse bitmap.
+
+    Same scale logic as the count-min sketch: the explode+distinct
+    reduces any input size to a bounded table; shard filters union+
+    distinct to the merged filter.  Sizing: false-positive rate ≈
+    ``(1 − e^{−kn/m})^k`` for n keys, m bits, k hashes.
+    """
+    if n_bits <= 0 or n_hashes <= 0:
+        raise ValueError(
+            f"bloom_build: n_bits/n_hashes must be positive, got {n_bits}/{n_hashes}"
+        )
+    key = F.col(key_col)
+    bits = [
+        F.pmod(
+            hash64(F.concat(key.cast("string"), F.lit(f"#bf{i}")), portable),
+            F.lit(n_bits),
+        )
+        for i in range(n_hashes)
+    ]
+    return (
+        items.select(F.explode(F.array(*bits)).alias("bit")).distinct()
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Membership probes ``(key, maybe_present)`` — true iff ALL of the
+    key's bits are set.  No false negatives (every inserted key reports
+    true); false positives at the sized rate.  Parameters must match
+    the build.
+
+    Plan: keys × n_hashes probe explode, one broadcast join against the
+    bounded set-bits table, one all-bits-present groupBy.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash64(
+                            F.concat(key.cast("string"), F.lit(f"#bf{i}")),
+                            portable,
+                        ),
+                        F.lit(n_bits),
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    marked = bloom.select("bit", F.lit(1).alias("present"))
+    return (
+        probes.join(F.broadcast(marked), "bit", "left")
+        .groupBy("key")
+        .agg(
+            (F.min(F.coalesce(F.col("present"), F.lit(0))) == 1).alias(
+                "maybe_present"
+            )
+        )
+    )
+
+
+def hll_distinct(
+    items: DataFrame,
+    key_col: str,
+    p: int = 6,
+    portable: bool = False,
+) -> DataFrame:
+    """Approximate COUNT DISTINCT via a single HyperLogLog
+    (Flajolet et al. 2007, public) — the standalone form of the
+    register machinery the HyperBall operator iterates (same hash →
+    (register, rho) derivation, operators/hyperball.py).
+
+    One row out: ``(m, n_zero_registers, raw_estimate, estimate)`` with
+    the standard small-range linear-counting switch.  Standard error ≈
+    ``1.04/√m``.
+
+    Scale shape: the (register, rho) derivation is a scan projection;
+    ``groupBy(register).max(rho)`` is map-side combined and bounded by
+    ``m = 2^p`` rows per partition — like the CMS, a bounded-state
+    aggregate that also works as a streaming sink.
+    """
+    m = 1 << p
+    bits = 60 if portable else 64
+    key = F.col(key_col)
+    h = hash64(key.cast("string"), portable)
+    j = F.pmod(h, F.lit(m)).cast("int")
+    w = F.shiftrightunsigned(h, p)
+    rho = F.when(w == 0, F.lit(bits - p + 1)).otherwise(
+        (F.lit(bits - p) - F.floor(F.log2(w.cast("double")))).cast("int")
+    )
+    regs = (
+        items.select(j.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    from smatchpp_spark.operators.hyperball import _alpha
+
+    agg = regs.agg(
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("mx").cast("double"))), F.lit(0.0)
+        ).alias("s"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    z = F.col("s") + zeros.cast("double")
+    raw = F.lit(_alpha(m) * m * m) / z
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lin).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        zeros.cast("long").alias("n_zero_registers"),
+        F.round(raw, 6).alias("raw_estimate"),
+        F.round(est, 6).alias("estimate"),
+    )

@@ -1518,3 +1518,93 @@ def test_count_min_sketch_merge_and_weights(spark):
 
     with _pt.raises(ValueError, match="positive"):
         count_min_sketch(a, "key", depth=0)
+
+
+def test_bloom_filter_membership(spark):
+    from smatchpp_spark.pipeline.sketches import bloom_build, bloom_contains
+
+    inserted = [f"key{i}" for i in range(200)]
+    items = spark.createDataFrame([(k,) for k in inserted], "key string")
+    bf = bloom_build(items, "key", n_bits=1 << 14, n_hashes=4, portable=True)
+
+    # python replay of the set-bits table
+    want_bits = set()
+    for k in inserted:
+        for i in range(4):
+            want_bits.add(oracle_hash64(f"{k}#bf{i}") % (1 << 14))
+    assert {r["bit"] for r in bf.collect()} == want_bits
+
+    probes = spark.createDataFrame(
+        [(k,) for k in inserted[:50] + [f"absent{i}" for i in range(300)]],
+        "key string",
+    )
+    got = {
+        r["key"]: r["maybe_present"]
+        for r in bloom_contains(
+            bf, probes, "key", n_bits=1 << 14, n_hashes=4, portable=True
+        ).collect()
+    }
+    # NO false negatives
+    assert all(got[k] for k in inserted[:50])
+    # false positives within a loose bound: k=4, n=200, m=16384 ->
+    # fpr ~ (1-exp(-800/16384))^4 ~ 5e-6; allow a handful anyway
+    fp = sum(got[f"absent{i}"] for i in range(300))
+    assert fp <= 3
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="positive"):
+        bloom_build(items, "key", n_bits=0)
+
+
+def test_bloom_merge_law(spark):
+    from smatchpp_spark.pipeline.sketches import bloom_build
+
+    a = spark.createDataFrame([("x",), ("y",)], "key string")
+    b = spark.createDataFrame([("y",), ("z",)], "key string")
+    merged = (
+        bloom_build(a, "key", 1 << 10, 3, portable=True)
+        .unionByName(bloom_build(b, "key", 1 << 10, 3, portable=True))
+        .distinct()
+    )
+    whole = bloom_build(a.unionByName(b), "key", 1 << 10, 3, portable=True)
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in whole.collect()
+    )
+
+
+def test_hll_distinct_accuracy_and_replay(spark):
+    from smatchpp_spark.pipeline.sketches import hll_distinct
+
+    n = 5000
+    # 3 duplicate copies of each key: distinct is what must be counted
+    items = spark.createDataFrame(
+        [(f"u{i % n}",) for i in range(3 * n)], "key string"
+    )
+    row = hll_distinct(items, "key", p=6, portable=True).collect()[0]
+    assert row["m"] == 64
+    # 1.04/sqrt(64) = 13% standard error; allow 3 sigma
+    assert abs(row["estimate"] - n) / n < 0.4
+
+    # exact register replay (portable hash, p=6, 60-bit)
+    import math as _m
+
+    regs = {}
+    for i in range(n):
+        h = oracle_hash64(f"u{i}")
+        j = h % 64
+        w = h >> 6
+        rho = (60 - 6 + 1) if w == 0 else (60 - 6) - int(_m.floor(_m.log2(w)))
+        regs[j] = max(regs.get(j, 0), rho)
+    zeros = 64 - len(regs)
+    z = sum(2.0 ** -v for v in regs.values()) + zeros
+    from smatchpp_spark.operators.hyperball import _alpha
+
+    raw = _alpha(64) * 64 * 64 / z
+    est = 64 * _m.log(64 / zeros) if (raw <= 2.5 * 64 and zeros > 0) else raw
+    assert row["raw_estimate"] == pytest.approx(round(raw, 6), abs=1e-6)
+    assert row["estimate"] == pytest.approx(round(est, 6), abs=1e-6)
+
+    # small range: linear counting branch
+    small = spark.createDataFrame([(f"s{i}",) for i in range(10)], "key string")
+    r2 = hll_distinct(small, "key", p=6, portable=True).collect()[0]
+    assert abs(r2["estimate"] - 10) < 4
