@@ -193,43 +193,44 @@ def bloom_contains(
     )
 
 
-def hll_distinct(
+def hll_register_table(
     items: DataFrame,
     key_col: str,
     p: int = 6,
     portable: bool = False,
 ) -> DataFrame:
-    """Approximate COUNT DISTINCT via a single HyperLogLog
-    (Flajolet et al. 2007, public) — the standalone form of the
-    register machinery the HyperBall operator iterates (same hash →
-    (register, rho) derivation, operators/hyperball.py).
-
-    One row out: ``(m, n_zero_registers, raw_estimate, estimate)`` with
-    the standard small-range linear-counting switch.  Standard error ≈
-    ``1.04/√m``.
-
-    Scale shape: the (register, rho) derivation is a scan projection;
-    ``groupBy(register).max(rho)`` is map-side combined and bounded by
-    ``m = 2^p`` rows per partition — like the CMS, a bounded-state
-    aggregate that also works as a streaming sink.
+    """The HyperLogLog register table ``(reg, mx)`` — ≤ 2^p rows: the
+    same hash → (register, rho) derivation the HyperBall operator
+    iterates (operators/hyperball.py), aggregated once over a static
+    key stream.  This table IS the mergeable sketch state: shard tables
+    union + re-max to the merged sketch, and the aggregation is
+    streaming-legal as-is (bounded state — see streaming/sketches.py).
     """
     m = 1 << p
     bits = 60 if portable else 64
-    key = F.col(key_col)
-    h = hash64(key.cast("string"), portable)
-    j = F.pmod(h, F.lit(m)).cast("int")
+    h = hash64(F.col(key_col).cast("string"), portable)
     w = F.shiftrightunsigned(h, p)
     rho = F.when(w == 0, F.lit(bits - p + 1)).otherwise(
         (F.lit(bits - p) - F.floor(F.log2(w.cast("double")))).cast("int")
     )
-    regs = (
-        items.select(j.alias("reg"), rho.alias("rho"))
+    return (
+        items.select(
+            F.pmod(h, F.lit(m)).cast("int").alias("reg"), rho.alias("rho")
+        )
         .groupBy("reg")
         .agg(F.max("rho").alias("mx"))
     )
+
+
+def hll_estimate_from_registers(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Cardinality estimate from a ``(reg, mx)`` register table: alpha
+    bias correction + the small-range linear-counting switch (Flajolet
+    et al. 2007).  One row: ``(m, n_zero_registers, raw_estimate,
+    estimate)``."""
     from smatchpp_spark.operators.hyperball import _alpha
 
-    agg = regs.agg(
+    m = 1 << p
+    agg = registers.agg(
         F.coalesce(
             F.sum(F.pow(F.lit(2.0), -F.col("mx").cast("double"))), F.lit(0.0)
         ).alias("s"),
@@ -245,4 +246,24 @@ def hll_distinct(
         zeros.cast("long").alias("n_zero_registers"),
         F.round(raw, 6).alias("raw_estimate"),
         F.round(est, 6).alias("estimate"),
+    )
+
+
+def hll_distinct(
+    items: DataFrame,
+    key_col: str,
+    p: int = 6,
+    portable: bool = False,
+) -> DataFrame:
+    """Approximate COUNT DISTINCT via a single HyperLogLog
+    (Flajolet et al. 2007, public): ``hll_register_table`` →
+    ``hll_estimate_from_registers``.  Standard error ≈ ``1.04/√m``.
+
+    Scale shape: the (register, rho) derivation is a scan projection;
+    the register groupBy is map-side combined and bounded by
+    ``m = 2^p`` rows per partition — like the CMS, a bounded-state
+    aggregate that also works as a streaming sink.
+    """
+    return hll_estimate_from_registers(
+        hll_register_table(items, key_col, p, portable), p
     )

@@ -223,3 +223,93 @@ def test_stream_dedup_exact_matches_batch(spark):
 
     with _pytest.raises(ValueError):
         stream_dedup_exact(df)
+
+
+def test_stream_sketches_match_batch(spark):
+    """Two micro-batches through the CMS and HLL-register aggregations
+    in complete mode equal the batch sketches of the concatenated
+    input (sketches are order-insensitive monoids)."""
+    from smatchpp_spark.pipeline.sketches import (
+        cms_estimate,
+        count_min_sketch,
+        hll_distinct,
+    )
+    from smatchpp_spark.streaming.sketches import (
+        hll_estimate_from_registers,
+        stream_count_min,
+        stream_hll_registers,
+    )
+
+    batch1 = [(f"w{i % 7}",) for i in range(40)]
+    batch2 = [(f"w{i % 11}",) for i in range(60)]
+    schema = "key string"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "keys")
+        ck1 = os.path.join(tmp, "ck1")
+        ck2 = os.path.join(tmp, "ck2")
+        spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q1 = (
+            stream_count_min(stream, "key", depth=3, width=32, portable=True)
+            .writeStream.format("memory")
+            .queryName("cms_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", ck1)
+            .start()
+        )
+        q2 = (
+            stream_hll_registers(stream, "key", p=4, portable=True)
+            .writeStream.format("memory")
+            .queryName("hll_mem")
+            .outputMode("complete")
+            .option("checkpointLocation", ck2)
+            .start()
+        )
+        try:
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+            mid = {
+                (r["row"], r["col"]): r["cnt"]
+                for r in spark.table("cms_mem").collect()
+            }
+            spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+        finally:
+            q1.stop()
+            q2.stop()
+
+        both = spark.createDataFrame(batch1 + batch2, schema)
+        want_cms = {
+            (r["row"], r["col"]): r["cnt"]
+            for r in count_min_sketch(
+                both, "key", depth=3, width=32, portable=True
+            ).collect()
+        }
+        got_cms = {
+            (r["row"], r["col"]): r["cnt"]
+            for r in spark.table("cms_mem").collect()
+        }
+        assert got_cms == want_cms
+        # counters only grew between micro-batches
+        assert all(got_cms[k] >= v for k, v in mid.items())
+
+        # estimates off the streamed sketch == estimates off the batch one
+        keys = both.distinct()
+        streamed_est = {
+            r["key"]: r["est"]
+            for r in cms_estimate(
+                spark.table("cms_mem"), keys, "key", 3, 32, portable=True
+            ).collect()
+        }
+        import collections
+
+        truth = collections.Counter(k for k, in batch1 + batch2)
+        for k, c in truth.items():
+            assert streamed_est[k] >= c
+
+        got_hll = hll_estimate_from_registers(
+            spark.table("hll_mem"), p=4
+        ).collect()[0]
+        want_hll = hll_distinct(both, "key", p=4, portable=True).collect()[0]
+        assert got_hll.asDict() == want_hll.asDict()
