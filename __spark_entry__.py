@@ -1650,6 +1650,58 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
+def _ccnet_sql(min_count: int = 3, alpha: float = 0.5) -> str:
+    """ccnet_quality_buckets replay (pipeline/relevance.py): the
+    line-dedup CTEs produce the cleaned text, the bigram-LM CTEs score
+    it, quantile_cont terciles (rounded to the 6-dp score grid like the
+    operator's plan literals) bucket head/middle/tail."""
+    return f"""
+WITH p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+l AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.line AS line,
+        lower(trim(u.line)) AS norm
+     FROM (SELECT doc_id, unnest(list_transform(range(0, len(parts)),
+            i -> {{'pos': i, 'line': parts[i+1]}})) AS u FROM p)),
+boiler AS (SELECT norm FROM l WHERE norm <> ''
+           GROUP BY norm HAVING COUNT(*) >= {min_count}),
+td AS (SELECT l.doc_id, l.pos, l.line,
+        (b.norm IS NOT NULL AND l.norm <> '') AS "drop"
+      FROM l LEFT JOIN boiler b ON b.norm = l.norm),
+cleaned AS MATERIALIZED (SELECT doc_id,
+  CAST(SUM(CASE WHEN "drop" THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+           FILTER (WHERE NOT "drop"), '') AS text
+  FROM td GROUP BY doc_id),
+t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM cleaned),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       FROM t, unnest(range(1, len(toks))) AS r(i)),
+db AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, SUM(n) AS c12 FROM db GROUP BY 1, 2),
+lc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+vv AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+       FROM (SELECT unnest({SQL_TOKS_LOWER}) AS term FROM cleaned)
+       WHERE length(term) > 0),
+pd AS (SELECT db.doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         ROUND(SUM(n * ln((c12 + {alpha}) / (c1 + {alpha} * v))) / SUM(n), 6)
+           AS avg_logp
+       FROM db JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN vv
+       GROUP BY db.doc_id),
+lm AS (SELECT c.doc_id, c.n_dropped, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+         pd.avg_logp
+       FROM cleaned c LEFT JOIN pd ON pd.doc_id = c.doc_id),
+bnd AS (SELECT ROUND(quantile_cont(avg_logp, 1.0/3), 6) AS b_lo,
+               ROUND(quantile_cont(avg_logp, 2.0/3), 6) AS b_hi
+        FROM lm WHERE avg_logp IS NOT NULL),
+fin AS (SELECT lm.*, CASE
+    WHEN avg_logp IS NULL THEN 'empty'
+    WHEN avg_logp >= (SELECT b_hi FROM bnd) THEN 'head'
+    WHEN avg_logp >= (SELECT b_lo FROM bnd) THEN 'middle'
+    ELSE 'tail' END AS bucket FROM lm)
+SELECT doc_id, n_dropped, n_bigrams, avg_logp, bucket,
+  bucket IN ('head', 'middle') AS keep
+FROM fin
+"""
+
+
 def _bloom_sql(n_bits: int = 1 << 16, n_hashes: int = 4) -> str:
     """bloom_build + bloom_contains replay (pipeline/sketches.py):
     even-doc shingles set the bits, every distinct corpus shingle is
@@ -3020,6 +3072,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lm_score"] = _lm
 
+    def _ccnet(spark, sf):
+        from smatchpp_spark.pipeline.relevance import ccnet_quality_buckets
+
+        return ccnet_quality_buckets(_docs(spark, sf), min_count=3, alpha=0.5)
+
+    q["doc_ccnet_pipeline"] = _ccnet
+
     def _gopher(spark, sf):
         # min_words=30 so the synthetic corpus splits into keeps and
         # word-count fails (docs are 20-60 tokens at these SFs);
@@ -3595,6 +3654,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "doc_tfidf_topk": _tfidf_sql(3),
         "doc_bm25_search": _bm25_sql(["join", "spark", "vector"], 20),
         "doc_lm_score": _bigram_lm_sql(0.5),
+        "doc_ccnet_pipeline": _ccnet_sql(3, 0.5),
         "linkpred_jaccard": """
 WITH raw AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
              FROM lineitem WHERE l_orderkey % 7 = 0),

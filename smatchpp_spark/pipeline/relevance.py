@@ -210,3 +210,65 @@ def bigram_lm_scores(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.col("avg_logp"),
     )
+
+
+def ccnet_quality_buckets(
+    docs: DataFrame,
+    min_count: int = 3,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CCNet quality pipeline end-to-end (Wenzek et al. 2019,
+    public): corpus-level line dedup (boilerplate removal) → add-alpha
+    bigram-LM scoring of the CLEANED text → head/middle/tail quality
+    buckets by corpus log-probability terciles; CCNet keeps
+    head+middle.
+
+    Output per doc: ``(doc_id, n_dropped, n_bigrams, avg_logp, bucket,
+    keep)`` — ``bucket`` ∈ head/middle/tail ('empty' with keep=false
+    when the cleaned doc has < 2 tokens and no LM score exists).
+
+    Tercile boundaries are EXACT interpolated percentiles (1/3, 2/3)
+    of the rounded per-doc scores, computed as one partial-merge
+    aggregate and shipped back as plan literals (the IVF-codebook /
+    domain-mix discipline) — bucketing is then a stateless projection.
+    No global-sort window anywhere: at 100 TB swap the exact
+    ``percentile`` (which buffers values per partition) for
+    ``approx_percentile`` — one line, documented here — and the plan
+    shape is unchanged.
+    """
+    from smatchpp_spark.pipeline.text import line_dedup
+
+    ld = line_dedup(docs, text_col=text_col, id_col=id_col, min_count=min_count)
+    cleaned = ld.select(id_col, F.col("text_clean").alias(text_col))
+    lm = bigram_lm_scores(cleaned, alpha=alpha, text_col=text_col, id_col=id_col)
+    row = (
+        lm.filter(F.col("avg_logp").isNotNull())
+        .agg(
+            F.percentile(F.col("avg_logp"), F.lit(1.0 / 3)).alias("b_lo"),
+            F.percentile(F.col("avg_logp"), F.lit(2.0 / 3)).alias("b_hi"),
+        )
+        .collect()[0]
+    )
+    b_lo, b_hi = row["b_lo"], row["b_hi"]
+    if b_lo is None:  # nothing scored: everything is 'empty'
+        bucket = F.lit("empty")
+    else:
+        # boundaries rounded like the scores so a >= comparison can
+        # never flip between engines on the 6-dp score grid
+        b_lo, b_hi = round(b_lo, 6), round(b_hi, 6)
+        bucket = (
+            F.when(F.col("avg_logp").isNull(), F.lit("empty"))
+            .when(F.col("avg_logp") >= F.lit(b_hi), F.lit("head"))
+            .when(F.col("avg_logp") >= F.lit(b_lo), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    return lm.join(ld.select(id_col, "n_dropped"), id_col).select(
+        id_col,
+        "n_dropped",
+        "n_bigrams",
+        "avg_logp",
+        bucket.alias("bucket"),
+        bucket.isin("head", "middle").alias("keep"),
+    )

@@ -1608,3 +1608,36 @@ def test_hll_distinct_accuracy_and_replay(spark):
     small = spark.createDataFrame([(f"s{i}",) for i in range(10)], "key string")
     r2 = hll_distinct(small, "key", p=6, portable=True).collect()[0]
     assert abs(r2["estimate"] - 10) < 4
+
+
+def test_ccnet_quality_buckets(spark):
+    from smatchpp_spark.pipeline.relevance import ccnet_quality_buckets
+
+    boiler = "copyright footer text"
+    rng = __import__("random").Random(23)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(12):
+        body = " ".join(rng.choice(words) for _ in range(30))
+        rows.append((i, body + "\n" + boiler))
+    rows.append((100, "single"))  # < 2 tokens after cleaning -> empty
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ccnet_quality_buckets(docs, min_count=3).collect()}
+
+    # boilerplate removed from every doc that had it
+    for i in range(12):
+        assert out[i]["n_dropped"] == 1, i
+    assert out[100]["bucket"] == "empty" and out[100]["keep"] is False
+
+    scored = [out[i] for i in range(12)]
+    heads = [r for r in scored if r["bucket"] == "head"]
+    mids = [r for r in scored if r["bucket"] == "middle"]
+    tails = [r for r in scored if r["bucket"] == "tail"]
+    assert len(heads) + len(mids) + len(tails) == 12
+    assert heads and mids and tails
+    # ordering invariant: head >= middle >= tail on avg_logp
+    assert min(r["avg_logp"] for r in heads) >= max(r["avg_logp"] for r in mids)
+    assert min(r["avg_logp"] for r in mids) >= max(r["avg_logp"] for r in tails)
+    # CCNet keeps head+middle
+    for r in scored:
+        assert r["keep"] == (r["bucket"] in ("head", "middle"))
