@@ -1938,6 +1938,27 @@ GROUP BY u HAVING SUM(b) > 0
 """
 
 
+def _one_mode_sql(min_common: int = 2) -> str:
+    """one_mode_projection replay (operators/butterflies.py,
+    weighting='newman', side='right'): part pairs sharing >= min_common
+    orders, each shared order crediting 1/(d_order − 1).  The credit
+    join mirrors the operator's pre-join of pivot degrees onto edge
+    rows; ROUND(9) matches the Spark sink."""
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT 'o' || l_orderkey AS l,
+                               'p' || l_partkey AS r FROM lineitem),
+dl AS (SELECT l, COUNT(*) AS d FROM e GROUP BY l),
+pc AS (SELECT a.r AS u1, b.r AS u2, COUNT(*) AS common,
+              SUM(1.0 / (dl.d - 1)) AS w
+       FROM e a JOIN e b ON a.l = b.l AND a.r < b.r
+       JOIN dl ON dl.l = a.l
+       WHERE dl.d >= 2
+       GROUP BY a.r, b.r)
+SELECT u1, u2, CAST(common AS BIGINT) AS common, ROUND(w, 9) AS weight
+FROM pc WHERE common >= {min_common}
+"""
+
+
 def _c4_sql(min_words: int = 3, min_sentences: int = 2) -> str:
     """c4_filter replay (pipeline/text.py) over the derived multi-line
     corpus (replace ' a ' -> '.' + newline): line retention (terminal
@@ -2298,6 +2319,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["butterflies_per_part"] = _bfly_v
+
+    def _one_mode(spark, sf):
+        from smatchpp_spark.operators.butterflies import one_mode_projection
+
+        # Newman-weighted part↔part projection of the order↔part graph
+        # (each shared order credits its pairs with 1/(d_order − 1));
+        # round(9) at the sink for cross-engine hash parity, like the
+        # harmonic/pagerank score sinks.
+        p = one_mode_projection(
+            _e_op(spark, sf),
+            side="right",
+            left_col="src",
+            right_col="dst",
+            weighting="newman",
+            min_common=2,
+        )
+        return p.select(
+            "u1", "u2", "common", F.round("weight", 9).alias("weight")
+        )
+
+    q["graph_one_mode"] = _one_mode
 
     def _matching(spark, sf):
         from smatchpp_spark.operators.matching import maximal_matching
@@ -4089,6 +4131,7 @@ FROM a
         "doc_c4_filter": _c4_sql(3, 2),
         "butterfly_census": _butterfly_census_sql(),
         "butterflies_per_part": _butterflies_per_vertex_sql(),
+        "graph_one_mode": _one_mode_sql(2),
         "maximal_matching": _matching_sql(2),
         "doc_weighted_sample": _weighted_sample_sql(),
         "doc_cms_wordcounts": _cms_sql(4, 256, 50),

@@ -120,3 +120,97 @@ def test_butterfly_max_pivot_degree_guard(spark):
 def test_vertex_butterflies_bad_side(spark):
     with pytest.raises(ValueError, match="left/right"):
         vertex_butterflies(_df(spark, [(0, 0)]), side="middle")
+
+
+# ---- one-mode projection ----
+
+
+def _py_projection(pairs, side="left"):
+    """brute force: per same-side pair, common count, newman and
+    jaccard weights."""
+    nbr = {}  # side vertex -> set of pivots
+    pnbr = {}  # pivot -> set of side vertices
+    for a, b in set(pairs):
+        u, p = (a, b) if side == "left" else (b, a)
+        nbr.setdefault(u, set()).add(p)
+        pnbr.setdefault(p, set()).add(u)
+    out = {}
+    for u1, u2 in itertools.combinations(sorted(nbr), 2):
+        shared = nbr[u1] & nbr[u2]
+        if not shared:
+            continue
+        c = len(shared)
+        newman = sum(1.0 / (len(pnbr[p]) - 1) for p in shared)
+        jac = c / (len(nbr[u1]) + len(nbr[u2]) - c)
+        out[(u1, u2)] = (c, newman, jac)
+    return out
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_one_mode_projection_count(spark, side):
+    from smatchpp_spark.operators.butterflies import one_mode_projection
+
+    rng = random.Random(13)
+    pairs = {(rng.randrange(10), rng.randrange(8)) for _ in range(60)}
+    want = _py_projection(pairs, side=side)
+    pfx = "l" if side == "left" else "r"
+    got = {
+        (r["u1"], r["u2"]): (r["common"], r["weight"])
+        for r in one_mode_projection(_df(spark, pairs), side=side).collect()
+    }
+    # single-digit ids: string order == int order, so the sorted int
+    # pair maps directly onto the operator's (u1 < u2) string pair
+    assert got == {
+        (f"{pfx}{u1}", f"{pfx}{u2}"): (c, float(c))
+        for (u1, u2), (c, _, _) in want.items()
+    }
+
+
+def test_one_mode_projection_newman_jaccard(spark):
+    from smatchpp_spark.operators.butterflies import one_mode_projection
+
+    rng = random.Random(29)
+    pairs = {(rng.randrange(9), rng.randrange(7)) for _ in range(50)}
+    want = _py_projection(pairs)
+    df = _df(spark, pairs)
+    for widx, mode in ((1, "newman"), (2, "jaccard")):
+        got = {
+            (r["u1"], r["u2"]): (r["common"], r["weight"])
+            for r in one_mode_projection(df, weighting=mode).collect()
+        }
+        assert set(got) == {
+            (f"l{u1}", f"l{u2}") for (u1, u2) in want
+        }
+        for (u1, u2), (c, *_ws) in want.items():
+            gc, gw = got[(f"l{u1}", f"l{u2}")]
+            assert gc == c
+            assert gw == pytest.approx(want[(u1, u2)][widx], abs=1e-12)
+
+
+def test_one_mode_projection_min_common_and_guard(spark):
+    from smatchpp_spark.operators.butterflies import one_mode_projection
+
+    # pivot r0 has degree 4 (creates 6 pairs), r1 degree 2 (1 pair:
+    # l0-l1, which also shares r0 -> common=2)
+    pairs = [(i, 0) for i in range(4)] + [(0, 1), (1, 1)]
+    df = _df(spark, pairs)
+    all_rows = one_mode_projection(df).collect()
+    assert len(all_rows) == 6
+    strong = one_mode_projection(df, min_common=2).collect()
+    assert [(r["u1"], r["u2"], r["common"]) for r in strong] == [
+        ("l0", "l1", 2)
+    ]
+    # capping pivot degree at 2 drops r0: only the r1 pair survives
+    capped = one_mode_projection(df, max_pivot_degree=2).collect()
+    assert [(r["u1"], r["u2"], r["common"]) for r in capped] == [
+        ("l0", "l1", 1)
+    ]
+
+
+def test_one_mode_projection_bad_args(spark):
+    from smatchpp_spark.operators.butterflies import one_mode_projection
+
+    with pytest.raises(ValueError, match="left/right"):
+        one_mode_projection(_df(spark, [(0, 0)]), side="top")
+    with pytest.raises(ValueError, match="count/newman/jaccard"):
+        one_mode_projection(_df(spark, [(0, 0)]), weighting="cosine")
