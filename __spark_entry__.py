@@ -617,6 +617,33 @@ def _eigen_sql(iters: int) -> str:
     return "\n".join(parts)
 
 
+def _katz_sql(iters: int, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Unrolled fixed-iteration Katz oracle (operators/hits.py
+    katz_centrality) over the simple directed part-co-order graph:
+    per iteration one incoming-sum + affine α·raw + β scan, zeros at
+    the β floor (mirrors the operator's left-join/coalesce)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({SQL_E_CO})),",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
+        f"s0 AS (SELECT vertex, CAST({beta!r} AS DOUBLE) AS score FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT v.vertex, "
+            f"CAST({alpha!r} AS DOUBLE) * COALESCE(x.raw, 0.0) "
+            f"+ CAST({beta!r} AS DOUBLE) AS score "
+            f"FROM v LEFT JOIN "
+            f"(SELECT e.dst AS vertex, SUM(s.score) AS raw FROM s{k-1} s "
+            f"JOIN e ON e.src = s.vertex GROUP BY e.dst) x "
+            f"ON x.vertex = v.vertex),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, ROUND(score, 6) AS katz "
+        f"FROM s{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _linkpred_ppr_sql(steps: int = 3, alpha: float = ALPHA, top_k: int = 10) -> str:
     """Unrolled fixed-step personalized-PageRank link scores over the
     undirected supplier→nation graph, seeds = nations ≡ 0 (mod 5):
@@ -2627,6 +2654,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salsa_scores"] = _salsa
 
+    def _katz(spark, sf):
+        from smatchpp_spark.operators.hits import katz_centrality
+
+        # directed part-co-order graph (pa→pb, a<b): multi-hop walks
+        # exist, so the α-attenuated walk series is non-trivial
+        r = katz_centrality(
+            _e_co(spark, sf), alpha=0.05, beta=1.0,
+            max_supersteps=8, tol=-1.0,
+        )
+        return r.scores.select("vertex", F.round("katz", 6).alias("katz"))
+
+    q["katz_centrality"] = _katz
+
     def _eigen(spark, sf):
         from smatchpp_spark.operators.hits import eigenvector_centrality
 
@@ -3682,6 +3722,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "hits_scores": _hits_sql(PR_STEPS),
         "salsa_scores": _salsa_sql(PR_STEPS),
         "eigenvector_centrality": _eigen_sql(PR_STEPS),
+        "katz_centrality": _katz_sql(8),
         "louvain_communities": _louvain_sql(3, 2),
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
         "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),

@@ -1837,3 +1837,56 @@ def test_bipartite_check_rejects_delimiter(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="delimiter"):
         bipartite_check(df)
+
+
+def test_katz_centrality_vs_numpy(spark):
+    """Fixed-iteration Katz allclose 1e-10 vs the numpy affine
+    iteration x' = alpha*A^T x + beta on the simple directed adjacency;
+    converged run allclose the closed form beta*(I - alpha*A^T)^-1 1;
+    a vertex with no in-edges sits exactly at the beta floor."""
+    from smatchpp_spark.operators.hits import katz_centrality
+
+    rng = np.random.RandomState(11)
+    E = sorted(
+        {(int(a), int(b)) for a, b in rng.randint(0, 18, size=(70, 2)) if a != b}
+    )
+    alpha, beta, steps = 0.05, 1.0, 12
+    res = katz_centrality(
+        _edges_df(spark, E), alpha=alpha, beta=beta,
+        max_supersteps=steps, tol=-1.0,
+    )
+    got = {r.vertex: r.katz for r in res.scores.collect()}
+
+    verts = sorted({v for e in E for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for a, b in E:
+        A[idx[a], idx[b]] = 1.0
+    x = np.full(n, beta)
+    for _ in range(steps):
+        x = alpha * (A.T @ x) + beta
+    for v in verts:
+        assert abs(got[v] - x[idx[v]]) < 1e-10, v
+
+    # converged fixpoint vs closed form
+    r2 = katz_centrality(
+        _edges_df(spark, E), alpha=alpha, beta=beta,
+        max_supersteps=200, tol=1e-13,
+    )
+    assert r2.converged
+    closed = beta * np.linalg.solve(np.eye(n) - alpha * A.T, np.ones(n))
+    g2 = {r.vertex: r.katz for r in r2.scores.collect()}
+    for v in verts:
+        assert abs(g2[v] - closed[idx[v]]) < 1e-8, v
+
+    # source-only vertex: no incoming walks -> exactly beta
+    chain = [(0, 1), (1, 2)]
+    r3 = katz_centrality(
+        _edges_df(spark, chain), alpha=0.1, beta=2.0,
+        max_supersteps=20, tol=1e-14,
+    )
+    g3 = {r.vertex: r.katz for r in r3.scores.collect()}
+    assert g3[0] == 2.0
+    assert g3[1] == pytest.approx(2.0 + 0.1 * 2.0)
+    assert g3[2] == pytest.approx(2.0 + 0.1 * g3[1])
