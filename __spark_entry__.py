@@ -617,6 +617,54 @@ def _eigen_sql(iters: int) -> str:
     return "\n".join(parts)
 
 
+def _triad_census_sql() -> str:
+    """Brute-force C(n,3) replay of triad_census
+    (operators/triads.py) on the nation→nation trade graph — an
+    INDEPENDENT enumeration path: the operator decomposes into
+    wedges/triangles + dyad arithmetic + subtraction, the oracle
+    enumerates every vertex triple and classifies its 6-bit mask via
+    the shared 64-row type-definition table (data, not logic)."""
+    from smatchpp_spark.operators.triads import TRIAD_TYPES, triad_mask_table
+
+    lookup = ", ".join(
+        f"({m}, '{t}')" for m, t in sorted(triad_mask_table().items())
+    )
+    all_types = ", ".join(f"('{t}')" for t in TRIAD_TYPES)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT 'n' || s.s_nationkey AS src, 'n' || c.c_nationkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2 HAVING COUNT(*) % 3 = 0
+),
+v AS (SELECT src AS vx FROM e UNION SELECT dst FROM e),
+trip AS (SELECT a.vx AS u, b.vx AS v, c.vx AS w
+         FROM v a JOIN v b ON a.vx < b.vx JOIN v c ON b.vx < c.vx),
+m AS (SELECT
+  CASE WHEN e1.src IS NOT NULL THEN 1 ELSE 0 END
+  + CASE WHEN e2.src IS NOT NULL THEN 2 ELSE 0 END
+  + CASE WHEN e3.src IS NOT NULL THEN 4 ELSE 0 END
+  + CASE WHEN e4.src IS NOT NULL THEN 8 ELSE 0 END
+  + CASE WHEN e5.src IS NOT NULL THEN 16 ELSE 0 END
+  + CASE WHEN e6.src IS NOT NULL THEN 32 ELSE 0 END AS mask
+  FROM trip t
+  LEFT JOIN e e1 ON e1.src = t.u AND e1.dst = t.v
+  LEFT JOIN e e2 ON e2.src = t.v AND e2.dst = t.u
+  LEFT JOIN e e3 ON e3.src = t.u AND e3.dst = t.w
+  LEFT JOIN e e4 ON e4.src = t.w AND e4.dst = t.u
+  LEFT JOIN e e5 ON e5.src = t.v AND e5.dst = t.w
+  LEFT JOIN e e6 ON e6.src = t.w AND e6.dst = t.v),
+lut(mask, triad_type) AS (VALUES {lookup}),
+tt(triad_type) AS (VALUES {all_types}),
+cnt AS (SELECT l.triad_type, COUNT(*) AS c
+        FROM m JOIN lut l ON l.mask = m.mask GROUP BY 1)
+SELECT tt.triad_type, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS count
+FROM tt LEFT JOIN cnt ON cnt.triad_type = tt.triad_type
+"""
+
+
 def _katz_sql(iters: int, alpha: float = 0.05, beta: float = 1.0) -> str:
     """Unrolled fixed-iteration Katz oracle (operators/hits.py
     katz_centrality) over the simple directed part-co-order graph:
@@ -2654,6 +2702,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salsa_scores"] = _salsa
 
+    def _triad_census(spark, sf):
+        from smatchpp_spark.operators.triads import triad_census
+
+        # nation→nation trade graph: supplier nation ships to customer
+        # nation; the %3 support filter sparsifies deterministically so
+        # all dyad types (mutual / asym / null) occur
+        li = _read(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        o = _read(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        c = _read(spark, sf, "customer").select("c_custkey", "c_nationkey")
+        s = _read(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+        e = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+            .groupBy("s_nationkey", "c_nationkey")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") % 3 == 0)
+            .select(
+                F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+            )
+        )
+        return triad_census(e)
+
+    q["triad_census"] = _triad_census
+
     def _katz(spark, sf):
         from smatchpp_spark.operators.hits import katz_centrality
 
@@ -3723,6 +3798,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "salsa_scores": _salsa_sql(PR_STEPS),
         "eigenvector_centrality": _eigen_sql(PR_STEPS),
         "katz_centrality": _katz_sql(8),
+        "triad_census": _triad_census_sql(),
         "louvain_communities": _louvain_sql(3, 2),
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
         "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),
