@@ -617,6 +617,41 @@ def _eigen_sql(iters: int) -> str:
     return "\n".join(parts)
 
 
+def _pii_sql() -> str:
+    """pii_scrub replay (pipeline/pii.py): the same planted-PII text
+    build, then the sequential email → IP → phone redaction with
+    counts on each intermediate (RE2 and Java regex agree on these
+    character-class-only patterns)."""
+    from smatchpp_spark.pipeline.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id,
+  text || ' contact user' || doc_id || '@example.com or 10.'
+       || (doc_id % 200) || '.0.7 call +1 (555) 010-'
+       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+  FROM documents),
+s1 AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(t0, '{EMAIL_RE}')) AS INT) AS n_emails,
+  regexp_replace(t0, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t1 FROM d),
+s2 AS (SELECT doc_id, n_emails,
+  CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS INT) AS n_ips,
+  regexp_replace(t1, '{IPV4_RE}', '{IP_TOKEN}', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+  CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS INT) AS n_phones,
+  regexp_replace(t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS redacted FROM s2)
+SELECT doc_id, n_emails, n_ips, n_phones,
+  n_emails + n_ips + n_phones AS n_pii, redacted
+FROM s3
+"""
+
+
 def _triad_census_sql() -> str:
     """Brute-force C(n,3) replay of triad_census
     (operators/triads.py) on the nation→nation trade graph — an
@@ -2702,6 +2737,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salsa_scores"] = _salsa
 
+    def _pii(spark, sf):
+        from smatchpp_spark.pipeline.pii import pii_scrub
+
+        # plant deterministic synthetic PII (email + IP + phone) so the
+        # scrub has real work; both engines build the identical text
+        d = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.7 call +1 (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+        return pii_scrub(d)
+
+    q["doc_pii_scrub"] = _pii
+
     def _triad_census(spark, sf):
         from smatchpp_spark.operators.triads import triad_census
 
@@ -3799,6 +3855,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "eigenvector_centrality": _eigen_sql(PR_STEPS),
         "katz_centrality": _katz_sql(8),
         "triad_census": _triad_census_sql(),
+        "doc_pii_scrub": _pii_sql(),
         "louvain_communities": _louvain_sql(3, 2),
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
         "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),

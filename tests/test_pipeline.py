@@ -1641,3 +1641,60 @@ def test_ccnet_quality_buckets(spark):
     # CCNet keeps head+middle
     for r in scored:
         assert r["keep"] == (r["bucket"] in ("head", "middle"))
+
+
+# ---- PII scrub ----
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from smatchpp_spark.pipeline.pii import pii_scrub, pii_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org or bob@x.io ."),
+            (2, "server at 192.168.0.1 and 10.0.255.3, port 8080"),
+            (3, "call +1 (555) 010-4242 today"),
+            (4, "mixed: a@b.co from 8.8.8.8 dial 555-123-4567 now"),
+            (5, "clean text with no identifiers at all"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (2, 0, 0)
+    assert got[1]["redacted"] == "reach me at <EMAIL> or <EMAIL> ."
+    assert (got[2]["n_emails"], got[2]["n_ips"]) == (0, 2)
+    assert "<IP>" in got[2]["redacted"] and "192" not in got[2]["redacted"]
+    assert got[3]["n_phones"] == 1
+    assert got[3]["redacted"] == "call <PHONE> today"
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (1, 1, 1)
+    assert got[4]["n_pii"] == 3
+    assert got[5]["redacted"] == "clean text with no identifiers at all"
+    assert got[5]["n_pii"] == 0
+    assert got[6]["n_pii"] == 0
+
+    # sequential order: the dotted IP is consumed by the IP pass, so
+    # the phone pass cannot bite into it
+    row = {r["doc_id"]: r for r in pii_scrub(
+        spark.createDataFrame([(9, "at 10.20.30.40 end")], "doc_id long, text string")
+    ).collect()}[9]
+    assert row["n_ips"] == 1 and row["n_phones"] == 0
+
+    stats = pii_stats(docs).collect()[0]
+    assert stats["n_docs"] == 6
+    assert stats["docs_with_pii"] == 4
+    assert stats["total_emails"] == 3
+    assert stats["total_ips"] == 3
+    assert stats["total_phones"] == 2
+
+
+def test_pii_scrub_no_python_udfs(spark):
+    """the scrub must stay a JVM-side projection (no BatchEvalPython /
+    mapInPandas in the plan)."""
+    from smatchpp_spark.pipeline.pii import pii_scrub
+
+    docs = spark.createDataFrame([(1, "x@y.zz")], "doc_id long, text string")
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
