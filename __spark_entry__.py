@@ -617,6 +617,37 @@ def _eigen_sql(iters: int) -> str:
     return "\n".join(parts)
 
 
+def _dsir_sql(n_buckets: int = 512, alpha: float = 1.0) -> str:
+    """dsir_importance replay (pipeline/mixing.py): hashed
+    unigram+bigram bucket models of target (lang='de') and source
+    (all docs), add-α smoothed log-ratio per bucket, per-doc sum."""
+    h = _h("g")
+    ab = alpha * n_buckets
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {SQL_TOKS_LOWER} AS t FROM documents),
+grams AS (SELECT doc_id, lang,
+  list_concat(t, list_transform(range(1, greatest(len(t), 1)),
+                                i -> t[i] || ' ' || t[i+1])) AS gs
+  FROM toks),
+gb AS (SELECT doc_id, lang, unnest(list_transform(gs,
+           g -> {h} % {n_buckets})) AS bucket
+       FROM grams),
+tc AS (SELECT bucket, COUNT(*) AS cnt FROM gb WHERE lang = 'de' GROUP BY 1),
+sc AS (SELECT bucket, COUNT(*) AS cnt FROM gb GROUP BY 1),
+tt AS (SELECT COALESCE(SUM(cnt), 0) AS t FROM tc),
+st AS (SELECT COALESCE(SUM(cnt), 0) AS t FROM sc),
+lam AS (SELECT COALESCE(sc.bucket, tc.bucket) AS bucket,
+  ln((COALESCE(tc.cnt, 0) + {alpha!r}) / ((SELECT t FROM tt) + {ab!r}))
+  - ln((COALESCE(sc.cnt, 0) + {alpha!r}) / ((SELECT t FROM st) + {ab!r})) AS l
+  FROM sc FULL OUTER JOIN tc ON sc.bucket = tc.bucket),
+per_doc AS (SELECT gb.doc_id, COUNT(*) AS n_grams, SUM(lam.l) AS lw
+            FROM gb JOIN lam ON lam.bucket = gb.bucket GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       ROUND(COALESCE(p.lw, 0.0), 6) AS log_weight
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 def _pii_sql() -> str:
     """pii_scrub replay (pipeline/pii.py): the same planted-PII text
     build, then the sequential email → IP → phone redaction with
@@ -2737,6 +2768,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salsa_scores"] = _salsa
 
+    def _dsir(spark, sf):
+        from smatchpp_spark.pipeline.mixing import dsir_importance
+
+        d = _read(spark, sf, "documents")
+        w = dsir_importance(
+            d, d.filter(F.col("lang") == "de"),
+            n_buckets=512, alpha=1.0, portable=True,
+        )
+        return w.select(
+            "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
+        )
+
+    q["doc_dsir_weights"] = _dsir
+
     def _pii(spark, sf):
         from smatchpp_spark.pipeline.pii import pii_scrub
 
@@ -3856,6 +3901,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "katz_centrality": _katz_sql(8),
         "triad_census": _triad_census_sql(),
         "doc_pii_scrub": _pii_sql(),
+        "doc_dsir_weights": _dsir_sql(512, 1.0),
         "louvain_communities": _louvain_sql(3, 2),
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
         "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),

@@ -236,3 +236,172 @@ def weighted_sample(
         "weight",
         F.round("_k", 9).alias("sample_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection with importance resampling
+# --------------------------------------------------------------------------
+
+
+def _hashed_gram_buckets(text_col: str, n_buckets: int, portable: bool) -> "F.Column":
+    """Array of hashed n-gram bucket ids (lowercased whitespace
+    unigrams + bigrams, DSIR's feature space) for one document."""
+    from smatchpp_spark.functions.hashing import hash64
+    from smatchpp_spark.pipeline.text import tokens
+
+    toks = F.transform(tokens(text_col), F.lower)
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")
+    )
+    grams = F.concat(toks, bigrams)
+    return F.transform(
+        grams, lambda g: F.pmod(hash64(g, portable=portable), F.lit(n_buckets))
+    )
+
+
+def _bucket_counts(
+    docs: DataFrame, text_col: str, n_buckets: int, portable: bool
+) -> DataFrame:
+    """(bucket, cnt) over the corpus — explode + ONE map-side-combined
+    groupBy; output bounded by n_buckets rows per partition."""
+    return (
+        docs.select(
+            F.explode(
+                _hashed_gram_buckets(text_col, n_buckets, portable)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_importance(
+    source: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-source-document DSIR importance log-weight (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public): build hashed-n-gram bag-of-words models of the TARGET and
+    SOURCE corpora (unigrams + bigrams hashed into ``n_buckets``), and
+    score each source document by
+
+        log w(x) = Σ_{g ∈ grams(x)} [ log p̂_target(b(g))
+                                      − log p̂_source(b(g)) ]
+
+    with add-``alpha`` smoothed bucket probabilities.  Documents whose
+    grams are relatively more likely under the target model get higher
+    weight; resampling by ``exp(log w)`` shifts the source mix toward
+    the target domain.
+
+    Output: ``(doc_id, n_grams, log_weight)`` — ``log_weight``
+    unrounded (round at the sink for cross-engine hashing), 0.0 for
+    gram-less documents.
+
+    Scale shape at 100 TB: two map-side-combined bucket-count
+    aggregations (≤ ``n_buckets`` rows per partition each), the
+    per-bucket log-ratio table is ≤ ``n_buckets`` rows and BROADCAST
+    into the per-doc scoring join; the scoring pass is explode →
+    broadcast join → one doc-keyed groupBy — a single shuffle keyed by
+    doc, partition sizes track document length, never corpus size.
+    The two scalar totals ride along as 1-row crossJoins (the
+    PageRank dangling-mass pattern), so nothing is collected."""
+    if n_buckets <= 0:
+        raise ValueError(f"dsir_importance: n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"dsir_importance: alpha must be positive, got {alpha}")
+
+    tc = _bucket_counts(target, text_col, n_buckets, portable)
+    sc = _bucket_counts(source, text_col, n_buckets, portable)
+    t_tot = tc.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("t_total"))
+    s_tot = sc.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("s_total"))
+
+    ab = float(alpha) * n_buckets
+    lam = (
+        sc.withColumnRenamed("cnt", "s_cnt")
+        .join(tc.withColumnRenamed("cnt", "t_cnt"), "bucket", "full_outer")
+        .crossJoin(t_tot)
+        .crossJoin(s_tot)
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("t_cnt", F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("t_total") + F.lit(ab))
+                )
+                - F.log(
+                    (F.coalesce("s_cnt", F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("s_total") + F.lit(ab))
+                )
+            ).alias("lam"),
+        )
+    )
+
+    per_gram = source.select(
+        F.col(id_col),
+        F.explode_outer(
+            _hashed_gram_buckets(text_col, n_buckets, portable)
+        ).alias("bucket"),
+    )
+    scored = (
+        per_gram.join(F.broadcast(lam), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("bucket")).alias("n_grams"),
+            F.coalesce(F.sum("lam"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+    return scored
+
+
+def dsir_select(
+    source: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    portable: bool = False,
+) -> DataFrame:
+    """DSIR's resampling step: Gumbel-top-k over the importance
+    log-weights — ``key = log w(x) + Gumbel(u_x)`` with the
+    deterministic portable-hash draw ``u_x`` (Gumbel-max gives a
+    sample WITHOUT replacement proportional to ``exp(log w)``, the
+    log-domain twin of the A-ES scheme in ``weighted_sample`` — no
+    exp() overflow on large documents).  Top-k via TakeOrdered
+    (per-partition heaps, no global sort); ties broken by id.
+
+    Output: ``(doc_id, n_grams, log_weight, gumbel_key)`` for the k
+    selected documents, keys rounded 6 dp at the sink (selection uses
+    the unrounded key)."""
+    if k <= 0:
+        raise ValueError(f"dsir_select: k must be positive, got {k}")
+    w = dsir_importance(
+        source, target, n_buckets=n_buckets, alpha=alpha,
+        text_col=text_col, id_col=id_col, portable=portable,
+    )
+    u = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ).cast("double") / F.lit(_TWO60)
+    u = F.greatest(u, F.lit(2.0 ** -60))
+    key = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        w.withColumn("_k", key)
+        .orderBy(F.col("_k").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "n_grams",
+            F.round("log_weight", 6).alias("log_weight"),
+            F.round("_k", 6).alias("gumbel_key"),
+        )
+    )

@@ -1698,3 +1698,108 @@ def test_pii_scrub_no_python_udfs(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+# ---- DSIR importance resampling ----
+
+
+def _py_dsir(source_rows, target_rows, n_buckets, alpha):
+    """python replay of dsir_importance with the portable hash."""
+    import math
+
+    def grams(text):
+        toks = [w.lower() for w in text.strip().split()] if text.strip() else []
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def buckets(rows):
+        c = {}
+        for _i, text in rows:
+            for g in grams(text):
+                b = oracle_hash64(g) % n_buckets
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    tc, sc = buckets(target_rows), buckets(source_rows)
+    tt, st = sum(tc.values()), sum(sc.values())
+    ab = alpha * n_buckets
+
+    def lam(b):
+        return math.log((tc.get(b, 0) + alpha) / (tt + ab)) - math.log(
+            (sc.get(b, 0) + alpha) / (st + ab)
+        )
+
+    out = {}
+    for i, text in source_rows:
+        gs = grams(text)
+        out[i] = (len(gs), sum(lam(oracle_hash64(g) % n_buckets) for g in gs))
+    return out
+
+
+def test_dsir_importance_vs_python(spark):
+    from smatchpp_spark.pipeline.mixing import dsir_importance, dsir_select
+
+    source_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "spark shuffles data across the cluster"),
+        (2, "der hund lief durch den park"),
+        (3, "die katze schlief in der sonne"),
+        (4, "distributed joins shuffle on keys"),
+        (5, ""),
+        (6, "der park war still"),
+    ]
+    target_rows = [
+        (100, "der hund und die katze"),
+        (101, "die sonne schien im park"),
+    ]
+    src = spark.createDataFrame(source_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_rows, "doc_id long, text string")
+    nb, al = 64, 1.0
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_importance(
+            src, tgt, n_buckets=nb, alpha=al, portable=True
+        ).collect()
+    }
+    want = _py_dsir(source_rows, target_rows, nb, al)
+    assert set(got) == set(want)
+    for i, (ng, lw) in want.items():
+        assert got[i][0] == ng, i
+        assert got[i][1] == pytest.approx(lw, abs=1e-9), i
+    # german source docs must outscore english ones under a german target
+    en = max(got[0][1], got[1][1], got[4][1])
+    de = min(got[2][1], got[3][1], got[6][1])
+    assert de > en
+    # empty doc: zero grams, zero weight
+    assert got[5] == (0, 0.0)
+
+    # gumbel selection replay: same keys, same top-k
+    import math
+
+    k = 3
+    sel = dsir_select(
+        src, tgt, k=k, n_buckets=nb, alpha=al, seed=7, portable=True
+    ).collect()
+    keys = {}
+    for i, (ng, lw) in want.items():
+        u = max(
+            int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:15], 16)
+            / float(1 << 60),
+            2.0 ** -60,
+        )
+        keys[i] = lw - math.log(-math.log(u))
+    want_ids = [i for i, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+    assert [r["doc_id"] for r in sel] == want_ids
+    for r in sel:
+        assert r["gumbel_key"] == pytest.approx(keys[r["doc_id"]], abs=1e-5)
+
+
+def test_dsir_bad_args(spark):
+    from smatchpp_spark.pipeline.mixing import dsir_importance, dsir_select
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance(d, d, n_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_importance(d, d, alpha=0.0)
+    with pytest.raises(ValueError, match="k must be positive"):
+        dsir_select(d, d, k=0)
