@@ -177,6 +177,35 @@ CHECKS = {
         ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
          "co-purchase edge derivation prunes to the 2 key columns"),
     ],
+    "graph_one_mode": [
+        ("Scan ExistingRDD",
+         "the deduped 2-column edge set is localCheckpointed once and "
+         "both self-join sides read the checkpoint blocks (the upstream "
+         "lineitem scan pruned to 2 key columns before materializing)"),
+        ("HashAggregate",
+         "pair counts + Newman credit sums combine map-side after the "
+         "pivot self-join"),
+    ],
+    "doc_pii_scrub": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "2 of 5 document columns scanned"),
+        ("codegen id",
+         "the whole sequential redaction is ONE codegen-fused projection "
+         "— no exchange, no UDF, no aggregate in the plan"),
+    ],
+    "doc_dsir_weights": [
+        ("BroadcastHashJoin",
+         "the <=n_buckets-row log-ratio table broadcasts into the "
+         "per-gram scoring join"),
+        ("HashAggregate",
+         "bucket counts and per-doc weight sums combine map-side"),
+    ],
+    "triad_census": [
+        ("HashAggregate",
+         "dyad direction bits and mask counts combine map-side"),
+        ("BroadcastHashJoin",
+         "the 64-row mask->type lookup broadcasts"),
+    ],
 }
 
 

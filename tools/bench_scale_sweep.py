@@ -565,6 +565,33 @@ def main() -> None:
             inp["docs"].select(F.explode(tokens("text")).alias("key")),
             "key", depth=4, width=256,
         ).count())
+
+        # ---- round-7 late additions ----
+        from smatchpp_spark.operators.butterflies import one_mode_projection
+        from smatchpp_spark.operators.hits import katz_centrality
+        from smatchpp_spark.operators.triads import triad_census
+        from smatchpp_spark.pipeline.mixing import dsir_importance
+        from smatchpp_spark.pipeline.pii import pii_scrub
+
+        timed("graph_one_mode_newman", scale, lambda: one_mode_projection(
+            e_op, side="right", left_col="src", right_col="dst",
+            weighting="newman", min_common=2,
+        ).count())
+        timed("katz_5steps", scale, lambda: katz_centrality(
+            inp["e_co"], alpha=0.05, beta=1.0, max_supersteps=5, tol=-1.0
+        ).scores.count())
+        # hub guard keeps the wedge path bounded on the dense co-graph
+        timed("triad_census_co", scale, lambda: triad_census(
+            inp["e_co"], max_center_degree=256
+        ).count())
+        timed("doc_pii_scrub", scale, lambda: pii_scrub(
+            inp["docs"]
+        ).count())
+        timed("doc_dsir_weights", scale, lambda: dsir_importance(
+            inp["docs"],
+            inp["docs"].filter(F.col("lang") == "de"),
+            n_buckets=512,
+        ).count())
         e_op.unpersist()
 
     fits = {}
