@@ -3624,13 +3624,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # was verified green by the round-6 driver run (CORRECTNESS_r06: 50/50)
 # and by the local full-contract run (tools/check_contract.py), so with
 # this rotation no query's newest driver row is ever >1 round old.
-# Round-8 rotation: put the 40 entries beyond this round's window back
-# in front (plus anything new or touched this round).  Queries ADDED
-# later in round 7 after the 50 slots filled (doc_simhash_neardup,
-# doc_simhash_clusters, and any other late-round-7 additions — grep
-# CONTRACT_LOCAL_r07 for the full green list) overflow the window this
-# round: their correctness evidence is the local full-contract run;
-# put them FIRST in the round-8 front.
+# Round-8 rotation: put the entries beyond this round's window back in
+# front (plus anything new or touched this round).  Queries ADDED later
+# in round 7 after the 50 slots filled overflow the window this round
+# (their correctness evidence is the local full-contract run,
+# BENCH/CONTRACT_LOCAL_r07.txt): doc_simhash_neardup,
+# doc_simhash_clusters, butterfly_census, butterflies_per_part,
+# maximal_matching, salsa_scores, graph_bipartite, doc_bloom_membership,
+# doc_hll_distinct, doc_cms_wordcounts, doc_weighted_sample,
+# doc_c4_filter, doc_ccnet_pipeline, graph_one_mode, katz_centrality,
+# triad_census, doc_pii_scrub, doc_dsir_weights — put them FIRST in the
+# round-8 front, then the r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
