@@ -617,6 +617,160 @@ def _eigen_sql(iters: int) -> str:
     return "\n".join(parts)
 
 
+def _source_similarity_sql(num_hashes: int = 16) -> str:
+    """source_similarity replay (pipeline/dedup.py): per-source
+    union-MinHash (min over every doc's shingles), pairwise agreement
+    rate — the MinHash-of-a-union identity makes the group sketch one
+    GROUP BY."""
+    h = _h("shingle || '#' || i")
+    return f"""
+WITH t AS (SELECT source, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS MATERIALIZED (SELECT source, unnest({SQL_SHINGLES}) AS shingle FROM t),
+m AS (SELECT source, i, MIN({h}) AS hv
+      FROM s, range(0, {num_hashes}) r(i) GROUP BY source, i),
+p AS (SELECT a.source AS src_a, b.source AS src_b,
+             CASE WHEN a.hv = b.hv THEN 1 ELSE 0 END AS eq
+      FROM m a JOIN m b ON a.i = b.i AND a.source < b.source)
+SELECT src_a, src_b,
+       CAST(SUM(eq) AS DOUBLE) / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+FROM p GROUP BY src_a, src_b
+"""
+
+
+def _label_spread_sql(rounds: int = 8, init: float = 0.5) -> str:
+    """harmonic_label_spread replay (operators/labelspread.py):
+    ``rounds`` unrolled clamped-average iterations over the undirected
+    simple supplier→nation→region graph; the per-vertex update
+    replays SUM(score / receiver_degree) in the operator's exact
+    float form."""
+    parts = [
+        "WITH e0 AS (SELECT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst "
+        "FROM supplier UNION ALL "
+        "SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)"
+        " WHERE a <> b),",
+        "deg AS (SELECT b AS vertex, COUNT(*) AS d FROM und GROUP BY b),",
+        "v AS (SELECT DISTINCT a AS vertex FROM und),",
+        "seeds AS (SELECT vertex, CASE WHEN vertex IN ('r0', 'r1') THEN 1.0 "
+        "ELSE 0.0 END AS seed_score FROM v "
+        "WHERE vertex IN ('r0', 'r1', 'r3', 'r4')),",
+        f"s0 AS (SELECT v.vertex, "
+        f"COALESCE(sd.seed_score, CAST({init!r} AS DOUBLE)) AS score "
+        f"FROM v LEFT JOIN seeds sd ON sd.vertex = v.vertex),",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"a{k} AS (SELECT und.b AS vertex, "
+            f"SUM(s.score / deg.d) AS nbr_avg "
+            f"FROM {p} s JOIN und ON und.a = s.vertex "
+            f"JOIN deg ON deg.vertex = und.b GROUP BY und.b),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT v.vertex, COALESCE(sd.seed_score, "
+            f"COALESCE(a{k}.nbr_avg, CAST({init!r} AS DOUBLE))) AS score "
+            f"FROM v LEFT JOIN seeds sd ON sd.vertex = v.vertex "
+            f"LEFT JOIN a{k} ON a{k}.vertex = v.vertex),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT v.vertex, ROUND(s{rounds}.score, 9) AS score, "
+        f"sd.vertex IS NOT NULL AS is_seed "
+        f"FROM v JOIN s{rounds} ON s{rounds}.vertex = v.vertex "
+        f"LEFT JOIN seeds sd ON sd.vertex = v.vertex"
+    )
+    return "\n".join(parts)
+
+
+def _temporal_sql(rounds: int = 6, mod: int = 100) -> str:
+    """temporal_earliest_arrival replay (operators/temporal.py):
+    ``rounds`` unrolled temporal relaxations (cand = min edge time t
+    with t >= arrival(src)) over the undirected order↔part contact
+    graph timed by l_shipdate epoch days.  Same ≤k-edge-path
+    truncation contract as the sssp oracle."""
+    parts = [
+        "WITH e AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst, "
+        "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) "
+        "AS BIGINT) AS t FROM lineitem),",
+        "ue AS MATERIALIZED (SELECT src, dst, t FROM e WHERE t >= 0 "
+        "UNION ALL SELECT dst, src, t FROM e WHERE t >= 0),",
+        "v AS (SELECT DISTINCT src AS vertex FROM ue),",
+        f"srcs AS (SELECT DISTINCT 'p' || l_partkey AS vertex FROM lineitem "
+        f"WHERE l_partkey % {mod} = 0),",
+        "r0 AS MATERIALIZED (SELECT s.vertex, CAST(0 AS BIGINT) AS arrival "
+        "FROM srcs s JOIN v USING (vertex)),",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vertex, MIN(arrival) AS arrival "
+            f"FROM (SELECT vertex, arrival FROM {p} "
+            f"UNION ALL SELECT ue.dst AS vertex, ue.t "
+            f"FROM {p} r JOIN ue ON ue.src = r.vertex AND ue.t >= r.arrival) "
+            f"GROUP BY vertex),"
+        )
+    parts.append(f"fin AS (SELECT 1) SELECT vertex, arrival FROM r{rounds}")
+    return "\n".join(parts)
+
+
+def _rmat_sql(
+    scale: int = 10,
+    n_edges: int = 20000,
+    seed: int = 1,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+) -> str:
+    """rmat_edges replay (sources/rmat.py): same portable hash per
+    (edge_id, level, seed), same INTEGER quadrant thresholds — the
+    generator is float-free, so the replay is bit-exact."""
+    two60 = 1 << 60
+    ta = round(a * two60)
+    tb = round((a + b) * two60)
+    tc = round((a + b + c) * two60)
+    h = _h(f"id || ':' || l || ':{seed}'")
+    return f"""
+WITH hb AS (SELECT id, l, {h} AS h
+  FROM range(0, {n_edges}) t(id), range(0, {scale}) lt(l)),
+bits AS (SELECT id, l,
+  CASE WHEN h < {tb} THEN 0 ELSE 1 END AS sbit,
+  CASE WHEN h < {ta} THEN 0 WHEN h < {tb} THEN 1
+       WHEN h < {tc} THEN 0 ELSE 1 END AS dbit
+  FROM hb)
+SELECT id AS edge_id,
+  CAST(SUM(sbit * (CAST(1 AS BIGINT) << ({scale} - 1 - l))) AS BIGINT) AS src,
+  CAST(SUM(dbit * (CAST(1 AS BIGINT) << ({scale} - 1 - l))) AS BIGINT) AS dst
+FROM bits GROUP BY id
+"""
+
+
+def _powerlaw_sql(d_min: int = 3) -> str:
+    """powerlaw_fit replay (operators/graphstats.py): undirected simple
+    degrees of the order↔part graph, CSN discrete MLE; sigma replays
+    the operator's exact (1.0 + x) − 1.0 float sequence."""
+    shift = d_min - 0.5
+    return f"""
+WITH e0 AS ({SQL_E_OP}),
+und AS (SELECT DISTINCT a, b FROM
+  (SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)
+  WHERE a <> b),
+deg AS (SELECT a AS vertex, COUNT(*) AS d FROM und GROUP BY a),
+agg AS (SELECT COUNT(*) AS n_vertices,
+  SUM(CASE WHEN d >= {d_min} THEN 1 ELSE 0 END) AS n_tail,
+  SUM(CASE WHEN d >= {d_min}
+      THEN ln(CAST(d AS DOUBLE) / CAST({shift!r} AS DOUBLE))
+      ELSE 0.0 END) AS lnsum
+  FROM deg)
+SELECT {d_min} AS d_min, CAST(n_vertices AS BIGINT) AS n_vertices,
+  CAST(n_tail AS BIGINT) AS n_tail,
+  ROUND(CASE WHEN n_tail > 0 THEN 1.0 + n_tail / lnsum END, 6) AS alpha,
+  ROUND(CASE WHEN n_tail > 0
+        THEN ((1.0 + n_tail / lnsum) - 1.0) / sqrt(CAST(n_tail AS DOUBLE))
+        END, 6) AS sigma
+FROM agg
+"""
+
+
 def _dsir_sql(n_buckets: int = 512, alpha: float = 1.0) -> str:
     """dsir_importance replay (pipeline/mixing.py): hashed
     unigram+bigram bucket models of target (lang='de') and source
@@ -2768,6 +2922,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salsa_scores"] = _salsa
 
+    def _src_sim(spark, sf):
+        from smatchpp_spark.pipeline.dedup import source_similarity
+
+        return source_similarity(
+            _read(spark, sf, "documents"), num_hashes=16, portable=True
+        )
+
+    q["doc_source_similarity"] = _src_sim
+
+    def _label_spread(spark, sf):
+        from smatchpp_spark.operators.labelspread import harmonic_label_spread
+
+        # suppliers→nations→regions hierarchy (the louvain graph):
+        # trust seeds at r0/r1, distrust at r3/r4 — scores spread down
+        # to suppliers through their nations
+        s = _read(spark, sf, "supplier")
+        n = _read(spark, sf, "nation")
+        e = s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        ).unionByName(
+            n.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+        r = harmonic_label_spread(
+            e, ["r0", "r1"], ["r3", "r4"], max_supersteps=8, tol=-1.0
+        )
+        return r.scores.select(
+            "vertex", F.round("score", 9).alias("score"), "is_seed"
+        )
+
+    q["harmonic_spread"] = _label_spread
+
+    def _temporal(spark, sf):
+        from smatchpp_spark.operators.temporal import temporal_earliest_arrival
+
+        li = _read(spark, sf, "lineitem")
+        e = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("t"),
+        )
+        seeds = (
+            li.filter(F.col("l_partkey") % 100 == 0)
+            .select(
+                F.concat(
+                    F.lit("p"), F.col("l_partkey").cast("string")
+                ).alias("vertex")
+            )
+            .distinct()
+        )
+        r = temporal_earliest_arrival(
+            e, seeds, start_time=0, max_supersteps=6, directed=False
+        )
+        return r.arrivals
+
+    q["temporal_reachability"] = _temporal
+
+    def _rmat(spark, sf):
+        from smatchpp_spark.sources.rmat import rmat_edges
+
+        return rmat_edges(
+            spark, scale=10, n_edges=20000, seed=1, portable=True
+        )
+
+    q["rmat_edges"] = _rmat
+
+    def _powerlaw(spark, sf):
+        from smatchpp_spark.operators.graphstats import powerlaw_fit
+
+        r = powerlaw_fit(_e_op(spark, sf), d_min=3)
+        return r.select(
+            "d_min", "n_vertices", "n_tail",
+            F.round("alpha", 6).alias("alpha"),
+            F.round("sigma", 6).alias("sigma"),
+        )
+
+    q["graph_powerlaw"] = _powerlaw
+
     def _dsir(spark, sf):
         from smatchpp_spark.pipeline.mixing import dsir_importance
 
@@ -3633,7 +3871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # maximal_matching, salsa_scores, graph_bipartite, doc_bloom_membership,
 # doc_hll_distinct, doc_cms_wordcounts, doc_weighted_sample,
 # doc_c4_filter, doc_ccnet_pipeline, graph_one_mode, katz_centrality,
-# triad_census, doc_pii_scrub, doc_dsir_weights — put them FIRST in the
+# triad_census, doc_pii_scrub, doc_dsir_weights, temporal_reachability,
+# harmonic_spread, rmat_edges, graph_powerlaw — put them FIRST in the
 # round-8 front, then the r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
@@ -3906,6 +4145,11 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "triad_census": _triad_census_sql(),
         "doc_pii_scrub": _pii_sql(),
         "doc_dsir_weights": _dsir_sql(512, 1.0),
+        "rmat_edges": _rmat_sql(),
+        "temporal_reachability": _temporal_sql(6, 100),
+        "harmonic_spread": _label_spread_sql(8),
+        "doc_source_similarity": _source_similarity_sql(16),
+        "graph_powerlaw": _powerlaw_sql(3),
         "louvain_communities": _louvain_sql(3, 2),
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
         "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),

@@ -354,3 +354,58 @@ def transitivity(edges: DataFrame) -> DataFrame:
         [(int(tri), wedges, t)],
         "n_triangles long, n_wedges long, transitivity double",
     )
+
+
+def powerlaw_fit(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """Discrete power-law exponent MLE for the degree distribution of
+    the undirected simple graph (Clauset, Shalizi & Newman, SIAM Rev.
+    2009 eq. 3.7, public):
+
+        α̂ = 1 + n_tail / Σ_{d_i ≥ d_min} ln( d_i / (d_min − ½) )
+        σ  = (α̂ − 1) / √n_tail
+
+    — the standard "is this a scale-free tail, and how heavy" summary
+    that decides salting/skew strategy for every downstream join.
+
+    One degree aggregation + one map-side-combined scalar aggregation;
+    output is ONE row ``(d_min, n_vertices, n_tail, alpha, sigma)``
+    (alpha/sigma NaN when no vertex reaches ``d_min``).  The ln fold
+    order does not matter at the 6-dp sink rounding used by the
+    contract row."""
+    if d_min < 1:
+        raise ValueError(f"powerlaw_fit: d_min must be >= 1, got {d_min}")
+    from smatchpp_spark.operators.kcore import undirected_simple
+
+    deg = (
+        undirected_simple(edges)
+        .groupBy(F.col("a").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    shift = float(d_min) - 0.5
+    tail = F.col("degree") >= d_min
+    row = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(tail.cast("long")).alias("n_tail"),
+        F.sum(
+            F.when(tail, F.log(F.col("degree").cast("double") / F.lit(shift)))
+            .otherwise(F.lit(0.0))
+        ).alias("lnsum"),
+    ).select(
+        F.lit(int(d_min)).alias("d_min"),
+        "n_vertices",
+        F.coalesce("n_tail", F.lit(0)).alias("n_tail"),
+        F.when(
+            F.coalesce("n_tail", F.lit(0)) > 0,
+            F.lit(1.0) + F.col("n_tail") / F.col("lnsum"),
+        ).alias("alpha"),
+    )
+    return row.select(
+        "d_min",
+        "n_vertices",
+        "n_tail",
+        "alpha",
+        F.when(
+            F.col("n_tail") > 0,
+            (F.col("alpha") - 1) / F.sqrt(F.col("n_tail").cast("double")),
+        ).alias("sigma"),
+    )

@@ -740,3 +740,64 @@ def embedding_dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("vertex") == F.col("component")).alias("is_canonical"),
     )
+
+
+def source_similarity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Corpus-level overlap matrix between document GROUPS (sources /
+    domains / dump snapshots): one union-MinHash signature per group —
+    ``sig_i(G) = min over all shingles of all docs in G`` — then the
+    pairwise signature agreement rate estimates the shingle-set Jaccard
+    between groups (Broder 1997 resemblance, public; the MinHash of a
+    union is the min of the MinHashes, so grouping by source instead of
+    doc_id gives the group sketch for free).
+
+    The "which dumps duplicate each other / which domains overlap"
+    planning query every corpus refresh runs before dedup.
+
+    Output: ``(src_a, src_b, est_jaccard)`` for all group pairs
+    (src_a < src_b), plus each group's shingle signature row count
+    folded in at K rows total — K groups means K·(K−1)/2 output rows
+    regardless of corpus size.
+
+    Scale shape at 100 TB: the ONLY corpus-scan stage is the
+    (group, shingle) explode feeding one map-side-combined min
+    aggregation (num_hashes longs per (partition, group)); the K-row
+    signature table then cross-pairs driver-free (K² rows, broadcast
+    territory).  No pairwise document work anywhere."""
+    if num_hashes <= 0:
+        raise ValueError(
+            f"source_similarity: num_hashes must be positive, got {num_hashes}"
+        )
+    sigs = minhash_signatures(
+        docs.select(F.col(group_col).alias("grp"), F.col(text_col)),
+        text_col=text_col,
+        id_col="grp",
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        portable=portable,
+    )
+    a = sigs.select(F.col("grp").alias("src_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("grp").alias("src_b"), F.col("sig").alias("sig_b"))
+    pairs = a.crossJoin(b).filter(F.col("src_a") < F.col("src_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias(
+            "est_jaccard"
+        ),
+    )

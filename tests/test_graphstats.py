@@ -895,3 +895,70 @@ def test_transitivity_vs_python(spark):
     assert row["n_triangles"] * 3 == tri
     expect = 0.0 if wedges == 0 else round(tri / wedges, 9)
     assert row["transitivity"] == pytest.approx(expect, abs=1e-9)
+
+
+# ---- power-law MLE ----
+
+
+def test_powerlaw_fit_vs_python(spark):
+    """alpha replay on a disjoint-star construction with known degrees."""
+    import math
+
+    # hubs with degrees 8, 5, 4, 3 (disjoint stars); leaves all degree 1
+    edges = []
+    base = 0
+    hub_degs = [8, 5, 4, 3]
+    for hd in hub_degs:
+        hub = base
+        for j in range(hd):
+            edges.append((hub, base + 1 + j))
+        base += hd + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    from smatchpp_spark.operators.graphstats import powerlaw_fit
+
+    d_min = 2
+    row = powerlaw_fit(df, d_min=d_min).collect()[0]
+    n_leaves = sum(hub_degs)
+    assert row["n_vertices"] == n_leaves + len(hub_degs)
+    assert row["n_tail"] == len(hub_degs)
+    lnsum = sum(math.log(d / (d_min - 0.5)) for d in hub_degs)
+    want_alpha = 1.0 + len(hub_degs) / lnsum
+    assert row["alpha"] == pytest.approx(want_alpha, abs=1e-12)
+    assert row["sigma"] == pytest.approx(
+        (want_alpha - 1) / math.sqrt(len(hub_degs)), abs=1e-12
+    )
+
+    # d_min above every degree: empty tail, null alpha/sigma
+    row = powerlaw_fit(df, d_min=100).collect()[0]
+    assert row["n_tail"] == 0
+    assert row["alpha"] is None and row["sigma"] is None
+
+    with pytest.raises(ValueError, match="d_min"):
+        powerlaw_fit(df, d_min=0)
+
+
+def test_powerlaw_fit_recovers_exponent(spark):
+    """degrees drawn as round(x^(-1/(alpha-1))) inverse-CDF from a
+    planted alpha=2.5 tail: the MLE lands near the planted value."""
+    import math
+
+    alpha = 2.5
+    rnd_degs = []
+    n = 400
+    for i in range(n):
+        u = (i + 0.5) / n
+        d = max(2, int(round(2 * u ** (-1.0 / (alpha - 1.0)))))
+        rnd_degs.append(min(d, 500))
+    edges = []
+    base = 0
+    for d in rnd_degs:
+        for j in range(d):
+            edges.append((base, base + 1 + j))
+        base += d + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    from smatchpp_spark.operators.graphstats import powerlaw_fit
+
+    row = powerlaw_fit(df, d_min=2).collect()[0]
+    assert abs(row["alpha"] - alpha) < 0.25

@@ -1803,3 +1803,53 @@ def test_dsir_bad_args(spark):
         dsir_importance(d, d, alpha=0.0)
     with pytest.raises(ValueError, match="k must be positive"):
         dsir_select(d, d, k=0)
+
+
+# ---- corpus-level source similarity ----
+
+
+def test_source_similarity_vs_python(spark):
+    """union-MinHash agreement rate vs the python replay; identical
+    groups hit 1.0, disjoint-vocabulary groups hit ~0."""
+    from smatchpp_spark.pipeline.dedup import source_similarity
+
+    rows = [
+        ("s1", "the quick brown fox jumps over the lazy dog tonight"),
+        ("s1", "pack my box with five dozen liquor jugs right now"),
+        ("s2", "the quick brown fox jumps over the lazy dog tonight"),  # == s1 doc
+        ("s2", "pack my box with five dozen liquor jugs right now"),
+        ("s3", "completely different words about distributed shuffle joins"),
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    H = 16
+    got = {
+        (r["src_a"], r["src_b"]): r["est_jaccard"]
+        for r in source_similarity(
+            docs, num_hashes=H, portable=True
+        ).collect()
+    }
+    # python replay
+    def sh(text):
+        toks = [w.lower() for w in text.strip().split()]
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    groups = {}
+    for s, t in rows:
+        groups.setdefault(s, set()).update(sh(t))
+    sig = {
+        g: [
+            min(oracle_hash64(f"{x}#{i}") for x in xs)
+            for i in range(H)
+        ]
+        for g, xs in groups.items()
+    }
+    for (ga, gb), est in got.items():
+        want = sum(x == y for x, y in zip(sig[ga], sig[gb])) / H
+        assert est == pytest.approx(want, abs=1e-12), (ga, gb)
+    assert got[("s1", "s2")] == 1.0  # identical shingle sets
+    assert got[("s1", "s3")] <= 0.25  # disjoint vocabulary
+
+    with pytest.raises(ValueError, match="num_hashes"):
+        source_similarity(docs, num_hashes=0)

@@ -592,6 +592,39 @@ def main() -> None:
             inp["docs"].filter(F.col("lang") == "de"),
             n_buckets=512,
         ).count())
+
+        from smatchpp_spark.operators.graphstats import powerlaw_fit
+        from smatchpp_spark.operators.temporal import temporal_earliest_arrival
+        from smatchpp_spark.sources.rmat import rmat_edges
+
+        timed("graph_powerlaw", scale, lambda: powerlaw_fit(
+            e_op, d_min=3
+        ).collect())
+        # rmat work scales with requested edges — a pure zero-shuffle
+        # scan projection, exponent ~1.0 by construction
+        timed("rmat_generate", scale, lambda: rmat_edges(
+            spark, scale=20, n_edges=500_000 * scale, seed=1
+        ).agg(F.count(F.lit(1)), F.max("src")).collect())
+        # fixed 4 temporal relaxation rounds; timestamps derived from
+        # edge-id hash so both scales share the work definition
+        _tedges = e_op.select(
+            "src", "dst",
+            F.pmod(F.xxhash64("src", "dst"), F.lit(1000)).alias("t"),
+        )
+        _tseeds = e_op.select(F.col("src").alias("vertex")).distinct().limit(64)
+        timed("temporal_arrival_4rounds", scale, lambda: temporal_earliest_arrival(
+            _tedges, _tseeds, max_supersteps=4, directed=False
+        ).arrivals.count())
+
+        from smatchpp_spark.operators.labelspread import harmonic_label_spread
+
+        _sseeds = e_op.select(F.col("src").alias("vertex")).distinct()
+        timed("harmonic_spread_4rounds", scale, lambda: harmonic_label_spread(
+            e_op,
+            _sseeds.filter(F.xxhash64("vertex") % 64 == 0),
+            _sseeds.filter(F.xxhash64("vertex") % 64 == 1),
+            max_supersteps=4, tol=-1.0,
+        ).scores.count())
         e_op.unpersist()
 
     fits = {}
