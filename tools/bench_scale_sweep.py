@@ -741,6 +741,27 @@ def main() -> None:
         "  triangle_counts, so its exponent tracks the triangle row (~0.93",
         "  at this density): O(m^1.5) work, orientation-bounded, documented",
         "  there; fixed 2 peeling rounds keep the work definition identical.",
+        "* **butterfly_census / graph_one_mode_newman** — both ride the",
+        "  same-side pair self-join; output bounded by the cheaper-side",
+        "  Σ C(d,2) (census picks the pivot side; the projection's",
+        "  min_common filter prunes before any downstream join).",
+        "* **triad_census_co** — wedge generation is the conductance-",
+        "  pivot self-join with the max_center_degree=256 guard; the",
+        "  012/102/003 counts are dyad arithmetic and never enumerate.",
+        "* **rmat_generate** — zero-shuffle scan projection over",
+        "  spark.range; work = requested edges, exponent ~1.0 BY",
+        "  CONSTRUCTION (the row demonstrates generator throughput, not",
+        "  an algorithmic profile).",
+        "* **temporal_arrival_4rounds / harmonic_spread_4rounds /",
+        "  katz_5steps** — fixed round budgets (identical work definition",
+        "  both scales); all are single join+agg supersteps over",
+        "  vertex-keyed state, the sssp/pagerank dataflow.",
+        "* **graph_powerlaw / doc_pii_scrub** — one scan + map-side",
+        "  combined aggregation / pure codegen-fused projection; expect",
+        "  ~linear with large fixed floors.",
+        "* **doc_dsir_weights** — two bounded bucket-count aggs + a",
+        "  broadcast log-ratio join + one doc-keyed groupBy; partition",
+        "  sizes track document length, never corpus size.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
