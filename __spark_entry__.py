@@ -771,6 +771,152 @@ FROM agg
 """
 
 
+def _trustrank_sql(iters: int, alpha: float = ALPHA) -> str:
+    """trustrank_spam_mass replay (operators/trustrank.py): the uniform
+    PageRank chain (p*) and the seed-personalized chain (t*) unrolled
+    side by side over the order→part graph, seeds = parts with
+    l_partkey % 40 = 0 (the personalized row's set); trust scales the
+    PPR by n_seed/n and spam mass is (rank − trust)/rank."""
+    parts = [
+        f"WITH e AS ({SQL_E_OP}),",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "outd AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),",
+        "w AS (SELECT e.src, e.dst, 1.0 / outd.od AS w FROM e JOIN outd ON outd.vertex = e.src),",
+        "srcs AS (SELECT DISTINCT 'p' || l_partkey AS vertex FROM lineitem WHERE l_partkey % 40 = 0),",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcs JOIN v USING (vertex)),",
+        "tpv AS (SELECT v.vertex, CASE WHEN s.vertex IS NOT NULL "
+        "THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS tp "
+        "FROM v LEFT JOIN srcs s ON s.vertex = v.vertex),",
+        "p0 AS (SELECT vertex, 1.0 / (SELECT n FROM nn) AS rank FROM v),",
+        "t0 AS (SELECT vertex, tp AS rank FROM tpv),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"pd{k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM p{k-1} "
+            f"WHERE vertex NOT IN (SELECT vertex FROM outd)),"
+        )
+        parts.append(
+            f"ps{k} AS (SELECT w.dst AS vertex, SUM(r.rank * w.w) AS in_sum "
+            f"FROM p{k-1} r JOIN w ON w.src = r.vertex GROUP BY w.dst),"
+        )
+        parts.append(
+            f"p{k} AS (SELECT v.vertex, "
+            f"((1 - {alpha}) / (SELECT n FROM nn) + {alpha} * (SELECT dm FROM pd{k}) / (SELECT n FROM nn)) "
+            f"+ {alpha} * COALESCE(ps{k}.in_sum, 0.0) AS rank "
+            f"FROM v LEFT JOIN ps{k} ON ps{k}.vertex = v.vertex),"
+        )
+        parts.append(
+            f"td{k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM t{k-1} "
+            f"WHERE vertex NOT IN (SELECT vertex FROM outd)),"
+        )
+        parts.append(
+            f"ts{k} AS (SELECT w.dst AS vertex, SUM(r.rank * w.w) AS in_sum "
+            f"FROM t{k-1} r JOIN w ON w.src = r.vertex GROUP BY w.dst),"
+        )
+        parts.append(
+            f"t{k} AS (SELECT tv.vertex, "
+            f"({1.0 - alpha!r} + {alpha!r} * (SELECT dm FROM td{k})) * tv.tp "
+            f"+ {alpha!r} * COALESCE(ts{k}.in_sum, 0.0) AS rank "
+            f"FROM tpv tv LEFT JOIN ts{k} ON ts{k}.vertex = tv.vertex),"
+        )
+    # trust = ppr * (n_seed / n) exactly as the operator multiplies by
+    # the python-division scalar; spam = (rank - trust)/rank
+    parts.append(
+        "sc AS (SELECT (SELECT k FROM ns) / (SELECT n FROM nn) AS s) "
+        f"SELECT p.vertex, ROUND(p.rank, 9) AS rank, "
+        f"ROUND(t.rank * (SELECT s FROM sc), 9) AS trust, "
+        f"ROUND((p.rank - t.rank * (SELECT s FROM sc)) / p.rank, 9) AS spam_mass "
+        f"FROM p{iters} p JOIN t{iters} t ON t.vertex = p.vertex"
+    )
+    return "\n".join(parts)
+
+
+def _cocitation_sql(
+    min_score: float = 2.0, max_pivot: int = 64, top_k: int = 100
+) -> str:
+    """cocitation_scores replay (operators/linkpred.py): wedge self-join
+    on the source pivot over the distinct order→part edges, hub pivots
+    capped, raw-common-count filter, cosine normalization by in-degree,
+    deterministic (score desc, u, v) top-k."""
+    return f"""
+WITH raw AS ({SQL_E_OP}),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+deg AS (SELECT dst AS x, COUNT(*) AS dx FROM e GROUP BY dst),
+pdeg AS (SELECT src AS z, COUNT(*) AS dz FROM e GROUP BY src),
+piv AS (SELECT z FROM pdeg WHERE dz >= 2 AND dz <= {max_pivot}),
+nbrs AS MATERIALIZED (SELECT e.src AS z, e.dst AS n FROM e JOIN piv ON piv.z = e.src),
+pairs AS (SELECT e1.n AS u, e2.n AS v, CAST(COUNT(*) AS DOUBLE) AS score
+          FROM nbrs e1 JOIN nbrs e2 ON e1.z = e2.z AND e1.n < e2.n
+          GROUP BY u, v),
+filt AS (SELECT * FROM pairs WHERE score >= {min_score!r}),
+scored AS (SELECT u, v,
+             ROUND(f.score / sqrt(CAST(du.dx AS DOUBLE) * dv.dx), 9) AS score
+           FROM filt f JOIN deg du ON du.x = f.u JOIN deg dv ON dv.x = f.v)
+SELECT u, v, score FROM scored ORDER BY score DESC, u, v LIMIT {top_k}
+"""
+
+
+def _dag_layers_sql(rounds: int) -> str:
+    """topological_layers replay (operators/dag.py): ``rounds`` unrolled
+    Kahn peels over the key-oriented co-purchase DAG (src part key <
+    dst part key, so the graph is acyclic by construction and the layer
+    is the longest-chain depth); vertices not peeled inside the budget
+    stay -1, exactly the operator's fixed-budget state."""
+    parts = [
+        f"WITH raw AS ({SQL_E_CO}),",
+        "e AS (SELECT DISTINCT src, dst FROM raw),",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
+        "s0 AS (SELECT vertex, -1 AS layer FROM v),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"b{k} AS (SELECT DISTINCT dst AS vertex FROM e "
+            f"WHERE src IN (SELECT vertex FROM s{k-1} WHERE layer = -1)),"
+        )
+        parts.append(
+            f"s{k} AS (SELECT vertex, CASE WHEN layer <> -1 THEN layer "
+            f"WHEN vertex NOT IN (SELECT vertex FROM b{k}) THEN {k-1} "
+            f"ELSE -1 END AS layer FROM s{k-1}),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, layer FROM s{rounds}"
+    )
+    return "\n".join(parts)
+
+
+def _richclub_sql(thresholds: "tuple[int, ...]" = (1, 2, 4, 8, 16)) -> str:
+    """rich_club replay (operators/graphstats.py): vertex-degree and
+    min-endpoint-degree histograms of the undirected simple order↔part
+    graph crossed against the threshold list; phi = 2E_k/(N_k(N_k-1))."""
+    ks = ", ".join(str(int(t)) for t in sorted(set(thresholds)))
+    return f"""
+WITH raw AS ({SQL_E_OP}),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS vertex, COUNT(*) AS degree FROM und GROUP BY a),
+ks AS (SELECT unnest([{ks}]) AS k),
+dh AS (SELECT degree, COUNT(*) AS nv FROM deg GROUP BY degree),
+nvt AS (SELECT k, CAST(SUM(nv) AS BIGINT) AS n_vertices
+        FROM dh JOIN ks ON dh.degree > ks.k GROUP BY k),
+eh AS (SELECT least(da.degree, db.degree) AS md, COUNT(*) AS ne
+       FROM c JOIN deg da ON da.vertex = c.a
+              JOIN deg db ON db.vertex = c.b
+       GROUP BY md),
+net AS (SELECT k, CAST(SUM(ne) AS BIGINT) AS n_edges
+        FROM eh JOIN ks ON eh.md > ks.k GROUP BY k)
+SELECT ks.k,
+       COALESCE(n_vertices, 0) AS n_vertices,
+       COALESCE(n_edges, 0) AS n_edges,
+       CASE WHEN COALESCE(n_vertices, 0) >= 2
+            THEN ROUND(2.0 * COALESCE(n_edges, 0)
+                       / (CAST(n_vertices AS DOUBLE) * (n_vertices - 1)), 9)
+       END AS phi
+FROM ks LEFT JOIN nvt USING (k) LEFT JOIN net USING (k)
+"""
+
+
 def _dsir_sql(n_buckets: int = 512, alpha: float = 1.0) -> str:
     """dsir_importance replay (pipeline/mixing.py): hashed
     unigram+bigram bucket models of target (lang='de') and source
@@ -3006,6 +3152,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_powerlaw"] = _powerlaw
 
+    def _trustrank(spark, sf):
+        from smatchpp_spark.operators.trustrank import trustrank_spam_mass
+
+        li = _read(spark, sf, "lineitem")
+        seeds = (
+            li.filter(F.col("l_partkey") % 40 == 0)
+            .select(
+                F.concat(
+                    F.lit("p"), F.col("l_partkey").cast("string")
+                ).alias("vertex")
+            )
+            .distinct()
+        )
+        r = trustrank_spam_mass(
+            _e_op(spark, sf), seeds, alpha=ALPHA, tol=-1.0,
+            max_supersteps=PR_STEPS,
+        )
+        return r.scores.select(
+            "vertex",
+            F.round("rank", 9).alias("rank"),
+            F.round("trust", 9).alias("trust"),
+            F.round("spam_mass", 9).alias("spam_mass"),
+        )
+
+    q["trustrank_spam"] = _trustrank
+
+    def _cocite(spark, sf):
+        from smatchpp_spark.operators.linkpred import cocitation_scores
+
+        return cocitation_scores(
+            _e_op(spark, sf),
+            mode="cocitation",
+            normalize="cosine",
+            min_score=2.0,
+            max_pivot_degree=64,
+            top_k=100,
+        )
+
+    q["cocitation_topk"] = _cocite
+
+    def _dag_layers(spark, sf):
+        from smatchpp_spark.operators.dag import topological_layers
+
+        r = topological_layers(_e_co(spark, sf), max_supersteps=8)
+        return r.layers
+
+    q["dag_layers"] = _dag_layers
+
+    def _richclub(spark, sf):
+        from smatchpp_spark.operators.graphstats import rich_club
+
+        return rich_club(_e_op(spark, sf), thresholds=[1, 2, 4, 8, 16])
+
+    q["graph_richclub"] = _richclub
+
     def _dsir(spark, sf):
         from smatchpp_spark.pipeline.mixing import dsir_importance
 
@@ -3872,7 +4073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # doc_hll_distinct, doc_cms_wordcounts, doc_weighted_sample,
 # doc_c4_filter, doc_ccnet_pipeline, graph_one_mode, katz_centrality,
 # triad_census, doc_pii_scrub, doc_dsir_weights, temporal_reachability,
-# harmonic_spread, rmat_edges, graph_powerlaw — put them FIRST in the
+# harmonic_spread, rmat_edges, graph_powerlaw, trustrank_spam,
+# cocitation_topk, dag_layers, graph_richclub — put them FIRST in the
 # round-8 front, then the r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
@@ -4150,6 +4352,10 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "harmonic_spread": _label_spread_sql(8),
         "doc_source_similarity": _source_similarity_sql(16),
         "graph_powerlaw": _powerlaw_sql(3),
+        "trustrank_spam": _trustrank_sql(PR_STEPS),
+        "cocitation_topk": _cocitation_sql(2.0, 64, 100),
+        "dag_layers": _dag_layers_sql(8),
+        "graph_richclub": _richclub_sql((1, 2, 4, 8, 16)),
         "louvain_communities": _louvain_sql(3, 2),
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
         "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),

@@ -1,0 +1,219 @@
+"""Web-graph relatedness & structure operators: co-citation /
+bibliographic coupling, TrustRank + spam mass, topological layering,
+rich-club coefficient — python-replay and closed-form checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from smatchpp_spark.operators.dag import topological_layers
+from smatchpp_spark.operators.graphstats import rich_club
+from smatchpp_spark.operators.linkpred import cocitation_scores
+from smatchpp_spark.operators.trustrank import trustrank_spam_mass
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+
+
+# ---------------------------------------------------------------- cocitation
+
+
+def _py_cocite(pairs, mode):
+    e = {(str(a), str(b)) for a, b in pairs if a != b}
+    out = {}
+    piv = {}
+    for a, b in e:
+        z, n = (a, b) if mode == "cocitation" else (b, a)
+        piv.setdefault(z, set()).add(n)
+    for z, ns in piv.items():
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                out[(ns[i], ns[j])] = out.get((ns[i], ns[j]), 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("mode", ["cocitation", "coupling"])
+def test_cocitation_counts_match_replay(spark, mode):
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (5, 3), (5, 4), (5, 1),
+        (4, 2), (3, 3), (1, 2),  # self-loop + duplicate collapse
+    ]
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in cocitation_scores(_df(spark, pairs), mode=mode).collect()
+    }
+    want = {k: float(v) for k, v in _py_cocite(pairs, mode).items()}
+    assert got == want
+
+
+def test_cocitation_cosine_normalization(spark):
+    # z1->u, z1->v; z2->u, z2->v; z3->u : cocite(u,v)=2, d_in(u)=3, d_in(v)=2
+    pairs = [("z1", "u"), ("z1", "v"), ("z2", "u"), ("z2", "v"), ("z3", "u")]
+    rows = cocitation_scores(
+        _df(spark, pairs), mode="cocitation", normalize="cosine"
+    ).collect()
+    got = {(r["u"], r["v"]): r["score"] for r in rows}
+    assert got == {("u", "v"): round(2.0 / math.sqrt(3 * 2), 9)}
+    rows_j = cocitation_scores(
+        _df(spark, pairs), mode="cocitation", normalize="jaccard"
+    ).collect()
+    assert {(r["u"], r["v"]): r["score"] for r in rows_j} == {
+        ("u", "v"): round(2.0 / (3 + 2 - 2), 9)
+    }
+
+
+def test_cocitation_pivot_cap_and_min_score(spark):
+    # hub z cites 5 pages (10 wedges); capped pivot drops them all
+    pairs = [("z", f"u{i}") for i in range(5)] + [("w", "u0"), ("w", "u1")]
+    capped = cocitation_scores(
+        _df(spark, pairs), mode="cocitation", max_pivot_degree=4
+    ).collect()
+    assert {(r["u"], r["v"]): r["score"] for r in capped} == {("u0", "u1"): 1.0}
+    filt = cocitation_scores(
+        _df(spark, pairs), mode="cocitation", min_score=2.0
+    ).collect()
+    assert {(r["u"], r["v"]): r["score"] for r in filt} == {("u0", "u1"): 2.0}
+
+
+# ----------------------------------------------------------------- trustrank
+
+
+def test_trustrank_star_spam_mass(spark):
+    """Trusted hub t -> a, b; spam page s -> s2 in a separate component:
+    the spam pages' trust is 0, so their spam mass is exactly 1; pages
+    reachable from the seed have spam mass < 1."""
+    pairs = [("t", "a"), ("t", "b"), ("s", "s2")]
+    r = trustrank_spam_mass(
+        _df(spark, pairs), ["t"], alpha=0.85, max_supersteps=30, tol=1e-12
+    )
+    rows = {x["vertex"]: x for x in r.scores.collect()}
+    assert r.n_seeds == 1
+    assert set(rows) == {"t", "a", "b", "s", "s2"}
+    for v in ("s", "s2"):
+        assert rows[v]["trust"] == 0.0
+        assert rows[v]["spam_mass"] == 1.0
+    for v in ("t", "a", "b"):
+        assert rows[v]["trust"] > 0.0
+        assert rows[v]["spam_mass"] < 1.0
+    # core-based scaling: trust = ppr * n_seed / n
+    tr_rank = {x["vertex"]: x["rank"] for x in r.trustrank.ranks.collect()}
+    for v, row in rows.items():
+        assert abs(row["trust"] - tr_rank[v] * (1 / 5)) < 1e-15
+
+
+def test_trustrank_all_seeds_zero_mass(spark):
+    """Seeding EVERY page makes trust == rank (teleport vectors agree),
+    so spam mass is ~0 everywhere."""
+    pairs = [(1, 2), (2, 3), (3, 1), (2, 4)]
+    verts = ["1", "2", "3", "4"]
+    r = trustrank_spam_mass(
+        _df(spark, pairs), verts, alpha=0.85, max_supersteps=60, tol=1e-13
+    )
+    for row in r.scores.collect():
+        assert abs(row["spam_mass"]) < 1e-9
+
+
+# --------------------------------------------------------------- topo layers
+
+
+def test_topo_layers_diamond(spark):
+    # a->b, a->c, b->d, c->d, d->e : layers 0,1,1,2,3
+    r = topological_layers(_df(spark, [
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+    ]))
+    got = {x["vertex"]: x["layer"] for x in r.layers.collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    assert r.acyclic and r.converged
+
+
+def test_topo_layers_longest_path_semantics(spark):
+    # shortcut a->d plus chain a->b->c->d: d's layer is the LONGEST path
+    r = topological_layers(
+        _df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+    )
+    got = {x["vertex"]: x["layer"] for x in r.layers.collect()}
+    assert got["d"] == 3
+
+
+def test_topo_layers_cycle_detection(spark):
+    # cycle 1->2->3->1 with a tail 0->1 and an escapee 3->4: the cycle
+    # and everything downstream of it (4) never peels
+    r = topological_layers(_df(spark, [
+        ("0", "1"), ("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"),
+    ]))
+    got = {x["vertex"]: x["layer"] for x in r.layers.collect()}
+    assert got["0"] == 0
+    assert got["1"] == got["2"] == got["3"] == got["4"] == -1
+    assert not r.acyclic
+    assert r.converged  # fixed point reached within budget
+
+
+def test_topo_layers_self_loop_is_cyclic(spark):
+    r = topological_layers(_df(spark, [("a", "a"), ("a", "b")]))
+    got = {x["vertex"]: x["layer"] for x in r.layers.collect()}
+    assert got == {"a": -1, "b": -1}
+    assert not r.acyclic
+
+
+# ----------------------------------------------------------------- rich club
+
+
+def test_rich_club_clique_plus_pendants(spark):
+    """K4 on {1..4} (degree >= 3) plus a pendant 5-1: above k=1 only
+    the clique survives and phi = 1 at k where N_k is the clique."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    rows = rich_club(
+        _df(spark, k4 + [(5, 1)]), thresholds=[1, 2, 3]
+    ).collect()
+    by_k = {r["k"]: r for r in rows}
+    # k=1: degrees are 1:4, 2..4:3, 5:1 -> club {1,2,3,4}, all 6 edges
+    assert by_k[1]["n_vertices"] == 4 and by_k[1]["n_edges"] == 6
+    assert by_k[1]["phi"] == 1.0
+    # k=2: same club
+    assert by_k[2]["phi"] == 1.0
+    # k=3: only vertex 1 (degree 4) -> undefined
+    assert by_k[3]["n_vertices"] == 1 and by_k[3]["phi"] is None
+
+
+def test_rich_club_default_thresholds_powers_of_two(spark):
+    star = [(0, i) for i in range(1, 9)]  # hub degree 8
+    rows = rich_club(_df(spark, star)).collect()
+    assert [r["k"] for r in rows] == [1, 2, 4, 8]
+    by_k = {r["k"]: r for r in rows}
+    # club at k=1 is just the hub -> 0 edges, phi undefined
+    assert by_k[1]["n_vertices"] == 1 and by_k[1]["phi"] is None
+    assert by_k[8]["n_vertices"] == 0 and by_k[8]["phi"] is None
+
+
+def test_rich_club_replay_on_cocitation_graph(spark):
+    import random
+
+    rng = random.Random(5)
+    pairs = {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    und = set()
+    for a, b in pairs:
+        und.add((min(a, b), max(a, b)))
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ks = [1, 2, 4, 8]
+    rows = rich_club(_df(spark, pairs), thresholds=ks).collect()
+    by_k = {r["k"]: r for r in rows}
+    for k in ks:
+        club = {v for v, d in deg.items() if d > k}
+        ek = sum(1 for a, b in und if a in club and b in club)
+        assert by_k[k]["n_vertices"] == len(club)
+        assert by_k[k]["n_edges"] == ek
+        if len(club) >= 2:
+            want = 2.0 * ek / (len(club) * (len(club) - 1))
+            assert abs(by_k[k]["phi"] - want) < 1e-9
+        else:
+            assert by_k[k]["phi"] is None
