@@ -939,16 +939,21 @@ def test_powerlaw_fit_vs_python(spark):
 
 
 def test_powerlaw_fit_recovers_exponent(spark):
-    """degrees drawn as round(x^(-1/(alpha-1))) inverse-CDF from a
-    planted alpha=2.5 tail: the MLE lands near the planted value."""
-    import math
+    """degrees drawn as round(d_min·u^(-1/(alpha-1))) inverse-CDF from a
+    planted alpha=2.5 tail: the MLE lands near the planted value.
 
-    alpha = 2.5
+    d_min=16, NOT 2: the estimator uses CSN's continuous-approximation
+    shift (d_min − ½), whose discretization bias is large at tiny d_min
+    (planted 2.5 estimates as ~2.07 at d_min=2 — a property of the
+    published formula, not an implementation error; CSN §3.4 recommend
+    the approximation only for d_min ≳ 6).  At d_min=16 the bias is
+    ~0.06 on this construction (python replay of the same formula)."""
+    alpha, d_min = 2.5, 16
     rnd_degs = []
     n = 400
     for i in range(n):
         u = (i + 0.5) / n
-        d = max(2, int(round(2 * u ** (-1.0 / (alpha - 1.0)))))
+        d = max(d_min, int(round(d_min * u ** (-1.0 / (alpha - 1.0)))))
         rnd_degs.append(min(d, 500))
     edges = []
     base = 0
@@ -960,5 +965,5 @@ def test_powerlaw_fit_recovers_exponent(spark):
 
     from smatchpp_spark.operators.graphstats import powerlaw_fit
 
-    row = powerlaw_fit(df, d_min=2).collect()[0]
-    assert abs(row["alpha"] - alpha) < 0.25
+    row = powerlaw_fit(df, d_min=d_min).collect()[0]
+    assert abs(row["alpha"] - alpha) < 0.15
