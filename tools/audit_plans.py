@@ -206,6 +206,25 @@ CHECKS = {
         ("BroadcastHashJoin",
          "the 64-row mask->type lookup broadcasts"),
     ],
+    "graph_richclub": [
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+         "edge derivation reads 2 of 11 lineitem columns"),
+        ("HashAggregate",
+         "degree and min-endpoint-degree HISTOGRAMS combine map-side — "
+         "the threshold list multiplies histogram rows, never edges"),
+        ("BroadcastNestedLoopJoin",
+         "the ≤dozens-row threshold list crosses the tiny histograms "
+         "as a broadcast"),
+    ],
+    "cocitation_topk": [
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+         "edge derivation reads 2 of 11 lineitem columns"),
+        ("HashAggregate",
+         "wedge pair counts combine map-side on the (u, v) key"),
+        ("TakeOrderedAndProject",
+         "global top-k runs as take-ordered — no full sort "
+         "materialization of the pair table"),
+    ],
 }
 
 

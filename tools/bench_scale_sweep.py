@@ -625,6 +625,37 @@ def main() -> None:
             _sseeds.filter(F.xxhash64("vertex") % 64 == 1),
             max_supersteps=4, tol=-1.0,
         ).scores.count())
+
+        from smatchpp_spark.operators.dag import topological_layers
+        from smatchpp_spark.operators.graphstats import rich_club
+        from smatchpp_spark.operators.linkpred import cocitation_scores
+        from smatchpp_spark.operators.trustrank import trustrank_spam_mass
+
+        # two fixed-step PR chains + one vertex join; expect the
+        # pagerank_10steps profile (shuffle-floor dominated)
+        _trseeds = (
+            e_op.select(F.col("dst").alias("vertex"))
+            .distinct()
+            .filter(F.xxhash64("vertex") % 32 == 0)
+        )
+        timed("trustrank_5steps", scale, lambda: trustrank_spam_mass(
+            e_op, _trseeds, tol=-1.0, max_supersteps=5
+        ).scores.count())
+        # wedge self-join on the capped source pivot — the linkpred/
+        # triangle work profile (~Σd², disjoint copies make it linear)
+        timed("cocitation_cap64", scale, lambda: cocitation_scores(
+            e_op, mode="cocitation", normalize="cosine",
+            min_score=2.0, max_pivot_degree=64,
+        ).count())
+        # fixed 6 Kahn peels over the key-oriented DAG; per-round work
+        # is one semi-join + one anti-join over the shrinking active set
+        timed("dag_layers_6rounds", scale, lambda: topological_layers(
+            inp["e_co"], max_supersteps=6
+        ).layers.count())
+        # two histogram aggs + broadcast threshold cross — one edge scan
+        timed("graph_richclub", scale, lambda: rich_club(
+            e_op, thresholds=[1, 2, 4, 8, 16]
+        ).count())
         e_op.unpersist()
 
     fits = {}
