@@ -885,6 +885,65 @@ def _dag_layers_sql(rounds: int) -> str:
     return "\n".join(parts)
 
 
+def _bowtie_sql() -> str:
+    """bowtie_components replay (operators/bowtie.py): exact transitive
+    closure of the supplier/nation/region digraph, SCC = min mutual
+    reach partner, core = (size desc, label asc) argmax, IN/OUT/TUBE/
+    TENDRIL/DISCONNECTED from the four reachability balls."""
+    return """
+WITH RECURSIVE sup AS (
+  SELECT s_suppkey AS k,
+         's' || s_suppkey AS sv,
+         'n' || s_nationkey AS nv,
+         'r' || n_regionkey AS rv
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey),
+e0 AS (
+  SELECT sv AS src, nv AS dst FROM sup
+  UNION ALL SELECT nv, sv FROM sup WHERE k % 2 = 0
+  UNION ALL SELECT DISTINCT nv, rv FROM sup
+  UNION ALL SELECT sv, 'x' || k FROM sup WHERE k % 10 = 1
+  UNION ALL SELECT 'x' || k, rv FROM sup WHERE k % 10 = 1),
+ee AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+v AS (SELECT src AS vertex FROM ee UNION SELECT dst FROM ee),
+reach(a, b) AS (
+  SELECT src, dst FROM ee
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN ee e ON e.src = r.b),
+mut AS (SELECT r1.a AS v, r1.b AS u
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+scc AS (SELECT v.vertex,
+               LEAST(v.vertex, COALESCE(MIN(m.u), v.vertex)) AS scc
+        FROM v LEFT JOIN mut m ON m.v = v.vertex GROUP BY v.vertex),
+core_l AS (SELECT scc FROM (
+  SELECT scc, COUNT(*) AS n FROM scc GROUP BY scc
+  ORDER BY n DESC, scc ASC LIMIT 1)),
+corev AS (SELECT vertex FROM scc WHERE scc = (SELECT scc FROM core_l)),
+fwd AS (SELECT vertex FROM corev
+        UNION SELECT r.b FROM reach r JOIN corev c ON c.vertex = r.a),
+bwd AS (SELECT vertex FROM corev
+        UNION SELECT r.a FROM reach r JOIN corev c ON c.vertex = r.b),
+inset AS (SELECT vertex FROM bwd
+          WHERE vertex NOT IN (SELECT vertex FROM corev)),
+outset AS (SELECT vertex FROM fwd
+           WHERE vertex NOT IN (SELECT vertex FROM corev)),
+from_in AS (SELECT vertex FROM inset
+            UNION SELECT r.b FROM reach r JOIN inset i ON i.vertex = r.a),
+to_out AS (SELECT vertex FROM outset
+           UNION SELECT r.a FROM reach r JOIN outset o ON o.vertex = r.b)
+SELECT s.vertex,
+       CASE WHEN s.vertex IN (SELECT vertex FROM corev) THEN 'CORE'
+            WHEN s.vertex IN (SELECT vertex FROM bwd) THEN 'IN'
+            WHEN s.vertex IN (SELECT vertex FROM fwd) THEN 'OUT'
+            WHEN s.vertex IN (SELECT vertex FROM from_in)
+                 AND s.vertex IN (SELECT vertex FROM to_out) THEN 'TUBE'
+            WHEN s.vertex IN (SELECT vertex FROM from_in)
+                 OR s.vertex IN (SELECT vertex FROM to_out) THEN 'TENDRIL'
+            ELSE 'DISCONNECTED' END AS component,
+       s.scc
+FROM scc s
+"""
+
+
 def _richclub_sql(thresholds: "tuple[int, ...]" = (1, 2, 4, 8, 16)) -> str:
     """rich_club replay (operators/graphstats.py): vertex-degree and
     min-endpoint-degree histograms of the undirected simple order↔part
@@ -3207,6 +3266,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_richclub"] = _richclub
 
+    def _bowtie(spark, sf):
+        from smatchpp_spark.operators.bowtie import bowtie_decomposition
+
+        # web-shaped digraph with all six Broder classes possible:
+        # s→n (all suppliers), n→s (even keys — nation clusters become
+        # SCCs), n→r (regions are OUT of the core cluster), and a
+        # core-bypassing s→x→r detour for suppkey % 10 == 1
+        s = _read(spark, sf, "supplier")
+        n = _read(spark, sf, "nation")
+        sup = s.join(
+            n.select("n_nationkey", "n_regionkey"),
+            s["s_nationkey"] == n["n_nationkey"],
+        ).select(
+            F.col("s_suppkey").alias("k"),
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("sv"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("nv"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("rv"),
+        )
+        e = (
+            sup.select(F.col("sv").alias("src"), F.col("nv").alias("dst"))
+            .unionByName(
+                sup.filter(F.col("k") % 2 == 0).select(
+                    F.col("nv").alias("src"), F.col("sv").alias("dst")
+                )
+            )
+            .unionByName(
+                sup.select(
+                    F.col("nv").alias("src"), F.col("rv").alias("dst")
+                ).distinct()
+            )
+            .unionByName(
+                sup.filter(F.col("k") % 10 == 1).select(
+                    F.col("sv").alias("src"),
+                    F.concat(F.lit("x"), F.col("k").cast("string")).alias("dst"),
+                )
+            )
+            .unionByName(
+                sup.filter(F.col("k") % 10 == 1).select(
+                    F.concat(F.lit("x"), F.col("k").cast("string")).alias("src"),
+                    F.col("rv").alias("dst"),
+                )
+            )
+        )
+        r = bowtie_decomposition(e, max_scc_rounds=10, max_depth=10)
+        return r.membership
+
+    q["bowtie_components"] = _bowtie
+
     def _dsir(spark, sf):
         from smatchpp_spark.pipeline.mixing import dsir_importance
 
@@ -4074,8 +4181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # doc_c4_filter, doc_ccnet_pipeline, graph_one_mode, katz_centrality,
 # triad_census, doc_pii_scrub, doc_dsir_weights, temporal_reachability,
 # harmonic_spread, rmat_edges, graph_powerlaw, trustrank_spam,
-# cocitation_topk, dag_layers, graph_richclub — put them FIRST in the
-# round-8 front, then the r6-verified rows that sat out round 7.
+# cocitation_topk, dag_layers, graph_richclub, bowtie_components — put
+# them FIRST in the round-8 front, then the r6-verified rows that sat
+# out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -4356,6 +4464,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "cocitation_topk": _cocitation_sql(2.0, 64, 100),
         "dag_layers": _dag_layers_sql(8),
         "graph_richclub": _richclub_sql((1, 2, 4, 8, 16)),
+        "bowtie_components": _bowtie_sql(),
         "louvain_communities": _louvain_sql(3, 2),
         "doc_substring_dedup": _substring_dedup_sql(5, 8, 2),
         "linkpred_ppr": _linkpred_ppr_sql(3, ALPHA, 10),

@@ -217,3 +217,110 @@ def test_rich_club_replay_on_cocitation_graph(spark):
             assert abs(by_k[k]["phi"] - want) < 1e-9
         else:
             assert by_k[k]["phi"] is None
+
+
+# ------------------------------------------------------------------- bow-tie
+
+
+def _py_bowtie(pairs):
+    """Reachability-replay classifier (same taxonomy as the operator)."""
+    e = {(str(a), str(b)) for a, b in pairs if str(a) != str(b)}
+    verts = {v for p in e for v in p}
+    adj, radj = {}, {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        radj.setdefault(b, set()).add(a)
+
+    def ball(seeds, g):
+        seen = set(seeds)
+        fr = set(seeds)
+        while fr:
+            nxt = {w for v in fr for w in g.get(v, ())} - seen
+            seen |= nxt
+            fr = nxt
+        return seen
+
+    # SCC via double reachability (fine at test size)
+    reach = {v: ball([v], adj) for v in verts}
+    scc = {
+        v: min(u for u in verts if u in reach[v] and v in reach[u])
+        for v in verts
+    }
+    sizes = {}
+    for v, l in scc.items():
+        sizes[l] = sizes.get(l, 0) + 1
+    core_label = min(
+        sizes, key=lambda l: (-sizes[l], l)
+    )
+    core = {v for v in verts if scc[v] == core_label}
+    fwd, bwd = ball(core, adj), ball(core, radj)
+    in_set, out_set = bwd - core, fwd - core
+    from_in, to_out = ball(in_set, adj), ball(out_set, radj)
+    out = {}
+    for v in verts:
+        if v in core:
+            out[v] = "CORE"
+        elif v in bwd:
+            out[v] = "IN"
+        elif v in fwd:
+            out[v] = "OUT"
+        elif v in from_in and v in to_out:
+            out[v] = "TUBE"
+        elif v in from_in or v in to_out:
+            out[v] = "TENDRIL"
+        else:
+            out[v] = "DISCONNECTED"
+    return out, core_label
+
+
+def test_bowtie_all_six_classes(spark):
+    from smatchpp_spark.operators.bowtie import bowtie_decomposition
+
+    pairs = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),   # CORE cycle
+        ("i0", "i1"), ("i1", "a1"),                 # IN chain
+        ("a2", "o1"), ("o1", "o2"),                 # OUT chain
+        ("i1", "t1"), ("t1", "o1"),                 # TUBE bypass
+        ("i1", "d1"),                               # TENDRIL off IN
+        ("d2", "o2"),                               # TENDRIL into OUT
+        ("z1", "z2"),                               # DISCONNECTED
+    ]
+    r = bowtie_decomposition(_df(spark, pairs), max_depth=10)
+    got = {x["vertex"]: x["component"] for x in r.membership.collect()}
+    assert got == {
+        "a1": "CORE", "a2": "CORE", "a3": "CORE",
+        "i0": "IN", "i1": "IN",
+        "o1": "OUT", "o2": "OUT",
+        "t1": "TUBE", "d1": "TENDRIL", "d2": "TENDRIL",
+        "z1": "DISCONNECTED", "z2": "DISCONNECTED",
+    }
+    assert r.core_label == "a1" and r.core_size == 3
+
+
+def test_bowtie_vs_python_replay(spark):
+    import random
+
+    from smatchpp_spark.operators.bowtie import bowtie_decomposition
+
+    rng = random.Random(11)
+    n = 24
+    pairs = {(rng.randrange(n), rng.randrange(n)) for _ in range(40)}
+    pairs = [(f"v{a:02d}", f"v{b:02d}") for a, b in pairs if a != b]
+    want, core_label = _py_bowtie(pairs)
+    r = bowtie_decomposition(_df(spark, pairs), max_depth=30)
+    got = {x["vertex"]: x["component"] for x in r.membership.collect()}
+    assert got == want
+    assert r.core_label == core_label
+
+
+def test_bowtie_acyclic_graph_core_is_min_singleton(spark):
+    """No cycle: every SCC is a singleton, the tie-break picks the
+    minimum vertex id as the 1-vertex core."""
+    from smatchpp_spark.operators.bowtie import bowtie_decomposition
+
+    r = bowtie_decomposition(
+        _df(spark, [("b", "c"), ("a", "b")]), max_depth=5
+    )
+    got = {x["vertex"]: x["component"] for x in r.membership.collect()}
+    assert r.core_label == "a" and r.core_size == 1
+    assert got == {"a": "CORE", "b": "OUT", "c": "OUT"}

@@ -656,6 +656,20 @@ def main() -> None:
         timed("graph_richclub", scale, lambda: rich_club(
             e_op, thresholds=[1, 2, 4, 8, 16]
         ).count())
+
+        from smatchpp_spark.operators.bowtie import bowtie_decomposition
+
+        # SCC peel + 4 bounded BFS balls; half the edges get a reverse
+        # twin (hash-chosen), so SCC clusters + IN/OUT fringes exist and
+        # the structure is identical per disjoint copy
+        _bt = e_op.unionByName(
+            e_op.filter(F.xxhash64("src", "dst") % 2 == 0).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        timed("bowtie_d6", scale, lambda: bowtie_decomposition(
+            _bt, max_scc_rounds=6, max_depth=6
+        ).membership.count())
         e_op.unpersist()
 
     fits = {}
