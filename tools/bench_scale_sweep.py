@@ -228,6 +228,35 @@ def main() -> None:
     # cell expression ~7s) and this box has noisy-neighbor windows — the
     # min of two back-to-back runs isolates the plan's true cost, which
     # is what the exponent fit needs
+    def _flush_partial(name: str) -> None:
+        # crash insurance: once a query has both scales, merge its row
+        # into the json immediately (an OOM mid-sweep used to lose
+        # EVERY completed measurement — r7 lost 46 walls that way)
+        t = results[name]
+        if 1 not in t or SCALE not in t:
+            return
+        row = {
+            "t_1x_sec": t[1],
+            f"t_{SCALE}x_sec": t[SCALE],
+            "exponent": round(math.log(t[SCALE] / t[1]) / math.log(SCALE), 3),
+        }
+        path = "BENCH/scale_sweep.json"
+        os.makedirs("BENCH", exist_ok=True)
+        if os.path.exists(path):
+            with open(path) as fh:
+                prev = json.load(fh)
+        else:
+            prev = {
+                "metric": "scale_sweep_exponents",
+                "sf_dir": sf_dir,
+                "scale_factor": SCALE,
+                "cpus": cpus,
+                "queries": {},
+            }
+        prev.setdefault("queries", {})[name] = row
+        with open(path, "w") as fh:
+            fh.write(json.dumps(prev, indent=2) + "\n")
+
     def timed(name: str, scale: int, fn) -> None:
         if only and name not in only:
             return
@@ -240,6 +269,7 @@ def main() -> None:
         sec = round(best, 3)
         results.setdefault(name, {})[scale] = sec
         print(f"  {name} @ {scale}x: {sec}s", file=sys.stderr)
+        _flush_partial(name)
         # release the finished query's localCheckpoint blocks before the
         # next one: ContextCleaner frees them on GC, so force both GCs —
         # without this the retained blocks stack up and the 10x wedge
@@ -580,9 +610,14 @@ def main() -> None:
         timed("katz_5steps", scale, lambda: katz_centrality(
             inp["e_co"], alpha=0.05, beta=1.0, max_supersteps=5, tol=-1.0
         ).scores.count())
-        # hub guard keeps the wedge path bounded on the dense co-graph
+        # hub guard keeps the wedge path bounded on the dense co-graph:
+        # cap 64, not 256 — at 256 the 1x census alone is ~280 s
+        # (Σ min(d,cap)² wedges) and the 10x run OOMed a 12 GiB driver;
+        # the guard is the documented scale mechanism, so the sweep
+        # measures the guarded operator at an affordable cap (identical
+        # work definition at both scales)
         timed("triad_census_co", scale, lambda: triad_census(
-            inp["e_co"], max_center_degree=256
+            inp["e_co"], max_center_degree=64
         ).count())
         timed("doc_pii_scrub", scale, lambda: pii_scrub(
             inp["docs"]
@@ -670,6 +705,22 @@ def main() -> None:
         timed("bowtie_d6", scale, lambda: bowtie_decomposition(
             _bt, max_scc_rounds=6, max_depth=6
         ).membership.count())
+
+        from smatchpp_spark.operators.landmarks import (
+            closeness_centrality,
+            pick_landmarks,
+        )
+        from smatchpp_spark.pipeline.packing import chunk_documents
+
+        # shares the landmark multi-source BFS; fold is one groupBy
+        _cl_seeds = pick_landmarks(e_op, k=4, directed=False)
+        timed("closeness_d4", scale, lambda: closeness_centrality(
+            e_op, _cl_seeds, max_depth=4, directed=False
+        ).count())
+        # zero-shuffle explode — expect exponent ~1.0 (pure scan work)
+        timed("doc_chunks", scale, lambda: chunk_documents(
+            inp["docs"], window=16, stride=8
+        ).count())
         e_op.unpersist()
 
     fits = {}
