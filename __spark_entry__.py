@@ -2008,6 +2008,43 @@ def _harmonic_sql(depth: int = 4, k: int = 4) -> str:
     return "\n".join(parts)
 
 
+def _closeness_sql(depth: int = 4, k: int = 4) -> str:
+    """closeness_centrality replay (operators/landmarks.py): the
+    harmonic oracle's seed pick + unrolled multi-source BFS, folded to
+    n/Σd over d ≥ 1 (the Eppstein–Wang sampled closeness)."""
+    base = _harmonic_sql(depth, k)
+    head, _, _ = base.rpartition("fin AS (SELECT 1)")
+    return (
+        head
+        + "fin AS (SELECT 1)\n"
+        + "SELECT vertex, CAST(SUM(distance) AS BIGINT) AS sum_dist,\n"
+        + "  CAST(COUNT(*) AS INT) AS n_sources,\n"
+        + "  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(distance), 9) AS closeness\n"
+        + f"FROM r{depth} WHERE distance > 0 GROUP BY vertex"
+    )
+
+
+def _chunks_sql(window: int = 16, stride: int = 8) -> str:
+    """chunk_documents replay (pipeline/packing.py): same whitespace
+    tokens, n_chunks = 1 + ceil(max(n − window, 0)/stride) via the
+    float-floor identity, 1-based inclusive list slices."""
+    return f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+ne AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+idx AS (SELECT doc_id, t,
+  unnest(range(0, 1 + CAST(floor(
+    (greatest(n - {window}, 0) + {stride - 1}) / {float(stride)!r}
+  ) AS BIGINT))) AS chunk_idx FROM ne)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  CAST(len(t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}])
+       AS INT) AS n_tokens,
+  array_to_string(
+    t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}], ' '
+  ) AS chunk_text
+FROM idx
+"""
+
+
 def _core_hist_sql(rounds: int = 10) -> str:
     """core_histogram replay (operators/kcore.py): the coreness h-index
     unrolling folded to one row per core value with the degeneracy
@@ -2957,6 +2994,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return harmonic_centrality(e, seeds, max_depth=4, directed=False)
 
     q["harmonic_centrality"] = _harmonic
+
+    def _closeness(spark, sf):
+        from smatchpp_spark.operators.landmarks import (
+            closeness_centrality,
+            pick_landmarks,
+        )
+
+        e = _e_op(spark, sf)
+        seeds = pick_landmarks(e, k=4, directed=False)
+        return closeness_centrality(e, seeds, max_depth=4, directed=False)
+
+    q["closeness_centrality"] = _closeness
+
+    def _chunks(spark, sf):
+        from smatchpp_spark.pipeline.packing import chunk_documents
+
+        return chunk_documents(
+            _read(spark, sf, "documents"), window=16, stride=8
+        )
+
+    q["doc_chunks"] = _chunks
 
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
@@ -4181,9 +4239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # doc_c4_filter, doc_ccnet_pipeline, graph_one_mode, katz_centrality,
 # triad_census, doc_pii_scrub, doc_dsir_weights, temporal_reachability,
 # harmonic_spread, rmat_edges, graph_powerlaw, trustrank_spam,
-# cocitation_topk, dag_layers, graph_richclub, bowtie_components — put
-# them FIRST in the round-8 front, then the r6-verified rows that sat
-# out round 7.
+# cocitation_topk, dag_layers, graph_richclub, bowtie_components,
+# closeness_centrality, doc_chunks — put them FIRST in the round-8
+# front, then the r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -4475,6 +4533,8 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "landmark_distances": _landmark_sql(4, 4),
         "landmark_distances_packed": _landmark_sql(4, 4),
         "harmonic_centrality": _harmonic_sql(4, 4),
+        "closeness_centrality": _closeness_sql(4, 4),
+        "doc_chunks": _chunks_sql(16, 8),
         "core_histogram": _core_hist_sql(10),
         "doc_tfidf_topk": _tfidf_sql(3),
         "doc_bm25_search": _bm25_sql(["join", "spark", "vector"], 20),

@@ -108,3 +108,63 @@ def pack_stats(
             ).alias("fill_ratio"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Slice each document into overlapping fixed-token windows — the
+    standard pretraining / retrieval chunker (windowed token slices
+    with ``stride`` overlap; stride == window is disjoint chunking).
+
+    Policy, stated exactly (deterministic, oracle-replayable): with
+    ``n`` whitespace tokens (pipeline.text.tokens), chunk ``i`` covers
+    tokens ``[i·stride + 1, i·stride + window]`` (1-based, clamped at
+    the end) for ``i = 0 .. n_chunks − 1`` where
+    ``n_chunks = 1 + ceil(max(n − window, 0) / stride)`` — every token
+    lands in ≥ 1 chunk, the final chunk may be short, empty documents
+    emit NO chunks.
+
+    Output ``(id, chunk_idx int, n_tokens int, chunk_text string)``.
+    Scale shape: one scan + one narrow explode (fan-out ≈ n/stride per
+    document, the physical size of the chunked corpus) — no shuffle, no
+    UDF; everything stays in whole-stage codegen.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_documents: window/stride must be >= 1, got "
+            f"{window}/{stride}"
+        )
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    nonempty = toks.filter(F.col("n") > 0)
+    # integer-exact ceil via floor((x + stride - 1) / stride): double
+    # floor is exact for corpus-plausible token counts (< 2^52)
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(F.col("n") - window, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(float(stride))
+        )
+    ).cast("int")
+    out = (
+        nonempty.withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .withColumn(
+            "chunk_toks",
+            F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, window),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("chunk_toks").alias("n_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+    )
+    return out

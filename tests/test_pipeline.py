@@ -1853,3 +1853,43 @@ def test_source_similarity_vs_python(spark):
 
     with pytest.raises(ValueError, match="num_hashes"):
         source_similarity(docs, num_hashes=0)
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from smatchpp_spark.pipeline.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6"),   # 7 tokens
+            (2, "a b"),                      # shorter than the window
+            (3, "   "),                      # empty -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, window=4, stride=2).collect()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in rows
+    }
+    # doc 1: n=7 -> n_chunks = 1 + ceil(3/2) = 3
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t2 t3 t4 t5")
+    assert got[(1, 2)] == (3, "t4 t5 t6")
+    assert got[(2, 0)] == (2, "a b")
+    assert {k[0] for k in got} == {1, 2}
+    # every token appears in >= 1 chunk; stride==window -> disjoint
+    dis = chunk_documents(docs, window=3, stride=3).collect()
+    texts = [r["chunk_text"] for r in dis if r["doc_id"] == 1]
+    assert " ".join(texts) == "t0 t1 t2 t3 t4 t5 t6"
+
+
+def test_chunk_documents_guards(spark):
+    import pytest as _pytest
+
+    from smatchpp_spark.pipeline.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=4, stride=0)

@@ -324,3 +324,65 @@ def test_bowtie_acyclic_graph_core_is_min_singleton(spark):
     got = {x["vertex"]: x["component"] for x in r.membership.collect()}
     assert r.core_label == "a" and r.core_size == 1
     assert got == {"a": "CORE", "b": "OUT", "c": "OUT"}
+
+
+# ------------------------------------------------------------------ closeness
+
+
+def test_closeness_path_graph_closed_form(spark):
+    """path a-b-c-d, seeds {a, d}: closeness(b) = 2/(1+2), closeness of
+    a = 1/3 (only d reaches it at distance 3)."""
+    from smatchpp_spark.operators.landmarks import closeness_centrality
+
+    r = closeness_centrality(
+        _df(spark, [("a", "b"), ("b", "c"), ("c", "d")]),
+        ["a", "d"], max_depth=5, directed=False,
+    )
+    got = {x["vertex"]: x for x in r.collect()}
+    assert got["b"]["sum_dist"] == 3 and got["b"]["n_sources"] == 2
+    assert got["b"]["closeness"] == round(2.0 / 3.0, 9)
+    assert got["a"]["sum_dist"] == 3 and got["a"]["n_sources"] == 1
+    assert got["c"]["closeness"] == round(2.0 / 3.0, 9)
+
+
+def test_closeness_vs_python_replay(spark):
+    import random
+
+    from smatchpp_spark.operators.landmarks import closeness_centrality
+
+    rng = random.Random(3)
+    pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(50)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    seeds = ["1", "2", "3"]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(str(a), set()).add(str(b))
+        adj.setdefault(str(b), set()).add(str(a))
+    dist = {}
+    for s in seeds:
+        if s not in adj:
+            continue
+        d, fr = {s: 0}, [s]
+        while fr:
+            nxt = []
+            for v in fr:
+                for w in adj.get(v, ()):
+                    if w not in d:
+                        d[w] = d[v] + 1
+                        nxt.append(w)
+            fr = nxt
+        for v, dd in d.items():
+            if dd > 0:
+                dist.setdefault(v, []).append(dd)
+    want = {
+        v: (sum(ds), len(ds), round(len(ds) / sum(ds), 9))
+        for v, ds in dist.items()
+    }
+    r = closeness_centrality(
+        _df(spark, pairs), seeds, max_depth=25, directed=False
+    )
+    got = {
+        x["vertex"]: (x["sum_dist"], x["n_sources"], x["closeness"])
+        for x in r.collect()
+    }
+    assert got == want

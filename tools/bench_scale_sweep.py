@@ -858,6 +858,22 @@ def main() -> None:
         "* **doc_dsir_weights** — two bounded bucket-count aggs + a",
         "  broadcast log-ratio join + one doc-keyed groupBy; partition",
         "  sizes track document length, never corpus size.",
+        "* **trustrank_5steps** — two fixed-budget PR chains + one",
+        "  vertex join; tracks the pagerank_10steps shuffle-floor",
+        "  profile at half the steps per chain.",
+        "* **cocitation_cap64 / triad_census_co** — capped-pivot wedge",
+        "  joins; the hub guard IS the scale mechanism (triad at cap",
+        "  256 cost ~280 s at 1x and OOMed the 12 GiB driver at 10x —",
+        "  the sweep pins cap 64 at both scales for an identical,",
+        "  affordable work definition).",
+        "* **dag_layers_6rounds / closeness_d4 / bowtie_d6** — fixed",
+        "  round budgets; Kahn peeling is two vertex-keyed joins per",
+        "  round over a shrinking active set, closeness rides the",
+        "  landmark multi-source BFS, bowtie = one SCC peel + four",
+        "  bounded BFS balls (the SCC dominates, as published).",
+        "* **graph_richclub / doc_chunks** — histogram-crossed",
+        "  thresholds / zero-shuffle explode; pure scan work, walls sit",
+        "  on the fixed floor at both scales.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
