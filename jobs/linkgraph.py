@@ -31,7 +31,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "bfs", "scc", "hyperball", "clustering",
                             "linkpred", "walks", "node2vec", "louvain",
                             "betweenness", "landmarks", "sssp",
-                            "mis", "coloring", "msf", "ktruss", "coreness"])
+                            "mis", "coloring", "msf", "ktruss", "coreness",
+                            "trustrank", "bowtie", "toposort", "closeness",
+                            "cocitation"])
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
@@ -400,6 +402,72 @@ def main() -> None:
         )
         out = res.communities
         summary["levels"] = res.levels
+    elif args.op == "trustrank":
+        from smatchpp_spark.operators.trustrank import trustrank_spam_mass
+
+        if not args.sources:
+            raise SystemExit("trustrank requires --sources (trusted seeds)")
+        if args.sources.startswith("@"):
+            seeds = spark.read.parquet(args.sources[1:])
+        else:
+            seeds = args.sources.split(",")
+        res = trustrank_spam_mass(
+            edges, seeds, alpha=args.alpha, tol=args.tol,
+            max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        out = res.scores
+        summary["n_seeds"] = res.n_seeds
+    elif args.op == "bowtie":
+        from smatchpp_spark.operators.bowtie import bowtie_decomposition
+
+        res = bowtie_decomposition(
+            edges, max_scc_rounds=args.max_supersteps,
+            max_depth=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        out = res.membership
+        summary["core_label"] = str(res.core_label)
+        summary["core_size"] = res.core_size
+    elif args.op == "toposort":
+        from smatchpp_spark.operators.dag import topological_layers
+
+        res = topological_layers(
+            edges, max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out = res.layers
+        summary["acyclic"] = res.acyclic
+        summary["rounds"] = res.rounds
+    elif args.op == "closeness":
+        from smatchpp_spark.operators.landmarks import (
+            closeness_centrality,
+            pick_landmarks,
+        )
+
+        if args.sources:
+            seeds = (
+                spark.read.parquet(args.sources[1:])
+                if args.sources.startswith("@")
+                else args.sources.split(",")
+            )
+        else:
+            seeds = pick_landmarks(
+                edges, k=args.n_landmarks, directed=not args.undirected
+            )
+        out = closeness_centrality(
+            edges, seeds, max_depth=args.max_supersteps,
+            directed=not args.undirected,
+        )
+    elif args.op == "cocitation":
+        from smatchpp_spark.operators.linkpred import cocitation_scores
+
+        out = cocitation_scores(
+            edges,
+            mode="cocitation",
+            top_k=args.top_k,
+            max_pivot_degree=args.max_pivot_degree,
+        )
     elif args.op == "walks":
         from smatchpp_spark.operators.walks import random_walks
 

@@ -302,3 +302,63 @@ def test_linkgraph_job_ktruss(spark, tmp_path, monkeypatch, capsys):
     got = sorted((r.a, r.b) for r in spark.read.parquet(out).collect())
     assert got == [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
                    ("b", "d"), ("c", "d")]
+
+
+def test_linkgraph_job_webgraph_ops(spark, tmp_path, monkeypatch, capsys):
+    """Round-7 web-graph ops through the job surface: trustrank,
+    bowtie, toposort, closeness, cocitation."""
+    # cycle {1,2,3} + tail 3->4->5 (DAG part), plus spam island 8->9
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (8, 9)]
+    epath = _write_edges(spark, tmp_path, pairs)
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "trustrank", "--edges", epath, "--sources", "1",
+         "--max-supersteps", "30", "-o", str(tmp_path / "tr")],
+    )
+    assert s["n_seeds"] == 1 and s["rows"] == 7
+    rows = {r.vertex: r for r in spark.read.parquet(str(tmp_path / "tr")).collect()}
+    assert rows["8"].spam_mass == 1.0 and rows["9"].spam_mass == 1.0
+    assert rows["1"].spam_mass < 1.0
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "bowtie", "--edges", epath, "--max-supersteps", "10",
+         "-o", str(tmp_path / "bt")],
+    )
+    assert s["core_label"] == "1" and s["core_size"] == 3
+    comp = {r.vertex: r.component
+            for r in spark.read.parquet(str(tmp_path / "bt")).collect()}
+    assert comp["4"] == comp["5"] == "OUT"
+    assert comp["8"] == comp["9"] == "DISCONNECTED"
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "toposort", "--edges", epath, "--max-supersteps", "10",
+         "-o", str(tmp_path / "ts")],
+    )
+    assert s["acyclic"] is False  # the 1-2-3 cycle never peels
+    layers = {r.vertex: r.layer
+              for r in spark.read.parquet(str(tmp_path / "ts")).collect()}
+    assert layers["8"] == 0 and layers["9"] == 1
+    assert layers["1"] == -1
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "closeness", "--edges", epath, "--sources", "1",
+         "--undirected", "--max-supersteps", "10",
+         "-o", str(tmp_path / "cn")],
+    )
+    cl = {r.vertex: r.closeness
+          for r in spark.read.parquet(str(tmp_path / "cn")).collect()}
+    assert cl["2"] == 1.0 and cl["4"] == 0.5  # d=1 and d=2 from seed 1
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "cocitation", "--edges", epath, "--top-k", "5",
+         "-o", str(tmp_path / "cc2")],
+    )
+    # pivot 3 cites {1, 4}: the only cocited pair
+    got = {(r.u, r.v): r.score
+           for r in spark.read.parquet(str(tmp_path / "cc2")).collect()}
+    assert got == {("1", "4"): 1.0}
