@@ -53,6 +53,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--penman_files", action="store_true",
                    help="inputs are reference-style text corpora")
     p.add_argument("-o", "--output", default=None, help="optional parquet out dir")
+    p.add_argument("--log_level", "-log_level", type=int, default=20,
+                   choices=list(range(0, 60, 10)),
+                   help="python logging level for the driver-side job "
+                        "logger (reference __main__.py:19 -log_level; "
+                        "same int scale)")
     p.add_argument("--master", default=None)
     return p
 
@@ -111,6 +116,11 @@ def _print_optimality_epilogue(pairs_df) -> None:
 
 def main() -> None:
     args = build_arg_parser().parse_args()
+
+    import logging
+
+    logging.basicConfig(level=args.log_level)
+    logging.getLogger("smatchpp-spark").setLevel(args.log_level)
 
     from smatchpp_spark import get_spark
     from smatchpp_spark.engine import EngineConfig, SmatchppSpark
