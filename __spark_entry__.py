@@ -885,6 +885,81 @@ def _dag_layers_sql(rounds: int) -> str:
     return "\n".join(parts)
 
 
+def _bpe_sql(n_merges: int = 6) -> str:
+    """doc_bpe_merges replay (pipeline/bpe.py): ``n_merges`` unrolled
+    rounds over the word-frequency table — pair stats with multiplicity
+    × freq, (cnt desc, left, right) argmax, and the greedy left-to-right
+    non-overlapping merge replayed via the RUN-PARITY formulation
+    (positions where the pair matches form runs; greedy merges exactly
+    the odd positions of each run) — an independent formulation of the
+    operator's F.aggregate fold, per the module docstring."""
+    parts = [
+        f"WITH t AS (SELECT {SQL_TOKS_LOWER} AS toks FROM documents),",
+        "wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq "
+        "FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),",
+        "w0 AS MATERIALIZED (SELECT word, freq, "
+        "list_transform(range(1, length(word) + 1), i -> word[i]) "
+        "|| ['</w>'] AS syms FROM wf),",
+    ]
+    for k in range(1, n_merges + 1):
+        p = f"w{k-1}"
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT pr.l, pr.r, "
+            f"CAST(SUM(freq) AS BIGINT) AS cnt FROM {p}, "
+            f"unnest(list_transform(range(1, len(syms)), "
+            f"i -> {{'l': syms[i], 'r': syms[i+1]}})) AS u(pr) "
+            f"GROUP BY pr.l, pr.r),"
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k} "
+            f"ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),"
+        )
+        # run-parity merge apply: per word, positions i where
+        # (syms[i], syms[i+1]) = (l, r) form runs; merge odd run offsets
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT word, freq, u.e.s AS s, "
+            f"u.e.i AS i, "
+            f"(u.e.s = (SELECT l FROM b{k}) AND "
+            f" lead(u.e.s) OVER (PARTITION BY word ORDER BY u.e.i) = "
+            f" (SELECT r FROM b{k})) AS m "
+            f"FROM {p}, unnest(list_transform(range(1, len(syms) + 1), "
+            f"j -> {{'i': j, 's': syms[j]}})) AS u(e)),"
+        )
+        parts.append(
+            f"y{k} AS MATERIALIZED (SELECT *, CASE WHEN m THEN "
+            f"i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) "
+            f"END AS grp FROM x{k}),"
+        )
+        parts.append(
+            f"z{k} AS MATERIALIZED (SELECT word, freq, s, i, "
+            f"(m AND ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) "
+            f"% 2 = 1) AS sel FROM y{k}),"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT word, freq, s, i, sel, "
+            f"COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY i), "
+            f"FALSE) AS sel_prev FROM z{k}),"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED ("
+            f"SELECT word, ANY_VALUE(freq) AS freq, "
+            f"list_filter(list(CASE WHEN sel THEN "
+            f"(SELECT l FROM b{k}) || (SELECT r FROM b{k}) "
+            f"WHEN sel_prev THEN NULL ELSE s END ORDER BY i), "
+            f"v -> v IS NOT NULL) AS syms "
+            f"FROM a{k} GROUP BY word "
+            f"UNION ALL SELECT word, freq, syms FROM {p} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM b{k})),"
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS round, l AS left, r AS right, "
+        f"l || r AS merged, cnt AS pair_freq FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"fin AS (SELECT 1)\n{unions}")
+    return "\n".join(parts)
+
+
 def _bowtie_sql() -> str:
     """bowtie_components replay (operators/bowtie.py): exact transitive
     closure of the supplier/nation/region digraph, SCC = min mutual
@@ -3016,6 +3091,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_chunks"] = _chunks
 
+    def _bpe(spark, sf):
+        from smatchpp_spark.pipeline.bpe import bpe_merges
+
+        return bpe_merges(_read(spark, sf, "documents"), n_merges=6)
+
+    q["doc_bpe_merges"] = _bpe
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -4240,8 +4322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # triad_census, doc_pii_scrub, doc_dsir_weights, temporal_reachability,
 # harmonic_spread, rmat_edges, graph_powerlaw, trustrank_spam,
 # cocitation_topk, dag_layers, graph_richclub, bowtie_components,
-# closeness_centrality, doc_chunks — put them FIRST in the round-8
-# front, then the r6-verified rows that sat out round 7.
+# closeness_centrality, doc_chunks, doc_bpe_merges — put them FIRST in
+# the round-8 front, then the r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -4535,6 +4617,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "harmonic_centrality": _harmonic_sql(4, 4),
         "closeness_centrality": _closeness_sql(4, 4),
         "doc_chunks": _chunks_sql(16, 8),
+        "doc_bpe_merges": _bpe_sql(6),
         "core_histogram": _core_hist_sql(10),
         "doc_tfidf_topk": _tfidf_sql(3),
         "doc_bm25_search": _bm25_sql(["join", "spark", "vector"], 20),

@@ -721,6 +721,15 @@ def main() -> None:
         timed("doc_chunks", scale, lambda: chunk_documents(
             inp["docs"], window=16, stride=8
         ).count())
+
+        from smatchpp_spark.pipeline.bpe import bpe_merges
+
+        # one corpus scan for word freqs; the 4 merge rounds then work
+        # on the vocab-sized word table (grows slower than the corpus —
+        # heaps of duplicate words at 10x), so expect strongly sublinear
+        timed("doc_bpe_4merges", scale, lambda: bpe_merges(
+            inp["docs"], n_merges=4
+        ).count())
         e_op.unpersist()
 
     fits = {}
