@@ -885,6 +885,56 @@ def _dag_layers_sql(rounds: int) -> str:
     return "\n".join(parts)
 
 
+def _wl_sql(rounds: int = 2) -> str:
+    """wl_fingerprints replay (operators/wl.py): ``rounds`` unrolled
+    color refinements over the synthetic AMR triple table — md5 color
+    chain, modular-sum multiset combine, graph-level fingerprint."""
+    sep = "chr(31)"
+    mod = (1 << 31) - 1
+
+    def h(expr: str) -> str:
+        return duckdb_hash64_sql(expr)
+
+    init = h("'init'")
+    parts = [
+        f"WITH tr AS ({SQL_TRIPLES}),",
+        "e AS (SELECT graph_id AS g, src, rel, dst FROM tr),",
+        "me AS MATERIALIZED ("
+        f"SELECT g, src AS vertex, dst AS nbr, 'out:' || rel AS tag FROM e "
+        f"UNION ALL "
+        f"SELECT g, dst AS vertex, src AS nbr, 'in:' || rel AS tag FROM e),",
+        "v AS (SELECT DISTINCT g, vertex FROM me),",
+        f"c0 AS MATERIALIZED (SELECT g, vertex, {init} AS color FROM v),",
+    ]
+    for k in range(1, rounds + 1):
+        msg = h(f"me.tag || {sep} || CAST(c.color AS VARCHAR)")
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT me.g, me.vertex, "
+            f"CAST(SUM({msg} % {mod}) % {mod} AS BIGINT) AS msum "
+            f"FROM me JOIN c{k-1} c ON c.g = me.g AND c.vertex = me.nbr "
+            f"GROUP BY me.g, me.vertex),"
+        )
+        newc = h(
+            f"CAST(c.color AS VARCHAR) || {sep} || "
+            f"COALESCE(CAST(m{k}.msum AS VARCHAR), '-1')"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT c.g, c.vertex, {newc} AS color "
+            f"FROM c{k-1} c LEFT JOIN m{k} "
+            f"ON m{k}.g = c.g AND m{k}.vertex = c.vertex),"
+        )
+    fp = h(
+        "CAST(n_vertices AS VARCHAR) || " + sep + " || CAST(csum AS VARCHAR)"
+    )
+    parts.append(
+        f"agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        f"CAST(SUM(color % {mod}) % {mod} AS BIGINT) AS csum "
+        f"FROM c{rounds} GROUP BY g)\n"
+        f"SELECT g AS graph_id, n_vertices, {fp} AS fingerprint FROM agg"
+    )
+    return "\n".join(parts)
+
+
 def _bpe_sql(n_merges: int = 6) -> str:
     """doc_bpe_merges replay (pipeline/bpe.py): ``n_merges`` unrolled
     rounds over the word-frequency table — pair stats with multiplicity
@@ -3098,6 +3148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bpe_merges"] = _bpe
 
+    def _wl(spark, sf):
+        from smatchpp_spark.operators.wl import wl_refinement
+
+        r = wl_refinement(_triples(spark, sf), rounds=2)
+        return r.fingerprints
+
+    q["wl_fingerprints"] = _wl
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -4322,8 +4380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # triad_census, doc_pii_scrub, doc_dsir_weights, temporal_reachability,
 # harmonic_spread, rmat_edges, graph_powerlaw, trustrank_spam,
 # cocitation_topk, dag_layers, graph_richclub, bowtie_components,
-# closeness_centrality, doc_chunks, doc_bpe_merges — put them FIRST in
-# the round-8 front, then the r6-verified rows that sat out round 7.
+# closeness_centrality, doc_chunks, doc_bpe_merges, wl_fingerprints —
+# put them FIRST in the round-8 front, then the r6-verified rows that
+# sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -4618,6 +4677,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "closeness_centrality": _closeness_sql(4, 4),
         "doc_chunks": _chunks_sql(16, 8),
         "doc_bpe_merges": _bpe_sql(6),
+        "wl_fingerprints": _wl_sql(2),
         "core_histogram": _core_hist_sql(10),
         "doc_tfidf_topk": _tfidf_sql(3),
         "doc_bm25_search": _bm25_sql(["join", "spark", "vector"], 20),

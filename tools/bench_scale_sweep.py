@@ -730,6 +730,18 @@ def main() -> None:
         timed("doc_bpe_4merges", scale, lambda: bpe_merges(
             inp["docs"], n_merges=4
         ).count())
+
+        from smatchpp_spark.operators.wl import wl_refinement
+
+        # pagerank-superstep profile per round (join + map-side-
+        # combined modular sum); graph corpus from the parse table
+        _wl_tr = inp["e_co"].select(
+            F.pmod(F.xxhash64("src"), F.lit(50)).cast("string").alias("graph_id"),
+            "src", F.lit("e").alias("rel"), "dst",
+        )
+        timed("wl_2rounds", scale, lambda: wl_refinement(
+            _wl_tr, rounds=2
+        ).fingerprints.count())
         e_op.unpersist()
 
     fits = {}
