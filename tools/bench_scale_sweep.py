@@ -895,6 +895,15 @@ def main() -> None:
         "* **graph_richclub / doc_chunks** — histogram-crossed",
         "  thresholds / zero-shuffle explode; pure scan work, walls sit",
         "  on the fixed floor at both scales.",
+        "* **doc_bpe_4merges** — one corpus scan builds word",
+        "  frequencies; merge rounds then touch only the VOCAB-sized",
+        "  word table, which barely grows when the corpus is 10",
+        "  duplicated copies — hence the ~flat wall (exponent ~0.04),",
+        "  exactly the word-frequency-table design argument.",
+        "* **wl_2rounds** — per round one edges⋈colors join + one",
+        "  map-side-combined modular-sum agg (the pagerank superstep",
+        "  profile); the multiset hash combines commutatively, so hub",
+        "  fan-in never builds a per-vertex sorted array.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
