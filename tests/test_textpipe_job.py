@@ -1,0 +1,105 @@
+"""e2e drives of jobs/textpipe.py — the training-data pipeline
+spark-submit surface (document analog of jobs/linkgraph.py)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _run_job(monkeypatch, capsys, argv):
+    from pyspark.sql import SparkSession
+
+    from jobs import textpipe
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    monkeypatch.setattr(sys, "argv", ["textpipe.py", *argv])
+    textpipe.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def _write_docs(spark, tmp_path, texts, name="docs"):
+    path = str(tmp_path / name)
+    spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_textpipe_dedup_family(spark, tmp_path, monkeypatch, capsys):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "the quick brown fox jumps over the lazy cat",   # near dup
+        "completely different content about spark joins",
+    ]
+    dpath = _write_docs(spark, tmp_path, texts)
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "exact_dedup", "--docs", dpath,
+                  "-o", str(tmp_path / "ed")])
+    assert s["rows"] == 3  # one exact dup dropped
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "neardup_clusters", "--docs", dpath,
+                  "--threshold", "0.5", "--num-hashes", "8",
+                  "--band-size", "2", "-o", str(tmp_path / "nd")])
+    # clusters table holds only docs with >= 1 duplicate
+    assert s["rows"] >= 2 and s["n_dropped"] >= 1
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "split", "--docs", dpath,
+                  "--weights", "train:0.5,test:0.5",
+                  "-o", str(tmp_path / "sp")])
+    assert s["rows"] == 4 and sum(s["splits"].values()) == 4
+
+
+def test_textpipe_quality_and_tokenizer(spark, tmp_path, monkeypatch, capsys):
+    texts = [
+        "low lower lowest newest widest " * 6,
+        "spark joins shuffle partitions broadcast " * 8,
+    ]
+    dpath = _write_docs(spark, tmp_path, texts)
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "gopher", "--docs", dpath,
+                  "-o", str(tmp_path / "gf")])
+    assert s["rows"] == 2 and "n_kept" in s
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "chunks", "--docs", dpath, "--window", "8",
+                  "--stride", "4", "-o", str(tmp_path / "ch")])
+    assert s["rows"] > 2  # both docs chunked into several windows
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "bpe_train", "--docs", dpath, "--n-merges", "6",
+                  "-o", str(tmp_path / "bpe")])
+    assert s["n_merges"] == 6
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "bpe_segment", "--docs", dpath,
+                  "--merges", str(tmp_path / "bpe"),
+                  "-o", str(tmp_path / "seg")])
+    assert s["rows"] == 2
+    segs = spark.read.parquet(str(tmp_path / "seg")).collect()
+    assert all(r["n_subwords"] >= r["n_words"] for r in segs)
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "pii", "--docs", dpath,
+                  "-o", str(tmp_path / "pii")])
+    assert s["rows"] == 2
+
+
+def test_textpipe_requires_dependent_inputs(spark, tmp_path, monkeypatch, capsys):
+    import pytest as _pytest
+
+    dpath = _write_docs(spark, tmp_path, ["a b c"])
+    with _pytest.raises(SystemExit):
+        _run_job(monkeypatch, capsys,
+                 ["--op", "decontaminate", "--docs", dpath,
+                  "-o", str(tmp_path / "x")])
+    with _pytest.raises(SystemExit):
+        _run_job(monkeypatch, capsys,
+                 ["--op", "bpe_segment", "--docs", dpath,
+                  "-o", str(tmp_path / "y")])
