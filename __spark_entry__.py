@@ -885,6 +885,53 @@ def _dag_layers_sql(rounds: int) -> str:
     return "\n".join(parts)
 
 
+def _ppr_push_sql(
+    rounds: int = 6, alpha: float = 0.15, eps: float = 1e-4
+) -> str:
+    """ppr_push replay (operators/push.py): ``rounds`` unrolled
+    synchronous forward-push supersteps over the undirected
+    supplier↔nation graph, seed 'n0' — active set r ≥ eps·deg, push
+    converts α·r to p and spreads (1−α)·r/d."""
+    parts = [
+        f"WITH e AS ({SQL_E_SUPP}),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e) "
+        "WHERE a <> b),",
+        "deg AS (SELECT a AS vertex, CAST(COUNT(*) AS BIGINT) AS degree "
+        "FROM und GROUP BY a),",
+        "w AS MATERIALIZED (SELECT und.a AS u, und.b AS v, "
+        "1.0 / deg.degree AS w FROM und JOIN deg ON deg.vertex = und.a),",
+        "sd AS (SELECT MIN(vertex) AS s FROM deg),",
+        "s0 AS (SELECT vertex, 0.0 AS p, "
+        "CASE WHEN vertex = (SELECT s FROM sd) THEN 1.0 ELSE 0.0 END AS r, "
+        "degree FROM deg),",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"a{k} AS (SELECT vertex, r FROM {p} "
+            f"WHERE r >= {eps!r} * degree),"
+        )
+        parts.append(
+            f"m{k} AS (SELECT w.v AS vertex, "
+            f"SUM({1.0 - alpha!r} * a.r * w.w) AS rin "
+            f"FROM a{k} a JOIN w ON w.u = a.vertex GROUP BY w.v),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT s.vertex, "
+            f"CASE WHEN s.r >= {eps!r} * s.degree "
+            f"THEN s.p + {alpha!r} * s.r ELSE s.p END AS p, "
+            f"(CASE WHEN s.r >= {eps!r} * s.degree THEN 0.0 ELSE s.r END) "
+            f"+ COALESCE(m.rin, 0.0) AS r, s.degree "
+            f"FROM {p} s LEFT JOIN m{k} m ON m.vertex = s.vertex),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, ROUND(p, 9) AS p, "
+        f"ROUND(r, 9) AS r, degree FROM s{rounds}"
+    )
+    return "\n".join(parts)
+
+
 def _wl_sql(rounds: int = 2) -> str:
     """wl_fingerprints replay (operators/wl.py): ``rounds`` unrolled
     color refinements over the synthetic AMR triple table — md5 color
@@ -3156,6 +3203,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wl_fingerprints"] = _wl
 
+    def _push(spark, sf):
+        from smatchpp_spark.operators.push import ppr_push
+
+        from smatchpp_spark.operators.kcore import undirected_simple
+
+        e = _e_supp(spark, sf)
+        # deterministic seed present at every sf: min vertex of the
+        # UNDIRECTED simple graph (exactly the oracle's MIN(vertex))
+        seed = undirected_simple(e).agg(F.min("a")).collect()[0][0]
+        r = ppr_push(
+            e, seed, alpha=0.15, eps=1e-4,
+            max_supersteps=6,
+        )
+        return r.state.select(
+            "vertex",
+            F.round("p", 9).alias("p"),
+            F.round("r", 9).alias("r"),
+            "degree",
+        )
+
+    q["ppr_push"] = _push
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -4380,9 +4449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # triad_census, doc_pii_scrub, doc_dsir_weights, temporal_reachability,
 # harmonic_spread, rmat_edges, graph_powerlaw, trustrank_spam,
 # cocitation_topk, dag_layers, graph_richclub, bowtie_components,
-# closeness_centrality, doc_chunks, doc_bpe_merges, wl_fingerprints —
-# put them FIRST in the round-8 front, then the r6-verified rows that
-# sat out round 7.
+# closeness_centrality, doc_chunks, doc_bpe_merges, wl_fingerprints,
+# ppr_push — put them FIRST in the round-8 front, then the r6-verified
+# rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -4678,6 +4747,7 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "doc_chunks": _chunks_sql(16, 8),
         "doc_bpe_merges": _bpe_sql(6),
         "wl_fingerprints": _wl_sql(2),
+        "ppr_push": _ppr_push_sql(6, 0.15, 1e-4),
         "core_histogram": _core_hist_sql(10),
         "doc_tfidf_topk": _tfidf_sql(3),
         "doc_bm25_search": _bm25_sql(["join", "spark", "vector"], 20),

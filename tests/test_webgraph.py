@@ -386,3 +386,94 @@ def test_closeness_vs_python_replay(spark):
         for x in r.collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- ppr push
+
+
+def _py_push(pairs, seed, alpha, eps, rounds):
+    adj = {}
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    p = {v: 0.0 for v in adj}
+    r = {v: 0.0 for v in adj}
+    r[str(seed)] = 1.0
+    for _ in range(rounds):
+        act = [v for v in adj if r[v] >= eps * len(adj[v])]
+        if not act:
+            break
+        nr = {v: (0.0 if v in act else r[v]) for v in adj}
+        for u in act:
+            p[u] += alpha * r[u]
+            share = (1 - alpha) * r[u] / len(adj[u])
+            for w in adj[u]:
+                nr[w] += share
+        r = nr
+    return p, r
+
+
+def test_ppr_push_mass_conservation_and_replay(spark):
+    import random
+
+    from smatchpp_spark.operators.push import ppr_push
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(15), rng.randrange(15)) for _ in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    seed = str(pairs[0][0])
+    res = ppr_push(_df(spark, pairs), seed, alpha=0.15, eps=1e-3,
+                   max_supersteps=8)
+    rows = res.state.collect()
+    # exact conservation: every push moves alpha of r into p
+    total = sum(x["p"] + x["r"] for x in rows)
+    assert abs(total - 1.0) < 1e-12
+    # python replay of the same synchronous rounds (fixed 8)
+    wp, wr = _py_push(pairs, seed, 0.15, 1e-3, 8)
+    for x in rows:
+        assert abs(x["p"] - wp[x["vertex"]]) < 1e-12
+        assert abs(x["r"] - wr[x["vertex"]]) < 1e-12
+
+
+def test_ppr_push_approximates_fixed_step_ppr(spark):
+    """On a small expander the push estimate lands within the eps*deg
+    bound of a long power iteration (linkpred_ppr's kernel)."""
+    from smatchpp_spark.operators.linkpred import linkpred_ppr
+    from smatchpp_spark.operators.push import ppr_push
+
+    pairs = [(i, (i + 1) % 8) for i in range(8)] + [(i, (i + 3) % 8) for i in range(8)]
+    res = ppr_push(_df(spark, pairs), "0", alpha=0.15, eps=1e-6,
+                   max_supersteps=200)
+    assert res.converged
+    push_p = {x["vertex"]: x["p"] for x in res.state.collect()}
+    deg = {x["vertex"]: x["degree"] for x in res.state.collect()}
+    # steps=200: the truncated power iteration undershoots the fixpoint
+    # by ~0.85^steps, which must be far below push's eps for the
+    # one-sided bound to be observable (0.85^60 ~ 6e-5 > eps broke it)
+    ppr = {
+        x["candidate"]: x["score"]
+        for x in linkpred_ppr(
+            _df(spark, pairs), ["0"], steps=200, alpha=0.85,
+            exclude_existing=False, top_k=None,
+        ).collect()
+    }
+    for v, est in push_p.items():
+        if v == "0":
+            continue
+        assert ppr[v] >= est - 1e-8          # p underestimates (9dp rounding)
+        assert ppr[v] - est <= 1e-6 * deg[v] + 1e-8  # within eps*deg
+
+
+def test_ppr_push_guards(spark):
+    from smatchpp_spark.operators.push import ppr_push
+
+    df = _df(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        ppr_push(df, "zz")
+    with pytest.raises(ValueError):
+        ppr_push(df, "a", alpha=1.5)
+    with pytest.raises(ValueError):
+        ppr_push(df, "a", eps=0.0)

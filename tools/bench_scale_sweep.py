@@ -742,6 +742,19 @@ def main() -> None:
         timed("wl_2rounds", scale, lambda: wl_refinement(
             _wl_tr, rounds=2
         ).fingerprints.count())
+
+        from smatchpp_spark.operators.push import ppr_push
+
+        # the push story at 10x: work is O(1/(eps*alpha)) around the
+        # seed, NOT graph-size-bound — expect a near-flat wall (only
+        # the static contrib build scans the bigger edge table)
+        _push_seed = (
+            e_op.select(F.least(F.min("src"), F.min("dst")).alias("s"))
+            .collect()[0]["s"]
+        )
+        timed("ppr_push_6rounds", scale, lambda: ppr_push(
+            e_op, _push_seed, alpha=0.15, eps=1e-4, max_supersteps=6
+        ).state.count())
         e_op.unpersist()
 
     fits = {}
