@@ -926,8 +926,12 @@ def _ppr_push_sql(
             f"FROM {p} s LEFT JOIN m{k} m ON m.vertex = s.vertex),"
         )
     parts.append(
+        # the operator's state is SPARSE (touched vertices only); the
+        # dense replay filters to the same set — raw-value comparison
+        # is exact because both engines run the identical positive-term
+        # arithmetic (p > 0 iff some alpha*r was ever absorbed)
         f"fin AS (SELECT 1) SELECT vertex, ROUND(p, 9) AS p, "
-        f"ROUND(r, 9) AS r, degree FROM s{rounds}"
+        f"ROUND(r, 9) AS r, degree FROM s{rounds} WHERE p > 0 OR r > 0"
     )
     return "\n".join(parts)
 

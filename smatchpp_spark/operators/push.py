@@ -42,7 +42,10 @@ from smatchpp_spark.operators.supersteps import SuperstepRunner
 
 @dataclass
 class PushResult:
-    state: DataFrame  # (vertex, p double, r double, degree long)
+    # (vertex, p double, r double, degree long) — TOUCHED vertices only
+    # (p > 0 or r > 0); untouched vertices have exactly (0, 0) and are
+    # not materialized, which is what keeps push local
+    state: DataFrame
     supersteps: int
     converged: bool  # no active vertex remains
 
@@ -69,12 +72,15 @@ def ppr_push(
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = undirected_simple(edges)  # (a, b) both directions, distinct
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    degv = deg.select(F.col("a").alias("b"), F.col("degree").alias("dv"))
     contrib = (
         und.join(deg, "a")
+        .join(degv, "b")
         .select(
             F.col("a").alias("u"),
             F.col("b").alias("v"),
             (F.lit(1.0) / F.col("degree")).alias("w"),
+            "dv",
         )
         .repartition(num_partitions, "u")
         .persist()
@@ -83,17 +89,21 @@ def ppr_push(
 
     vt = und.schema["a"].dataType
     seed_lit = F.lit(seed).cast(vt)
-    if deg.filter(F.col("a") == seed_lit).count() == 0:
+    seed_rows = deg.filter(F.col("a") == seed_lit).collect()
+    if not seed_rows:
         contrib.unpersist()
         raise ValueError(f"ppr_push: seed {seed!r} not in graph")
+    seed_deg = seed_rows[0]["degree"]
 
-    init = deg.select(
-        F.col("a").alias("vertex"),
-        F.lit(0.0).alias("p"),
-        F.when(F.col("a") == seed_lit, F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("r"),
-        "degree",
+    # SPARSE state — one row per TOUCHED vertex only, the property that
+    # makes push local: per-round cost is O(touched set), never O(|V|).
+    # Receivers' degrees ride the static contrib rows (dv), so newly
+    # touched vertices need no per-round join against the degree table.
+    init = spark.createDataFrame(
+        [(str(seed), 0.0, 1.0, int(seed_deg))],
+        "vertex string, p double, r double, degree long",
+    ).select(
+        F.col("vertex").cast(vt).alias("vertex"), "p", "r", "degree"
     )
 
     active_pred = F.col("r") >= F.lit(eps) * F.col("degree")
@@ -102,29 +112,33 @@ def ppr_push(
         act = state.filter(active_pred).select(
             F.col("vertex").alias("u"), F.col("r").alias("ru")
         )
-        # incoming pushed residual per vertex — map-side combined
+        # incoming pushed residual per vertex — map-side combined; dv
+        # (receiver degree) is constant per v, first() reads it free
         pushed = (
             act.join(contrib, "u")
             .groupBy(F.col("v").alias("vertex"))
             .agg(
                 F.sum(F.lit(1.0 - alpha) * F.col("ru") * F.col("w")).alias(
                     "r_in"
-                )
+                ),
+                F.first("dv").alias("dv"),
             )
         )
-        return (
-            state.join(pushed, "vertex", "left")
-            .select(
-                "vertex",
-                F.when(active_pred, F.col("p") + F.lit(alpha) * F.col("r"))
-                .otherwise(F.col("p"))
-                .alias("p"),
-                (
-                    F.when(active_pred, F.lit(0.0)).otherwise(F.col("r"))
-                    + F.coalesce("r_in", F.lit(0.0))
-                ).alias("r"),
-                "degree",
-            )
+        merged = state.join(pushed, "vertex", "full")
+        was_active = F.col("r").isNotNull() & (
+            F.col("r") >= F.lit(eps) * F.col("degree")
+        )
+        return merged.select(
+            "vertex",
+            F.when(was_active, F.coalesce("p", F.lit(0.0)) + F.lit(alpha) * F.col("r"))
+            .otherwise(F.coalesce("p", F.lit(0.0)))
+            .alias("p"),
+            (
+                F.when(was_active, F.lit(0.0))
+                .otherwise(F.coalesce("r", F.lit(0.0)))
+                + F.coalesce("r_in", F.lit(0.0))
+            ).alias("r"),
+            F.coalesce("degree", "dv").alias("degree"),
         )
 
     runner = SuperstepRunner(

@@ -428,11 +428,15 @@ def test_ppr_push_mass_conservation_and_replay(spark):
     res = ppr_push(_df(spark, pairs), seed, alpha=0.15, eps=1e-3,
                    max_supersteps=8)
     rows = res.state.collect()
-    # exact conservation: every push moves alpha of r into p
+    # exact conservation: every push moves alpha of r into p (untouched
+    # vertices hold exactly 0 and are not materialized — sparse state)
     total = sum(x["p"] + x["r"] for x in rows)
     assert abs(total - 1.0) < 1e-12
-    # python replay of the same synchronous rounds (fixed 8)
+    # python replay of the same synchronous rounds (fixed 8); the
+    # sparse state must cover exactly the touched replay vertices
     wp, wr = _py_push(pairs, seed, 0.15, 1e-3, 8)
+    touched = {v for v in wp if wp[v] > 0 or wr[v] > 0}
+    assert {x["vertex"] for x in rows} == touched
     for x in rows:
         assert abs(x["p"] - wp[x["vertex"]]) < 1e-12
         assert abs(x["r"] - wr[x["vertex"]]) < 1e-12
