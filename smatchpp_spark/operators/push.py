@@ -160,3 +160,136 @@ def ppr_push(
         supersteps=res.supersteps,
         converged=res.converged,
     )
+
+
+@dataclass
+class SweepResult:
+    # community members: (vertex, rank, size, cut_edges, min_volume,
+    # conductance) — the scalar stats repeat on every row
+    members: DataFrame
+    # full sweep curve: (vertex, rank, score, degree, vol, internal,
+    # cut, min_volume) — one row per touched vertex
+    sweep: DataFrame
+    supersteps: int
+    converged: bool
+
+
+def sweep_cut(edges: DataFrame, state: DataFrame) -> DataFrame:
+    """The conductance sweep curve over a push-PPR ``state`` (the ACL06
+    second half: order touched vertices by ``p/degree`` and scan
+    prefixes).  For prefix S_i of the ordering:
+
+        vol_i      = Σ_{v ∈ S_i} deg(v)          (cumulative degrees)
+        internal_i = #{edges inside S_i}          (cumulative: an edge
+                     becomes internal at the LARGER of its two ranks)
+        cut_i      = vol_i − 2·internal_i
+        φ_i        = cut_i / min(vol_i, vol(G) − vol_i)
+
+    All counts are exact integers; φ is one IEEE double division, so
+    the curve is bit-identical across engines.  The global window is
+    DELIBERATE scale-wise: push touches O(1/(eps·alpha)) vertices
+    independent of graph size, so the sweep operates on a provably
+    small set — locality is the algorithm's contract, not a hope.
+    Untouched vertices have rank ∞ (absent) and can never be internal,
+    so the edge join against the rank table is an inner join that
+    discards the rest of the graph immediately."""
+    from pyspark.sql import Window
+
+    und = undirected_simple(edges).persist()
+    vol_total = und.count()  # Σ deg over the WHOLE graph = |und| rows
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("vertex").asc())
+    ranked = state.select(
+        "vertex",
+        "degree",
+        (F.col("p") / F.col("degree")).alias("score"),
+    ).withColumn("rank", F.row_number().over(w_rank))
+    ra = ranked.select(F.col("vertex").alias("a"), F.col("rank").alias("ra"))
+    rb = ranked.select(F.col("vertex").alias("b"), F.col("rank").alias("rb"))
+    closed = (
+        und.join(ra, "a")
+        .join(rb, "b")
+        .filter(F.col("ra") > F.col("rb"))
+        .groupBy(F.col("ra").alias("rank"))
+        .agg(F.count(F.lit(1)).alias("closed"))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = (
+        ranked.join(closed, "rank", "left")
+        .withColumn("vol", F.sum("degree").over(w_cum))
+        .withColumn(
+            "internal",
+            F.sum(F.coalesce("closed", F.lit(0))).over(w_cum),
+        )
+        .withColumn("cut", F.col("vol") - 2 * F.col("internal"))
+        .withColumn(
+            "min_volume",
+            F.least(F.col("vol"), F.lit(vol_total) - F.col("vol")),
+        )
+        .select(
+            "vertex", "rank", "score", "degree", "vol", "internal",
+            "cut", "min_volume",
+        )
+    )
+    und.unpersist()
+    return sweep
+
+
+def local_community(
+    edges: DataFrame,
+    seed,
+    alpha: float = 0.15,
+    eps: float = 1e-4,
+    max_supersteps: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> SweepResult:
+    """Local community detection around ``seed``: push-PPR then the
+    minimum-conductance sweep cut (Andersen–Chung–Lang local
+    clustering, end to end).  The community is the prefix minimizing
+    φ (ties → the smaller prefix); prefixes with
+    ``min(vol, vol(G)−vol) = 0`` are excluded (a cut needs two sides).
+    Total cost: the push (O(1/(eps·alpha)) work) + one edge join
+    against the touched set + a window over the touched set — never a
+    pass proportional to |V| beyond the one static degree build that
+    push already does."""
+    r = ppr_push(
+        edges,
+        seed,
+        alpha=alpha,
+        eps=eps,
+        max_supersteps=max_supersteps,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    sweep = sweep_cut(edges, r.state).localCheckpoint(eager=True)
+    best = (
+        sweep.filter(F.col("min_volume") > 0)
+        .select(
+            F.col("rank").alias("best_size"),
+            F.col("cut").alias("best_cut"),
+            F.col("min_volume").alias("best_minvol"),
+            (F.col("cut") / F.col("min_volume")).alias("phi"),
+        )
+        .orderBy(F.col("phi").asc(), F.col("best_size").asc())
+        .limit(1)
+    )
+    members = (
+        sweep.crossJoin(F.broadcast(best))
+        .filter(F.col("rank") <= F.col("best_size"))
+        .select(
+            "vertex",
+            "rank",
+            F.col("best_size").alias("size"),
+            F.col("best_cut").alias("cut_edges"),
+            F.col("best_minvol").alias("min_volume"),
+            F.round("phi", 9).alias("conductance"),
+        )
+    )
+    return SweepResult(
+        members=members,
+        sweep=sweep,
+        supersteps=r.supersteps,
+        converged=r.converged,
+    )
