@@ -885,15 +885,21 @@ def _dag_layers_sql(rounds: int) -> str:
     return "\n".join(parts)
 
 
-def _ppr_push_sql(
-    rounds: int = 6, alpha: float = 0.15, eps: float = 1e-4
-) -> str:
-    """ppr_push replay (operators/push.py): ``rounds`` unrolled
-    synchronous forward-push supersteps over the undirected
-    supplier↔nation graph, seed 'n0' — active set r ≥ eps·deg, push
-    converts α·r to p and spreads (1−α)·r/d."""
+def _ppr_push_parts(
+    rounds: int = 6,
+    alpha: float = 0.15,
+    eps: float = 1e-4,
+    edge_sql: str | None = None,
+) -> list:
+    """Shared CTE prefix for the push-PPR replays (operators/push.py):
+    ``rounds`` unrolled synchronous forward-push supersteps over the
+    undirected graph of ``edge_sql`` (default supplier↔nation), seed =
+    MIN(vertex) — active set r ≥ eps·deg, push converts α·r to p and
+    spreads (1−α)·r/d.  Ends with the dangling comma of CTE
+    ``s{rounds}``; callers append their own final SELECT (ppr_push
+    state dump, or the sweep-cut scan)."""
     parts = [
-        f"WITH e AS ({SQL_E_SUPP}),",
+        f"WITH e AS ({edge_sql or SQL_E_SUPP}),",
         "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
         "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e) "
         "WHERE a <> b),",
@@ -925,6 +931,15 @@ def _ppr_push_sql(
             f"+ COALESCE(m.rin, 0.0) AS r, s.degree "
             f"FROM {p} s LEFT JOIN m{k} m ON m.vertex = s.vertex),"
         )
+    return parts
+
+
+def _ppr_push_sql(
+    rounds: int = 6, alpha: float = 0.15, eps: float = 1e-4
+) -> str:
+    """ppr_push replay: the shared push unroll + the sparse state dump
+    (operators/push.py:53)."""
+    parts = _ppr_push_parts(rounds, alpha, eps)
     parts.append(
         # the operator's state is SPARSE (touched vertices only); the
         # dense replay filters to the same set — raw-value comparison
@@ -933,6 +948,174 @@ def _ppr_push_sql(
         f"fin AS (SELECT 1) SELECT vertex, ROUND(p, 9) AS p, "
         f"ROUND(r, 9) AS r, degree FROM s{rounds} WHERE p > 0 OR r > 0"
     )
+    return "\n".join(parts)
+
+
+def _local_community_sql(
+    rounds: int = 6, alpha: float = 0.15, eps: float = 1e-4
+) -> str:
+    """local_community replay (operators/push.py:239): the shared push
+    unroll, then the ACL sweep cut — rank touched vertices by p/degree,
+    cumulative volume/internal-edge counts (an edge becomes internal at
+    the larger of its two ranks), φ = cut / min(vol, vol(G) − vol),
+    best prefix by (φ asc, size asc) over prefixes with min_volume > 0.
+    All counts are exact integers; scores/φ are single IEEE divisions
+    of identical operands, so ordering and argmax match bit-for-bit.
+    Runs on the customer↔order star forest — like the supplier graph
+    every touched vertex receives push terms of one repeated value, so
+    the float state is order-independent and exactly cross-engine."""
+    parts = _ppr_push_parts(rounds, alpha, eps, edge_sql=SQL_E_CUST)
+    parts.append(
+        f"""st AS (SELECT vertex, p, degree FROM s{rounds} WHERE p > 0 OR r > 0),
+ranked AS (SELECT vertex, degree, p / degree AS score,
+           ROW_NUMBER() OVER (ORDER BY p / degree DESC, vertex ASC) AS rank
+           FROM st),
+closed AS (SELECT ra.rank AS rank, COUNT(*) AS closed
+           FROM und JOIN ranked ra ON ra.vertex = und.a
+                    JOIN ranked rb ON rb.vertex = und.b
+           WHERE ra.rank > rb.rank GROUP BY ra.rank),
+sweep AS (SELECT r.vertex, r.rank,
+            SUM(r.degree) OVER w AS vol,
+            SUM(COALESCE(c.closed, 0)) OVER w AS internal
+          FROM ranked r LEFT JOIN closed c USING (rank)
+          WINDOW w AS (ORDER BY r.rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+sw AS (SELECT vertex, rank, vol - 2 * internal AS cut,
+           LEAST(vol, (SELECT COUNT(*) FROM und) - vol) AS min_volume
+       FROM sweep),
+best AS (SELECT rank AS best_size, cut AS best_cut,
+           min_volume AS best_minvol,
+           CAST(cut AS DOUBLE) / min_volume AS phi
+         FROM sw WHERE min_volume > 0
+         ORDER BY phi ASC, best_size ASC LIMIT 1)
+SELECT s.vertex, CAST(s.rank AS INT) AS rank, CAST(b.best_size AS INT) AS size,
+       CAST(b.best_cut AS BIGINT) AS cut_edges,
+       CAST(b.best_minvol AS BIGINT) AS min_volume,
+       ROUND(b.phi, 9) AS conductance
+FROM sw s, best b WHERE s.rank <= b.best_size"""
+    )
+    return "\n".join(parts)
+
+
+def _densest_sql(rounds: int = 8, num: int = 3, den: int = 1) -> str:
+    """densest_subgraph replay (operators/densest.py): ``rounds``
+    unrolled parallel-peel supersteps over the co-purchase graph plus
+    the customer-order stars (sparse periphery, so the densest prefix
+    is a later round's proper core) — round k removes active v with
+    deg_k(v)·V_k·den ≤ num·E_k (exact integer comparison; num/den is
+    the rational value of 2(1+eps)) — then the post-hoc profile from
+    removal rounds (V_r/E_r = counts with expiry ≥ r), the
+    (density desc, round asc) argmax, and the member prefix
+    (expiry ≥ best round)."""
+    horizon = rounds + 1
+    parts = [
+        f"WITH raw AS ({SQL_E_CO} UNION ALL {SQL_E_CUST}),",
+        "c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw WHERE src <> dst),",
+        "v AS (SELECT DISTINCT vertex FROM "
+        "(SELECT a AS vertex FROM c UNION ALL SELECT b FROM c)),",
+        "s0 AS (SELECT vertex, -1 AS rr FROM v),",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"s{k-1}"
+        parts.append(f"a{k} AS (SELECT vertex FROM {p} WHERE rr = -1),")
+        parts.append(
+            f"e{k} AS MATERIALIZED (SELECT c.a, c.b FROM c "
+            f"JOIN a{k} x ON x.vertex = c.a "
+            f"JOIN a{k} y ON y.vertex = c.b),"
+        )
+        parts.append(
+            f"d{k} AS (SELECT vertex, COUNT(*) AS deg FROM "
+            f"(SELECT a AS vertex FROM e{k} UNION ALL SELECT b FROM e{k}) "
+            f"GROUP BY vertex),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT s.vertex, "
+            f"CASE WHEN s.rr = -1 AND "
+            f"CAST(COALESCE(d.deg, 0) AS HUGEINT) "
+            f"* (SELECT COUNT(*) FROM a{k}) * {den} "
+            f"<= {num} * CAST((SELECT COUNT(*) FROM e{k}) AS HUGEINT) "
+            f"THEN {k} ELSE s.rr END AS rr "
+            f"FROM {p} s LEFT JOIN d{k} d USING (vertex)),"
+        )
+    parts.append(
+        f"""fs AS MATERIALIZED (SELECT vertex,
+        CASE WHEN rr = -1 THEN {horizon} ELSE rr END AS e FROM s{rounds}),
+fe AS MATERIALIZED (SELECT LEAST(fa.e, fb.e) AS e FROM c
+      JOIN fs fa ON fa.vertex = c.a JOIN fs fb ON fb.vertex = c.b),
+g AS (SELECT r FROM range(1, {rounds + 1}) t(r)),
+prof AS (SELECT g.r AS round,
+           (SELECT COUNT(*) FROM fs WHERE fs.e >= g.r) AS nv,
+           (SELECT COUNT(*) FROM fe WHERE fe.e >= g.r) AS ne
+         FROM g),
+best AS (SELECT round, nv, ne, CAST(ne AS DOUBLE) / nv AS density
+         FROM prof WHERE nv > 0 ORDER BY density DESC, round ASC LIMIT 1)
+SELECT fs.vertex, CAST(b.round AS INT) AS best_round,
+       CAST(b.nv AS BIGINT) AS n_vertices, CAST(b.ne AS BIGINT) AS n_edges,
+       ROUND(b.density, 9) AS density
+FROM fs, best b WHERE fs.e >= b.round"""
+    )
+    return "\n".join(parts)
+
+
+def _balanced_partition_sql(
+    rounds: int = 5, k: int = 4, num: int = 5, den: int = 4
+) -> str:
+    """balanced_partition replay (operators/partition.py): ``rounds``
+    unrolled capacity-gated LPA supersteps over the undirected
+    supplier↔nation graph.  num/den is the exact rational value of
+    1+slack, so capacity = ceil(num·V/(den·k)) compares integers on
+    both engines; moves need (votes desc, load asc, part asc) argmax
+    strictly better than own votes, room under capacity, and the
+    portable-hash parity coin for the round.  Runs on the
+    customer↔order graph (~16.5k vertices at sf0.01) — pure integer
+    state, so scale of the graph costs nothing in parity."""
+
+    def h(expr: str) -> str:
+        return duckdb_hash64_sql(expr)
+
+    dk = den * k
+    parts = [
+        f"WITH e AS ({SQL_E_CUST}),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e) "
+        "WHERE a <> b),",
+        "v AS (SELECT DISTINCT a AS vertex FROM und),",
+        f"cap AS (SELECT CAST(({num} * COUNT(*) + {dk - 1}) // {dk} "
+        f"AS BIGINT) AS capacity FROM v),",
+        f"s0 AS MATERIALIZED (SELECT vertex, "
+        f"CAST({h('vertex')} % {k} AS INT) AS part FROM v),",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"s{r-1}"
+        parts.append(
+            f"ld{r} AS (SELECT part, COUNT(*) AS load FROM {p} GROUP BY part),"
+        )
+        parts.append(
+            f"vt{r} AS MATERIALIZED (SELECT und.a AS vertex, s.part AS cand, "
+            f"COUNT(*) AS votes FROM und JOIN {p} s ON s.vertex = und.b "
+            f"GROUP BY und.a, s.part),"
+        )
+        parts.append(
+            f"bs{r} AS (SELECT vertex, cand AS best_part, votes AS best_votes, "
+            f"load AS best_load FROM "
+            f"(SELECT vt.vertex, vt.cand, vt.votes, l.load, "
+            f"ROW_NUMBER() OVER (PARTITION BY vt.vertex "
+            f"ORDER BY vt.votes DESC, l.load ASC, vt.cand ASC) AS rn "
+            f"FROM vt{r} vt JOIN ld{r} l ON l.part = vt.cand) WHERE rn = 1),"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT s.vertex, "
+            f"CAST(CASE WHEN b.best_part IS NOT NULL "
+            f"AND b.best_part <> s.part "
+            f"AND b.best_votes > COALESCE(ov.votes, 0) "
+            f"AND b.best_load < (SELECT capacity FROM cap) "
+            f"AND {h('s.vertex || ' + repr(':' + str(r)))} % 2 = 0 "
+            f"THEN b.best_part ELSE s.part END AS INT) AS part "
+            f"FROM {p} s LEFT JOIN bs{r} b USING (vertex) "
+            f"LEFT JOIN vt{r} ov ON ov.vertex = s.vertex AND ov.cand = s.part),"
+        )
+    parts.append(f"fin AS (SELECT 1) SELECT vertex, part FROM s{rounds}")
     return "\n".join(parts)
 
 
@@ -3229,6 +3412,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ppr_push"] = _push
 
+    def _egonet(spark, sf):
+        from smatchpp_spark.operators.egonet import egonet_features
+
+        return egonet_features(_e_co(spark, sf))
+
+    q["egonet_features"] = _egonet
+
+    def _densest(spark, sf):
+        from smatchpp_spark.operators.densest import densest_subgraph
+
+        # co-purchase core + customer-order star periphery: the stars
+        # dilute round-1 density, so the argmax lands on a LATER round
+        # (a proper dense core) and the oracle must replay the peel,
+        # the profile, and the prefix — not just echo the input.
+        # eps=0.5 -> exact rational factor 3: every peel compares
+        # integers (densest.py).
+        e = _e_co(spark, sf).unionByName(_e_cust(spark, sf))
+        r = densest_subgraph(e, eps=0.5, max_rounds=8)
+        return r.members
+
+    q["densest_subgraph"] = _densest
+
+    def _local_comm(spark, sf):
+        from smatchpp_spark.operators.kcore import undirected_simple
+        from smatchpp_spark.operators.push import local_community
+
+        # customer↔order star forest: larger than the supplier graph
+        # yet still exactly cross-engine (every touched vertex sums
+        # push terms of ONE repeated value — order-independent floats)
+        e = _e_cust(spark, sf)
+        # deterministic seed, same device as ppr_push: min vertex of
+        # the undirected simple graph (the oracle's MIN(vertex))
+        seed = undirected_simple(e).agg(F.min("a")).collect()[0][0]
+        r = local_community(e, seed, alpha=0.15, eps=1e-4, max_supersteps=6)
+        return r.members
+
+    q["local_community"] = _local_comm
+
+    def _balanced(spark, sf):
+        from smatchpp_spark.operators.partition import balanced_partition
+
+        # slack=0.25 -> Fraction 1/4: capacity = ceil(5V/16) in exact
+        # integers on both engines (partition.py); customer↔order
+        # graph for a representative (~16.5k vertex) assignment
+        r = balanced_partition(
+            _e_cust(spark, sf), k=4, slack=0.25, max_supersteps=5
+        )
+        return r.assignment
+
+    q["balanced_partition"] = _balanced
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -4752,6 +4986,29 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "doc_bpe_merges": _bpe_sql(6),
         "wl_fingerprints": _wl_sql(2),
         "ppr_push": _ppr_push_sql(6, 0.15, 1e-4),
+        "local_community": _local_community_sql(6, 0.15, 1e-4),
+        "densest_subgraph": _densest_sql(8, 3, 1),
+        "balanced_partition": _balanced_partition_sql(5, 4, 5, 4),
+        "egonet_features": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS vertex, COUNT(*) AS degree FROM und GROUP BY a),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM c e1 JOIN c e2 ON e2.a = e1.b
+                  JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT v1 AS vertex FROM tri UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri),
+tc AS (SELECT vertex, COUNT(*) AS triangles FROM corners GROUP BY vertex)
+SELECT d.vertex, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       CAST(d.degree + 1 AS BIGINT) AS ego_nodes,
+       CAST(d.degree + COALESCE(t.triangles, 0) AS BIGINT) AS ego_edges,
+       ROUND(CAST(d.degree + COALESCE(t.triangles, 0) AS DOUBLE)
+             / (d.degree + 1), 9) AS edge_ratio
+FROM deg d LEFT JOIN tc t USING (vertex)
+""",
         "core_histogram": _core_hist_sql(10),
         "doc_tfidf_topk": _tfidf_sql(3),
         "doc_bm25_search": _bm25_sql(["join", "spark", "vector"], 20),
