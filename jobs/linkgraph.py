@@ -33,7 +33,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "betweenness", "landmarks", "sssp",
                             "mis", "coloring", "msf", "ktruss", "coreness",
                             "trustrank", "bowtie", "toposort", "closeness",
-                            "cocitation"])
+                            "cocitation", "egonet", "densest",
+                            "local_community", "partition"])
+    p.add_argument("--push-eps", type=float, default=1e-4,
+                   help="local_community: push residual threshold")
+    p.add_argument("--peel-eps", type=float, default=0.5,
+                   help="densest: approximation slack (factor 2(1+eps))")
+    p.add_argument("--n-parts", type=int, default=4,
+                   help="partition: number of parts")
+    p.add_argument("--slack", type=float, default=0.05,
+                   help="partition: capacity slack over |V|/k")
     p.add_argument("--sweeps-per-level", type=int, default=8,
                    help="louvain: local-move sweeps per level")
     p.add_argument("--levels", type=int, default=2,
@@ -88,7 +97,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-supersteps", type=int, default=100)
-    p.add_argument("--alpha", type=float, default=0.85, help="pagerank damping")
+    p.add_argument("--alpha", type=float, default=0.85,
+                   help="pagerank damping (local_community converts to the "
+                        "ACL teleport 1-alpha)")
     p.add_argument("--sources", default=None,
                    help="pagerank: comma-separated teleport vertices, or "
                         "@/path/to/parquet with a vertex column — switches "
@@ -468,6 +479,54 @@ def main() -> None:
             top_k=args.top_k,
             max_pivot_degree=args.max_pivot_degree,
         )
+    elif args.op == "egonet":
+        from smatchpp_spark.operators.egonet import egonet_features
+
+        out = egonet_features(edges)
+    elif args.op == "densest":
+        from smatchpp_spark.operators.densest import densest_subgraph
+
+        res = densest_subgraph(
+            edges, eps=args.peel_eps,
+            max_rounds=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        print(f"densest: best_round={res.best_round} "
+              f"density={res.best_density:.6f} rounds={res.rounds} "
+              f"converged={res.converged}")
+        out = res.members
+    elif args.op == "local_community":
+        from smatchpp_spark.operators.push import local_community
+
+        if not args.sources or args.sources.startswith("@"):
+            raise SystemExit(
+                "--op local_community requires --sources <one seed vertex>"
+            )
+        seed = args.sources.split(",")[0]
+        res = local_community(
+            edges, seed, alpha=1.0 - args.alpha, eps=args.push_eps,
+            max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        print(f"local_community: supersteps={res.supersteps} "
+              f"converged={res.converged}")
+        out = res.members
+    elif args.op == "partition":
+        from smatchpp_spark.operators.partition import (
+            balanced_partition,
+            partition_stats,
+        )
+
+        res = balanced_partition(
+            edges, k=args.n_parts, slack=args.slack,
+            max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        stats = partition_stats(edges, res.assignment).collect()[0]
+        print(f"partition: k={res.k} capacity={res.capacity} "
+              f"rounds={res.rounds} cut_fraction={stats['cut_fraction']} "
+              f"imbalance={stats['imbalance']}")
+        out = res.assignment
     elif args.op == "walks":
         from smatchpp_spark.operators.walks import random_walks
 

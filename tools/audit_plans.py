@@ -92,6 +92,13 @@ CHECKS = {
         ("HashAggregate",
          "degree and corner counts combine map-side (hub-safe)"),
     ],
+    "egonet_features": [
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+         "egonet counts scan only the 2 key columns of lineitem"),
+        ("HashAggregate",
+         "degree + triangle-corner counts combine map-side; ego_edges "
+         "is arithmetic on the joined aggregates, no third pass"),
+    ],
     "degree_assortativity": [
         ("HashAggregate",
          "the whole statistic is ONE global moment aggregation — "

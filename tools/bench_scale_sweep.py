@@ -755,6 +755,42 @@ def main() -> None:
         timed("ppr_push_6rounds", scale, lambda: ppr_push(
             e_op, _push_seed, alpha=0.15, eps=1e-4, max_supersteps=6
         ).state.count())
+
+        from smatchpp_spark.operators.egonet import egonet_features
+
+        # one degree agg + the degree-oriented wedge corners: bounded
+        # by sum(d_lo^2) like triangle_counts — expect its exponent
+        timed("egonet_features", scale, lambda: egonet_features(
+            inp["e_co"]
+        ).count())
+
+        from smatchpp_spark.operators.densest import densest_subgraph
+
+        # log-round parallel peel: per round two semi-joins + one
+        # degree agg on the SHRINKING survivor set; 10x disjoint
+        # copies peel in the same number of rounds (same degree
+        # profile), so work ~ 10x round-1 volume decaying — sublinear
+        timed("densest_8rounds", scale, lambda: densest_subgraph(
+            e_op, eps=0.5, max_rounds=8
+        ).members.count())
+
+        from smatchpp_spark.operators.push import local_community
+
+        # push is seed-local (O(1/(eps*alpha)) touched); the sweep adds
+        # one edge join against the touched set + a window over it —
+        # expect near-flat like ppr_push_6rounds
+        timed("local_community", scale, lambda: local_community(
+            e_op, _push_seed, alpha=0.15, eps=1e-4, max_supersteps=6
+        ).members.count())
+
+        from smatchpp_spark.operators.partition import balanced_partition
+
+        # capacity-gated LPA: per round one edge-vs-state join + one
+        # map-side-combined (vertex, part) count; k-row load table
+        # broadcasts — expect the label_propagation profile
+        timed("balanced_partition_5rounds", scale, lambda: balanced_partition(
+            inp["e_cust"], k=4, slack=0.25, max_supersteps=5
+        ).assignment.count())
         e_op.unpersist()
 
     fits = {}
@@ -922,6 +958,21 @@ def main() -> None:
         "  map-side-combined modular-sum agg (the pagerank superstep",
         "  profile); the multiset hash combines commutatively, so hub",
         "  fan-in never builds a per-vertex sorted array.",
+        "* **egonet_features** — degree agg + the degree-oriented wedge",
+        "  corner counts (ego_edges = deg + triangles identity); bounded",
+        "  by Σd_lo² exactly like triangle_counts, one extra vertex join.",
+        "* **densest_8rounds** — parallel peel: per round two semi-joins",
+        "  + one degree agg on a survivor set that shrinks geometrically",
+        "  (the 2(1+eps) threshold removes a constant fraction); fixed",
+        "  8-round budget keeps the work definition identical.",
+        "* **local_community** — ppr_push (seed-local) + ONE edge join",
+        "  against the touched set + a window over it; the window is",
+        "  provably small (O(1/(eps·alpha)) rows), so the wall tracks",
+        "  ppr_push_6rounds' static-build floor.",
+        "* **balanced_partition_5rounds** — capacity-gated LPA: per",
+        "  round one edge⋈state join + one map-side-combined (vertex,",
+        "  part) count; the k-row load table broadcasts; expect the",
+        "  label_propagation profile.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
