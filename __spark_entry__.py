@@ -1119,6 +1119,96 @@ def _balanced_partition_sql(
     return "\n".join(parts)
 
 
+def _pagerank_incremental_sql(
+    old_iters: int = PR_STEPS, inc_iters: int = 4, alpha: float = ALPHA
+) -> str:
+    """pagerank_incremental replay (operators/incremental.py): the warm
+    start (``old_iters`` pagerank rounds on the l_linenumber ≤ 5
+    subgraph), the round-1 full step T_new(π₀) on the complete graph,
+    then ``inc_iters − 1`` sparse-delta rounds δ' = Aδ over the
+    ``delta <> 0`` active set — every expression mirrors the operator's
+    arithmetic shape (left-associated adds, α·dm/n scalar) so the
+    truncated run replays 1:1."""
+    a = alpha
+    parts = [
+        "WITH eo AS (SELECT 'o' || l_orderkey AS src, "
+        "'p' || l_partkey AS dst FROM lineitem WHERE l_linenumber <= 5),",
+        "vo AS (SELECT src AS vertex FROM eo UNION SELECT dst FROM eo),",
+        "onn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vo),",
+        "oo AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od "
+        "FROM eo GROUP BY src),",
+        "wo AS MATERIALIZED (SELECT eo.src, eo.dst, 1.0 / oo.od AS w "
+        "FROM eo JOIN oo ON oo.vertex = eo.src),",
+        "p0 AS (SELECT vertex, 1.0 / (SELECT n FROM onn) AS rank FROM vo),",
+    ]
+    for k in range(1, old_iters + 1):
+        p = f"p{k-1}"
+        parts.append(
+            f"od{k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {p} "
+            f"WHERE vertex NOT IN (SELECT vertex FROM oo)),"
+        )
+        parts.append(
+            f"os{k} AS (SELECT wo.dst AS vertex, SUM(r.rank * wo.w) AS in_sum "
+            f"FROM {p} r JOIN wo ON wo.src = r.vertex GROUP BY wo.dst),"
+        )
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT vo.vertex, "
+            f"((1 - {a}) / (SELECT n FROM onn) "
+            f"+ {a} * (SELECT dm FROM od{k}) / (SELECT n FROM onn)) "
+            f"+ {a} * COALESCE(os{k}.in_sum, 0.0) AS rank "
+            f"FROM vo LEFT JOIN os{k} ON os{k}.vertex = vo.vertex),"
+        )
+    base1 = (
+        f"((1 - {a}) / (SELECT n FROM nn) "
+        f"+ {a} * (SELECT dm FROM dd1) / (SELECT n FROM nn))"
+    )
+    parts += [
+        f"e AS ({SQL_E_OP}),",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "outd AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od "
+        "FROM e GROUP BY src),",
+        "w AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / outd.od AS w "
+        "FROM e JOIN outd ON outd.vertex = e.src),",
+        f"x0 AS MATERIALIZED (SELECT v.vertex, "
+        f"COALESCE(p{old_iters}.rank, 0.0) AS rank "
+        f"FROM v LEFT JOIN p{old_iters} ON p{old_iters}.vertex = v.vertex),",
+        "dd1 AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM x0 "
+        "WHERE vertex NOT IN (SELECT vertex FROM outd)),",
+        "ss1 AS (SELECT w.dst AS vertex, SUM(r.rank * w.w) AS in_sum "
+        "FROM x0 r JOIN w ON w.src = r.vertex GROUP BY w.dst),",
+        f"x1 AS MATERIALIZED (SELECT x0.vertex, "
+        f"{base1} + {a} * COALESCE(ss1.in_sum, 0.0) AS rank, "
+        f"({base1} + {a} * COALESCE(ss1.in_sum, 0.0)) - x0.rank AS delta "
+        f"FROM x0 LEFT JOIN ss1 ON ss1.vertex = x0.vertex),",
+    ]
+    for k in range(2, inc_iters + 1):
+        p = f"x{k-1}"
+        unif = f"({a} * (SELECT dm FROM dd{k}) / (SELECT n FROM nn))"
+        parts.append(
+            f"aa{k} AS (SELECT vertex, delta FROM {p} WHERE delta <> 0.0),"
+        )
+        parts.append(
+            f"dd{k} AS (SELECT COALESCE(SUM(delta), 0.0) AS dm FROM aa{k} "
+            f"WHERE vertex NOT IN (SELECT vertex FROM outd)),"
+        )
+        parts.append(
+            f"ss{k} AS (SELECT w.dst AS vertex, SUM(r.delta * w.w) AS in_sum "
+            f"FROM aa{k} r JOIN w ON w.src = r.vertex GROUP BY w.dst),"
+        )
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT x.vertex, "
+            f"x.rank + {unif} + {a} * COALESCE(ss{k}.in_sum, 0.0) AS rank, "
+            f"{unif} + {a} * COALESCE(ss{k}.in_sum, 0.0) AS delta "
+            f"FROM {p} x LEFT JOIN ss{k} ON ss{k}.vertex = x.vertex),"
+        )
+    parts.append(
+        f"fin AS (SELECT 1) "
+        f"SELECT vertex, ROUND(rank, 9) AS rank FROM x{inc_iters}"
+    )
+    return "\n".join(parts)
+
+
 def _wl_sql(rounds: int = 2) -> str:
     """wl_fingerprints replay (operators/wl.py): ``rounds`` unrolled
     color refinements over the synthetic AMR triple table — md5 color
@@ -3463,6 +3553,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["balanced_partition"] = _balanced
 
+    def _slink(spark, sf):
+        from smatchpp_spark.operators.slink import single_linkage
+
+        # the msf_boruvka weighted graph; threshold cut at w <= 3.
+        # Spark runs the SCALE path (Boruvka once, CC over <=V-1 forest
+        # edges); the oracle uses the independent identity (CC of the
+        # thresholded ORIGINAL graph) — a forest bug cannot cancel.
+        li = _read(spark, sf, "lineitem").filter(F.col("l_partkey") % 20 == 0)
+        we = li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+            ((F.col("l_orderkey") + F.col("l_partkey")) % 9 + 1)
+            .cast("long")
+            .alias("weight"),
+        )
+        r = single_linkage(we, threshold=3, max_rounds=12, cc_supersteps=60)
+        return r.clusters
+
+    q["single_linkage_clusters"] = _slink
+
+    def _pr_inc(spark, sf):
+        from smatchpp_spark.operators.incremental import pagerank_incremental
+
+        # warm start = PR_STEPS truncated rounds on the OLD graph
+        # (lineitem l_linenumber <= 5); the delta is the linenumber 6/7
+        # edge set.  4 incremental rounds on the full graph — the
+        # oracle replays the whole chain (old rounds, the round-1 full
+        # step, then the sparse-delta rounds) 1:1.
+        li = _read(spark, sf, "lineitem")
+        old = li.filter(F.col("l_linenumber") <= 5).select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        warm = pagerank(
+            old, alpha=ALPHA, tol=-1.0, max_supersteps=PR_STEPS
+        ).ranks
+        r = pagerank_incremental(
+            _e_op(spark, sf), warm, alpha=ALPHA, tol=-1.0, max_supersteps=4
+        )
+        return r.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_incremental"] = _pr_inc
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -4688,8 +4829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # harmonic_spread, rmat_edges, graph_powerlaw, trustrank_spam,
 # cocitation_topk, dag_layers, graph_richclub, bowtie_components,
 # closeness_centrality, doc_chunks, doc_bpe_merges, wl_fingerprints,
-# ppr_push — put them FIRST in the round-8 front, then the r6-verified
-# rows that sat out round 7.
+# ppr_push, egonet_features, densest_subgraph, local_community,
+# balanced_partition, single_linkage_clusters, pagerank_incremental —
+# put them FIRST in the round-8 front, then the r6-verified rows that
+# sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -4775,6 +4918,7 @@ SELECT vertex, CAST(SUM(i) AS BIGINT) AS in_deg, CAST(SUM(o) AS BIGINT) AS out_d
 FROM ends GROUP BY vertex
 """,
         "pagerank_fixed": _pagerank_sql(PR_STEPS),
+        "pagerank_incremental": _pagerank_incremental_sql(PR_STEPS, 4),
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "pagerank_personalized": _personalized_pagerank_sql(PR_STEPS),
         "pagerank_weighted": _pagerank_sql(
@@ -4988,6 +5132,22 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "ppr_push": _ppr_push_sql(6, 0.15, 1e-4),
         "local_community": _local_community_sql(6, 0.15, 1e-4),
         "densest_subgraph": _densest_sql(8, 3, 1),
+        "single_linkage_clusters": """
+WITH RECURSIVE raw AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst,
+             (l_orderkey + l_partkey) % 9 + 1 AS w
+             FROM lineitem WHERE l_partkey % 20 = 0),
+verts AS (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM raw UNION ALL SELECT dst FROM raw)),
+te AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw
+                    WHERE w <= 3 AND src <> dst),
+und AS (SELECT src, dst FROM te UNION SELECT dst, src FROM te),
+reach(v, l) AS (SELECT src, src FROM und
+                UNION
+                SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.v),
+comp AS (SELECT v, MIN(l) AS c FROM reach GROUP BY v)
+SELECT verts.v AS vertex, COALESCE(comp.c, verts.v) AS cluster
+FROM verts LEFT JOIN comp ON comp.v = verts.v
+""",
         "balanced_partition": _balanced_partition_sql(5, 4, 5, 4),
         "egonet_features": f"""
 WITH raw AS ({SQL_E_CO}),

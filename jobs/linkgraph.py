@@ -34,7 +34,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "mis", "coloring", "msf", "ktruss", "coreness",
                             "trustrank", "bowtie", "toposort", "closeness",
                             "cocitation", "egonet", "densest",
-                            "local_community", "partition"])
+                            "local_community", "partition",
+                            "single_linkage", "pagerank_incremental"])
+    p.add_argument("--warm-ranks", default=None,
+                   help="pagerank_incremental: parquet dir of (vertex, "
+                        "rank) to warm-start from (e.g. yesterday's "
+                        "pagerank output)")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="single_linkage: inclusive distance cut; omit to "
+                        "cut at --k clusters instead")
     p.add_argument("--push-eps", type=float, default=1e-4,
                    help="local_community: push residual threshold")
     p.add_argument("--peel-eps", type=float, default=0.5,
@@ -479,6 +487,50 @@ def main() -> None:
             top_k=args.top_k,
             max_pivot_degree=args.max_pivot_degree,
         )
+    elif args.op == "pagerank_incremental":
+        from smatchpp_spark.operators.incremental import pagerank_incremental
+
+        if not args.warm_ranks:
+            raise SystemExit(
+                "--op pagerank_incremental requires --warm-ranks "
+                "(prior pagerank output parquet)"
+            )
+        res = pagerank_incremental(
+            edges, spark.read.parquet(args.warm_ranks),
+            alpha=args.alpha, tol=args.tol,
+            max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        print(f"pagerank_incremental: supersteps={res.supersteps} "
+              f"converged={res.converged} delta_l1={res.delta_l1:.3e}")
+        out, summary["supersteps"], summary["converged"] = (
+            res.ranks, res.supersteps, res.converged
+        )
+    elif args.op == "single_linkage":
+        from smatchpp_spark.operators.slink import (
+            single_linkage,
+            single_linkage_k,
+        )
+
+        wedges = src.select(
+            F.col(args.src_col).alias("src"),
+            F.col(args.dst_col).alias("dst"),
+            F.col(args.weight_col).alias("weight"),
+        )
+        if args.threshold is not None:
+            res = single_linkage(
+                wedges, threshold=args.threshold,
+                max_rounds=args.max_supersteps,
+                checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            )
+        else:
+            res = single_linkage_k(
+                wedges, k=args.k, max_rounds=args.max_supersteps,
+                checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            )
+        print(f"single_linkage: n_clusters={res.n_clusters} "
+              f"msf_rounds={res.msf_rounds}")
+        out = res.clusters
     elif args.op == "egonet":
         from smatchpp_spark.operators.egonet import egonet_features
 

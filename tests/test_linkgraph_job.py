@@ -424,3 +424,68 @@ def test_linkgraph_job_mining_ops(spark, tmp_path, monkeypatch, capsys):
 
     # capacity = ceil(1.25 * 25 / 2) = 16
     assert max(Counter(parts.values()).values()) <= 16 + 13  # start-load relaxation bound
+
+
+def test_linkgraph_job_single_linkage(spark, tmp_path, monkeypatch, capsys):
+    # two weight-1 triangles joined by a weight-9 bridge
+    t1 = [(1, 2), (2, 3), (1, 3)]
+    t2 = [(7, 8), (8, 9), (7, 9)]
+    path = str(tmp_path / "wedges")
+    spark.createDataFrame(
+        [(str(a), str(b), 1.0) for a, b in t1 + t2] + [("3", "7", 9.0)],
+        "src string, dst string, weight double",
+    ).write.mode("overwrite").parquet(path)
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "single_linkage", "--edges", path, "--threshold", "5",
+         "-o", str(tmp_path / "sl")],
+    )
+    assert s["rows"] == 6
+    labels = {r.vertex: r.cluster
+              for r in spark.read.parquet(str(tmp_path / "sl")).collect()}
+    assert labels["1"] == labels["2"] == labels["3"] == "1"
+    assert labels["7"] == labels["8"] == labels["9"] == "7"
+
+    # k-cut form: k=2 drops the single heaviest forest edge (the bridge)
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "single_linkage", "--edges", path, "--k", "2",
+         "-o", str(tmp_path / "sl2")],
+    )
+    labels2 = {r.vertex: r.cluster
+               for r in spark.read.parquet(str(tmp_path / "sl2")).collect()}
+    assert labels2 == labels
+
+
+def test_linkgraph_job_pagerank_incremental(spark, tmp_path, monkeypatch, capsys):
+    old_pairs = [(i, (i * 3 + 1) % 20) for i in range(20)]
+    old_pairs = [(a, b) for a, b in old_pairs if a != b]
+    new_pairs = old_pairs + [(0, 10), (10, 3)]
+    e_old = _write_edges(spark, tmp_path, old_pairs, name="e_old")
+    e_new = _write_edges(spark, tmp_path, new_pairs, name="e_new")
+
+    warm = str(tmp_path / "warm")
+    _run_job(
+        monkeypatch, capsys,
+        ["--op", "pagerank", "--edges", e_old, "--max-supersteps", "100",
+         "--tol", "1e-13", "-o", warm],
+    )
+    inc_out = str(tmp_path / "inc")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "pagerank_incremental", "--edges", e_new,
+         "--warm-ranks", warm, "--max-supersteps", "200",
+         "--tol", "1e-12", "-o", inc_out],
+    )
+    assert s["converged"]
+    full_out = str(tmp_path / "full")
+    _run_job(
+        monkeypatch, capsys,
+        ["--op", "pagerank", "--edges", e_new, "--max-supersteps", "200",
+         "--tol", "1e-13", "-o", full_out],
+    )
+    a = {r.vertex: r.rank for r in spark.read.parquet(inc_out).collect()}
+    b = {r.vertex: r.rank for r in spark.read.parquet(full_out).collect()}
+    assert a.keys() == b.keys()
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-9
