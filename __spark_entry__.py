@@ -1209,6 +1209,77 @@ def _pagerank_incremental_sql(
     return "\n".join(parts)
 
 
+def _fastrp_sql(
+    dims: int = 4, s: int = 2, weights: tuple = (1.0, 0.5)
+) -> str:
+    """fastrp_embeddings replay (operators/fastrp.py): hash-seeded
+    very-sparse projection (±sqrt(s) at portable-hash buckets 0/1),
+    ``len(weights)`` unrolled D⁻¹A multiplications with per-dimension
+    sums, weighted accumulation, final L2 normalization, posexplode to
+    (vertex, dim, value) rows — over the customer↔order graph."""
+    import math as _math
+
+    val = repr(_math.sqrt(float(s)))
+    h = duckdb_hash64_sql
+    dims_r = range(dims)
+    def _seed_case(i: int) -> str:
+        hexpr = h(f"vertex || ':' || '{i}'")
+        return (
+            f"CASE {hexpr} % {2 * s} "
+            f"WHEN 0 THEN {val} WHEN 1 THEN -{val} ELSE 0.0 END AS e{i}"
+        )
+
+    seed = ", ".join(_seed_case(i) for i in dims_r)
+    parts = [
+        f"WITH e AS ({SQL_E_CUST}),",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e) "
+        "WHERE a <> b),",
+        "deg AS (SELECT a AS vertex, COUNT(*) AS deg FROM und GROUP BY a),",
+        "w AS MATERIALIZED (SELECT und.a AS src, und.b AS dst, "
+        "1.0 / deg.deg AS w FROM und JOIN deg ON deg.vertex = und.a),",
+        f"s0 AS MATERIALIZED (SELECT vertex, {seed}, "
+        + ", ".join(f"0.0 AS a{i}" for i in dims_r)
+        + " FROM deg),",
+    ]
+    for k, wk in enumerate(weights, start=1):
+        p = f"s{k-1}"
+        msums = ", ".join(
+            f"SUM(r.e{i} * w.w) AS m{i}" for i in dims_r
+        )
+        ecols = ", ".join(
+            f"COALESCE(m.m{i}, 0.0) AS e{i}" for i in dims_r
+        )
+        accs = ", ".join(
+            f"x.a{i} + {wk!r} * COALESCE(m.m{i}, 0.0) AS a{i}"
+            for i in dims_r
+        )
+        parts.append(
+            f"m{k} AS (SELECT w.dst AS vertex, {msums} "
+            f"FROM {p} r JOIN w ON w.src = r.vertex GROUP BY w.dst),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT x.vertex, {ecols}, {accs} "
+            f"FROM {p} x LEFT JOIN m{k} m ON m.vertex = x.vertex),"
+        )
+    last = f"s{len(weights)}"
+    n2 = " + ".join(f"a{i} * a{i}" for i in dims_r)
+    parts.append(
+        f"nrm AS (SELECT vertex, {n2} AS n2, "
+        + ", ".join(f"a{i}" for i in dims_r)
+        + f" FROM {last}),"
+    )
+    # + 0.0 canonicalizes -0.0 on both engines (see the query comment)
+    explode = "\nUNION ALL\n".join(
+        f"SELECT vertex, CAST({i} AS INT) AS dim, "
+        f"ROUND(CASE WHEN n2 > 0.0 THEN a{i} / sqrt(n2) ELSE 0.0 END, 9) "
+        f"+ 0.0 AS value FROM nrm"
+        for i in dims_r
+    )
+    parts.append(f"fin AS (SELECT 1)\n{explode}")
+    return "\n".join(parts)
+
+
 def _wl_sql(rounds: int = 2) -> str:
     """wl_fingerprints replay (operators/wl.py): ``rounds`` unrolled
     color refinements over the synthetic AMR triple table — md5 color
@@ -3604,6 +3675,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_incremental"] = _pr_inc
 
+    def _fastrp(spark, sf):
+        from smatchpp_spark.operators.fastrp import fastrp_embeddings
+
+        r = fastrp_embeddings(
+            _e_cust(spark, sf), dims=4, s=2, weights=[1.0, 0.5]
+        )
+        # + 0.0 canonicalizes -0.0 (a tiny negative that rounds to zero
+        # keeps its sign bit through ROUND in both engines, but the
+        # SIGN of a near-zero sum is sum-order noise — the one float
+        # artifact ROUND(,9) can't wash out)
+        return r.embeddings.select(
+            "vertex", F.posexplode("embedding").alias("dim", "value")
+        ).select(
+            "vertex", "dim", (F.round("value", 9) + 0.0).alias("value")
+        )
+
+    q["fastrp_embeddings"] = _fastrp
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -4830,9 +4919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # cocitation_topk, dag_layers, graph_richclub, bowtie_components,
 # closeness_centrality, doc_chunks, doc_bpe_merges, wl_fingerprints,
 # ppr_push, egonet_features, densest_subgraph, local_community,
-# balanced_partition, single_linkage_clusters, pagerank_incremental —
-# put them FIRST in the round-8 front, then the r6-verified rows that
-# sat out round 7.
+# balanced_partition, single_linkage_clusters, pagerank_incremental,
+# fastrp_embeddings — put them FIRST in the round-8 front, then the
+# r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -4919,6 +5008,7 @@ FROM ends GROUP BY vertex
 """,
         "pagerank_fixed": _pagerank_sql(PR_STEPS),
         "pagerank_incremental": _pagerank_incremental_sql(PR_STEPS, 4),
+        "fastrp_embeddings": _fastrp_sql(4, 2, (1.0, 0.5)),
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "pagerank_personalized": _personalized_pagerank_sql(PR_STEPS),
         "pagerank_weighted": _pagerank_sql(

@@ -35,7 +35,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "trustrank", "bowtie", "toposort", "closeness",
                             "cocitation", "egonet", "densest",
                             "local_community", "partition",
-                            "single_linkage", "pagerank_incremental"])
+                            "single_linkage", "pagerank_incremental",
+                            "fastrp"])
+    p.add_argument("--dims", type=int, default=16,
+                   help="fastrp: embedding dimensions (<= 64)")
+    p.add_argument("--hop-weights", default="1.0,1.0,0.5",
+                   help="fastrp: comma-separated per-hop weights")
     p.add_argument("--warm-ranks", default=None,
                    help="pagerank_incremental: parquet dir of (vertex, "
                         "rank) to warm-start from (e.g. yesterday's "
@@ -487,6 +492,15 @@ def main() -> None:
             top_k=args.top_k,
             max_pivot_degree=args.max_pivot_degree,
         )
+    elif args.op == "fastrp":
+        from smatchpp_spark.operators.fastrp import fastrp_embeddings
+
+        res = fastrp_embeddings(
+            edges, dims=args.dims,
+            weights=[float(x) for x in args.hop_weights.split(",")],
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out = res.embeddings
     elif args.op == "pagerank_incremental":
         from smatchpp_spark.operators.incremental import pagerank_incremental
 

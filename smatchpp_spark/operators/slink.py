@@ -199,13 +199,13 @@ def single_linkage_k(
 def dendrogram(forest: DataFrame) -> DataFrame:
     """The single-linkage merge sequence: forest edges ranked by the
     total order (weight, a, b) — merge ``i`` joins the clusters of
-    ``a`` and ``b`` at height ``weight``.  The global rank is computed
-    join-free as 1 + #{edges strictly smaller in the total order} via
-    a cumulative count over the weight histogram broadcast back — but
-    since the forest has at most V−1 rows and dendrograms are consumed
-    whole (plots, scipy handoff), the simple global sort is the
-    documented default.  For a 10^9-vertex forest, cut by threshold
-    instead of materializing this."""
+    ``a`` and ``b`` at height ``weight``.
+
+    DELIBERATE single-partition window: a dendrogram is a driver-side
+    artifact (plots, scipy handoff) consumed whole, so this surface is
+    for forests that fit one task.  At web scale don't materialize a
+    10^9-row merge list — cut by ``single_linkage(threshold=...)``
+    (distributed, forest-sized CC) and sweep thresholds instead."""
     from pyspark.sql import Window
 
     w = Window.orderBy("weight", "a", "b")

@@ -489,3 +489,22 @@ def test_linkgraph_job_pagerank_incremental(spark, tmp_path, monkeypatch, capsys
     b = {r.vertex: r.rank for r in spark.read.parquet(full_out).collect()}
     assert a.keys() == b.keys()
     assert max(abs(a[v] - b[v]) for v in a) < 1e-9
+
+
+def test_linkgraph_job_fastrp(spark, tmp_path, monkeypatch, capsys):
+    pairs = [(i, (i * 3 + 1) % 15) for i in range(15)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    epath = _write_edges(spark, tmp_path, pairs)
+    out = str(tmp_path / "frp")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "fastrp", "--edges", epath, "--dims", "6",
+         "--hop-weights", "1.0,0.5", "-o", out],
+    )
+    rows = spark.read.parquet(out).collect()
+    verts = {v for p in pairs for v in map(str, p)}
+    assert s["rows"] == len(verts)
+    for r in rows:
+        assert len(r.embedding) == 6
+        n = sum(x * x for x in r.embedding)
+        assert abs(n - 1.0) < 1e-9 or n == 0.0  # L2-normalized

@@ -820,6 +820,15 @@ def main() -> None:
         timed("pagerank_incremental4", scale, lambda: pagerank_incremental(
             e_op, _warm, tol=-1.0, max_supersteps=4
         ).ranks.count())
+
+        from smatchpp_spark.operators.fastrp import fastrp_embeddings
+
+        # the pagerank superstep dataflow with d=8 accumulators: one
+        # edges-vs-state join + one map-side-combined per-dim sum per
+        # hop; expect the pagerank profile
+        timed("fastrp_d8", scale, lambda: fastrp_embeddings(
+            e_op, dims=8, s=2, weights=[1.0, 0.5]
+        ).embeddings.count())
         e_op.unpersist()
 
     fits = {}
@@ -1011,6 +1020,10 @@ def main() -> None:
         "  delta<>0 active support against the static contrib side;",
         "  a localized graph delta keeps that support seed-local (the",
         "  dangling-delta caveat is in the module docstring).",
+        "* **fastrp_d8** — hash-seeded projection + per-hop D⁻¹A",
+        "  multiply: the pagerank superstep with 8 accumulator columns",
+        "  (state V×8 doubles, all sums map-side-combined); no",
+        "  training, no sampling — expect the pagerank profile.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
