@@ -313,3 +313,56 @@ def test_stream_sketches_match_batch(spark):
         ).collect()[0]
         want_hll = hll_distinct(both, "key", p=4, portable=True).collect()[0]
         assert got_hll.asDict() == want_hll.asDict()
+
+
+def test_stream_pagerank_incremental_matches_batch(spark):
+    """foreachBatch streaming PageRank: after each micro-batch the
+    committed ranks equal a batch pagerank run on the accumulated edge
+    set; batch 2 warm-starts from batch 1 (streaming/ranks.py)."""
+    from smatchpp_spark.operators.pagerank import pagerank
+    from smatchpp_spark.streaming.ranks import (
+        latest_ranks,
+        stream_pagerank_incremental,
+    )
+
+    batch1 = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    batch2 = [("d", "e"), ("e", "a"), ("b", "d")]
+    schema = "src string, dst string"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in_edges")
+        work = os.path.join(tmp, "work")
+        spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_pagerank_incremental(
+            stream, work, tol=1e-12, max_supersteps=300
+        ).start()
+        try:
+            q.processAllAvailable()
+            got1 = {
+                r.vertex: r.rank for r in latest_ranks(spark, work).collect()
+            }
+            want1 = {
+                r.vertex: r.rank
+                for r in pagerank(
+                    spark.createDataFrame(batch1, schema),
+                    tol=1e-13, max_supersteps=300,
+                ).ranks.collect()
+            }
+            assert got1.keys() == want1.keys()
+            assert max(abs(got1[v] - want1[v]) for v in want1) < 1e-9
+            spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got2 = {
+            r.vertex: r.rank for r in latest_ranks(spark, work).collect()
+        }
+        want2 = {
+            r.vertex: r.rank
+            for r in pagerank(
+                spark.createDataFrame(batch1 + batch2, schema),
+                tol=1e-13, max_supersteps=300,
+            ).ranks.collect()
+        }
+        assert got2.keys() == want2.keys()
+        assert max(abs(got2[v] - want2[v]) for v in want2) < 1e-9
