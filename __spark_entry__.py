@@ -2174,6 +2174,48 @@ def _sssp_sql(rounds: int = 8, mod: int = 100) -> str:
     return "\n".join(parts)
 
 
+def _pathalgebra_sql(kind: str, rounds: int, mod: int = 100) -> str:
+    """widest_path / reliable_path replay (operators/pathalgebra.py):
+    ``rounds`` unrolled (max, ⊗) relaxations over the undirected
+    weighted order↔part graph — ⊗ = LEAST(val, w) for 'widest'
+    (BIGINT, exact), ⊗ = val * w for 'reliable' (double PRODUCTS of
+    identical operands — bit-exact, no sums).  Same ≤k-edge-path
+    invariant as _sssp_sql."""
+    if kind == "widest":
+        wexpr = "CAST((l_orderkey + l_partkey) % 7 + 1 AS BIGINT)"
+        seed_val = f"CAST({(1 << 63) - 1} AS BIGINT)"
+        extend = "LEAST(r.val, ue.w)"
+        out = "SELECT vertex, val AS capacity FROM"
+    else:
+        wexpr = "0.5 + ((l_orderkey + l_partkey) % 50) / 100.0"
+        seed_val = "CAST(1.0 AS DOUBLE)"
+        extend = "r.val * ue.w"
+        # RAW doubles: bit-identical across engines (products only);
+        # ROUND(,9) would ADD divergence — see the query-side comment
+        out = "SELECT vertex, val AS reliability FROM"
+    parts = [
+        f"WITH e AS (SELECT 'o' || l_orderkey AS src, "
+        f"'p' || l_partkey AS dst, {wexpr} AS w FROM lineitem),",
+        "ue AS MATERIALIZED (SELECT src, dst, w FROM e "
+        "UNION ALL SELECT dst, src, w FROM e),",
+        "v AS (SELECT DISTINCT src AS vertex FROM ue),",
+        f"srcs AS (SELECT DISTINCT 'p' || l_partkey AS vertex FROM lineitem "
+        f"WHERE l_partkey % {mod} = 0),",
+        f"r0 AS MATERIALIZED (SELECT s.vertex, {seed_val} AS val "
+        f"FROM srcs s JOIN v USING (vertex)),",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vertex, MAX(val) AS val "
+            f"FROM (SELECT vertex, val FROM {p} "
+            f"UNION ALL SELECT ue.dst AS vertex, {extend} "
+            f"FROM {p} r JOIN ue ON ue.src = r.vertex) GROUP BY vertex),"
+        )
+    parts.append(f"fin AS (SELECT 1) {out} r{rounds}")
+    return "\n".join(parts)
+
+
 def _mis_sql(rounds: int = 5, seed: int = 7) -> str:
     """Luby MIS replay (operators/mis.py): per round the portable md5
     priority draw, the active⋈edges⋈active neighbor-min, strict-< winner
@@ -3693,6 +3735,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fastrp_embeddings"] = _fastrp
 
+    def _we_edges(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        return li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+            ((F.col("l_orderkey") + F.col("l_partkey")) % 7 + 1)
+            .cast("long")
+            .alias("weight"),
+            (
+                F.lit(0.5)
+                + ((F.col("l_orderkey") + F.col("l_partkey")) % 50)
+                / F.lit(100.0)
+            ).alias("prob"),
+        )
+
+    def _pa_seeds(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_partkey") % 100 == 0)
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                    "vertex"
+                )
+            )
+            .distinct()
+        )
+
+    def _widest(spark, sf):
+        from smatchpp_spark.operators.pathalgebra import widest_path
+
+        # integer bottleneck capacities — exact cross-engine (the
+        # max-min semiring never adds); sssp's graph + seed pattern
+        r = widest_path(
+            _we_edges(spark, sf), _pa_seeds(spark, sf),
+            max_supersteps=8, directed=False,
+        )
+        return r.values
+
+    q["widest_path"] = _widest
+
+    def _reliable(spark, sf):
+        from smatchpp_spark.operators.pathalgebra import most_reliable_path
+
+        # path PRODUCTS of identical operands relax in identical order
+        # on both engines — bit-exact doubles, so emit RAW values: any
+        # per-engine ROUND(x, 9) would ADD noise (Spark rounds the
+        # BigDecimal expansion, DuckDB the double — they disagree at
+        # decimal-boundary values; verified 7/16743 flips at sf0.01)
+        r = most_reliable_path(
+            _we_edges(spark, sf), _pa_seeds(spark, sf),
+            prob_col="prob", max_supersteps=6, directed=False,
+        )
+        return r.values
+
+    q["reliable_path"] = _reliable
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -4920,8 +5022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # closeness_centrality, doc_chunks, doc_bpe_merges, wl_fingerprints,
 # ppr_push, egonet_features, densest_subgraph, local_community,
 # balanced_partition, single_linkage_clusters, pagerank_incremental,
-# fastrp_embeddings — put them FIRST in the round-8 front, then the
-# r6-verified rows that sat out round 7.
+# fastrp_embeddings, widest_path, reliable_path — put them FIRST in the
+# round-8 front, then the r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -5283,6 +5385,8 @@ SELECT s.u, s.v, s.score FROM scored s
 WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
 """,
         "sssp_weighted": _sssp_sql(8, 100),
+        "widest_path": _pathalgebra_sql("widest", 8, 100),
+        "reliable_path": _pathalgebra_sql("reliable", 6, 100),
         "mis_luby": _mis_sql(5, 7),
         "graph_coloring": _coloring_sql(5, 7),
         "msf_boruvka": _msf_sql(6, 10, 20),

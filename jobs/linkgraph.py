@@ -36,7 +36,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "cocitation", "egonet", "densest",
                             "local_community", "partition",
                             "single_linkage", "pagerank_incremental",
-                            "fastrp"])
+                            "fastrp", "widest_path", "reliable_path"])
     p.add_argument("--dims", type=int, default=16,
                    help="fastrp: embedding dimensions (<= 64)")
     p.add_argument("--hop-weights", default="1.0,1.0,0.5",
@@ -491,6 +491,36 @@ def main() -> None:
             mode="cocitation",
             top_k=args.top_k,
             max_pivot_degree=args.max_pivot_degree,
+        )
+    elif args.op in ("widest_path", "reliable_path"):
+        from smatchpp_spark.operators.pathalgebra import (
+            most_reliable_path,
+            widest_path,
+        )
+
+        if not args.sources:
+            raise SystemExit(f"--op {args.op} requires --sources")
+        if args.sources.startswith("@"):
+            seeds = spark.read.parquet(args.sources[1:])
+        else:
+            seeds = args.sources.split(",")
+        wedges = src.select(
+            F.col(args.src_col).alias("src"),
+            F.col(args.dst_col).alias("dst"),
+            F.col(args.weight_col).alias("weight"),
+        )
+        fn = widest_path if args.op == "widest_path" else (
+            lambda e, s, **kw: most_reliable_path(
+                e, s, prob_col="weight", **kw
+            )
+        )
+        res = fn(
+            wedges, seeds, max_supersteps=args.max_supersteps,
+            directed=not args.undirected,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.values, res.rounds, res.converged
         )
     elif args.op == "fastrp":
         from smatchpp_spark.operators.fastrp import fastrp_embeddings

@@ -508,3 +508,35 @@ def test_linkgraph_job_fastrp(spark, tmp_path, monkeypatch, capsys):
         assert len(r.embedding) == 6
         n = sum(x * x for x in r.embedding)
         assert abs(n - 1.0) < 1e-9 or n == 0.0  # L2-normalized
+
+
+def test_linkgraph_job_pathalgebra(spark, tmp_path, monkeypatch, capsys):
+    # diamond s->a->t (bottleneck 3) vs s->b->t (bottleneck 4)
+    path = str(tmp_path / "wedges2")
+    spark.createDataFrame(
+        [("s", "a", 3), ("a", "t", 9), ("s", "b", 7), ("b", "t", 4)],
+        "src string, dst string, weight long",
+    ).write.mode("overwrite").parquet(path)
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "widest_path", "--edges", path, "--sources", "s",
+         "--max-supersteps", "10", "-o", str(tmp_path / "wp")],
+    )
+    assert s["converged"]
+    caps = {r.vertex: r.capacity
+            for r in spark.read.parquet(str(tmp_path / "wp")).collect()}
+    assert caps["t"] == 4 and caps["a"] == 3 and caps["b"] == 7
+
+    ppath = str(tmp_path / "pedges")
+    spark.createDataFrame(
+        [("s", "a", 0.9), ("a", "t", 0.9), ("s", "t", 0.5)],
+        "src string, dst string, weight double",
+    ).write.mode("overwrite").parquet(ppath)
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "reliable_path", "--edges", ppath, "--sources", "s",
+         "--max-supersteps", "10", "-o", str(tmp_path / "rp")],
+    )
+    rel = {r.vertex: r.reliability
+           for r in spark.read.parquet(str(tmp_path / "rp")).collect()}
+    assert rel["t"] == 0.9 * 0.9  # two-hop beats the direct 0.5 edge
