@@ -3795,6 +3795,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["reliable_path"] = _reliable
 
+    def _gdiff(spark, sf):
+        from smatchpp_spark.operators.graphdiff import graph_diff
+
+        # the same old/new snapshot pair as pagerank_incremental: the
+        # diff is what decides the warm-start is worth it
+        li = _read(spark, sf, "lineitem")
+        old = li.filter(F.col("l_linenumber") <= 5).select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        return graph_diff(old, _e_op(spark, sf)).vertices
+
+    q["graph_snapshot_diff"] = _gdiff
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -5022,8 +5040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # closeness_centrality, doc_chunks, doc_bpe_merges, wl_fingerprints,
 # ppr_push, egonet_features, densest_subgraph, local_community,
 # balanced_partition, single_linkage_clusters, pagerank_incremental,
-# fastrp_embeddings, widest_path, reliable_path — put them FIRST in the
-# round-8 front, then the r6-verified rows that sat out round 7.
+# fastrp_embeddings, widest_path, reliable_path, graph_snapshot_diff —
+# put them FIRST in the round-8 front, then the r6-verified rows that
+# sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -5387,6 +5406,26 @@ WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.a = s.u AND c.b = s.v)
         "sssp_weighted": _sssp_sql(8, 100),
         "widest_path": _pathalgebra_sql("widest", 8, 100),
         "reliable_path": _pathalgebra_sql("reliable", 6, 100),
+        "graph_snapshot_diff": """
+WITH eo AS (SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+            FROM lineitem WHERE l_linenumber <= 5),
+en AS (SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+       FROM lineitem),
+dgo AS (SELECT vertex, CAST(SUM(o) AS BIGINT) AS out_old,
+               CAST(SUM(i) AS BIGINT) AS in_old
+        FROM (SELECT src AS vertex, 1 AS o, 0 AS i FROM eo
+              UNION ALL SELECT dst, 0, 1 FROM eo) GROUP BY vertex),
+dgn AS (SELECT vertex, CAST(SUM(o) AS BIGINT) AS out_new,
+               CAST(SUM(i) AS BIGINT) AS in_new
+        FROM (SELECT src AS vertex, 1 AS o, 0 AS i FROM en
+              UNION ALL SELECT dst, 0, 1 FROM en) GROUP BY vertex)
+SELECT COALESCE(dgo.vertex, dgn.vertex) AS vertex,
+       COALESCE(out_old, 0) AS out_old, COALESCE(out_new, 0) AS out_new,
+       COALESCE(in_old, 0) AS in_old, COALESCE(in_new, 0) AS in_new,
+       ABS(COALESCE(out_new, 0) - COALESCE(out_old, 0))
+       + ABS(COALESCE(in_new, 0) - COALESCE(in_old, 0)) AS churn
+FROM dgo FULL OUTER JOIN dgn ON dgn.vertex = dgo.vertex
+""",
         "mis_luby": _mis_sql(5, 7),
         "graph_coloring": _coloring_sql(5, 7),
         "msf_boruvka": _msf_sql(6, 10, 20),

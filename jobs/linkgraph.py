@@ -36,7 +36,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "cocitation", "egonet", "densest",
                             "local_community", "partition",
                             "single_linkage", "pagerank_incremental",
-                            "fastrp", "widest_path", "reliable_path"])
+                            "fastrp", "widest_path", "reliable_path",
+                            "graph_diff"])
+    p.add_argument("--edges-old", default=None,
+                   help="graph_diff: parquet dir of the OLD snapshot "
+                        "(--edges is the new one)")
     p.add_argument("--dims", type=int, default=16,
                    help="fastrp: embedding dimensions (<= 64)")
     p.add_argument("--hop-weights", default="1.0,1.0,0.5",
@@ -492,6 +496,18 @@ def main() -> None:
             top_k=args.top_k,
             max_pivot_degree=args.max_pivot_degree,
         )
+    elif args.op == "graph_diff":
+        from smatchpp_spark.operators.graphdiff import graph_diff
+
+        if not args.edges_old:
+            raise SystemExit("--op graph_diff requires --edges-old")
+        res = graph_diff(spark.read.parquet(args.edges_old), edges)
+        print(f"graph_diff: added={res.n_added} removed={res.n_removed} "
+              f"kept={res.n_kept}")
+        summary["n_added"], summary["n_removed"], summary["n_kept"] = (
+            res.n_added, res.n_removed, res.n_kept
+        )
+        out = res.vertices
     elif args.op in ("widest_path", "reliable_path"):
         from smatchpp_spark.operators.pathalgebra import (
             most_reliable_path,

@@ -540,3 +540,17 @@ def test_linkgraph_job_pathalgebra(spark, tmp_path, monkeypatch, capsys):
     rel = {r.vertex: r.reliability
            for r in spark.read.parquet(str(tmp_path / "rp")).collect()}
     assert rel["t"] == 0.9 * 0.9  # two-hop beats the direct 0.5 edge
+
+
+def test_linkgraph_job_graph_diff(spark, tmp_path, monkeypatch, capsys):
+    e_old = _write_edges(spark, tmp_path, [(1, 2), (2, 3)], name="gd_old")
+    e_new = _write_edges(spark, tmp_path, [(1, 2), (3, 4)], name="gd_new")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "graph_diff", "--edges", e_new, "--edges-old", e_old,
+         "-o", str(tmp_path / "gd")],
+    )
+    assert (s["n_added"], s["n_removed"], s["n_kept"]) == (1, 1, 1)
+    v = {r.vertex: r.churn
+         for r in spark.read.parquet(str(tmp_path / "gd")).collect()}
+    assert v["4"] == 1 and v["1"] == 0
