@@ -1119,6 +1119,52 @@ def _balanced_partition_sql(
     return "\n".join(parts)
 
 
+def _cc_incremental_sql(old_iters: int = 6, inc_iters: int = 4) -> str:
+    """cc_incremental replay (operators/incremental.py): ``old_iters``
+    truncated hash-min rounds on the o_orderkey % 4 != 0 customer
+    subgraph, warm init coalesce(old_label, vertex) over the full
+    graph's vertices, then ``inc_iters`` hash-min rounds — the label
+    rule l' = min(l, min over neighbor labels) unrolls exactly."""
+
+    def _rounds(prefix: str, und: str, n: int, start: str) -> list:
+        out = []
+        for k in range(1, n + 1):
+            p = f"{prefix}{k-1}" if k > 1 else start
+            out.append(
+                f"{prefix}{k} AS MATERIALIZED (SELECT vertex, "
+                f"MIN(component) AS component FROM "
+                f"(SELECT vertex, component FROM {p} "
+                f"UNION ALL SELECT u.a AS vertex, c.component "
+                f"FROM {p} c JOIN {und} u ON u.b = c.vertex) "
+                f"GROUP BY vertex),"
+            )
+        return out
+
+    parts = [
+        "WITH eo AS (SELECT 'c' || o_custkey AS src, "
+        "'o' || o_orderkey AS dst FROM orders WHERE o_orderkey % 4 <> 0),",
+        "uo AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM eo UNION ALL SELECT dst, src FROM eo)),",
+        "c0 AS (SELECT DISTINCT a AS vertex, a AS component FROM uo),",
+    ]
+    parts += _rounds("c", "uo", old_iters, "c0")
+    parts += [
+        "e AS (SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst "
+        "FROM orders),",
+        "un AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)),",
+        f"x0 AS (SELECT v.vertex, "
+        f"COALESCE(c{old_iters}.component, v.vertex) AS component "
+        f"FROM (SELECT DISTINCT a AS vertex FROM un) v "
+        f"LEFT JOIN c{old_iters} ON c{old_iters}.vertex = v.vertex),",
+    ]
+    parts += _rounds("x", "un", inc_iters, "x0")
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex, component FROM x{inc_iters}"
+    )
+    return "\n".join(parts)
+
+
 def _pagerank_incremental_sql(
     old_iters: int = PR_STEPS, inc_iters: int = 4, alpha: float = ALPHA
 ) -> str:
@@ -3813,6 +3859,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_snapshot_diff"] = _gdiff
 
+    def _cc_inc(spark, sf):
+        from smatchpp_spark.operators.components import connected_components
+        from smatchpp_spark.operators.incremental import cc_incremental
+
+        # old snapshot = customer graph minus the o_orderkey % 4 == 0
+        # orders (so new-vs-old is ADDITIONS ONLY by construction);
+        # warm labels = a 6-round TRUNCATED cold run (replays 1:1),
+        # then 4 incremental rounds on the full graph
+        o = _read(spark, sf, "orders")
+        old = o.filter(F.col("o_orderkey") % 4 != 0).select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        warm = connected_components(old, max_supersteps=6).components
+        r = cc_incremental(_e_cust(spark, sf), warm, max_supersteps=4)
+        return r.components
+
+    q["cc_incremental"] = _cc_inc
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -5040,9 +5109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # closeness_centrality, doc_chunks, doc_bpe_merges, wl_fingerprints,
 # ppr_push, egonet_features, densest_subgraph, local_community,
 # balanced_partition, single_linkage_clusters, pagerank_incremental,
-# fastrp_embeddings, widest_path, reliable_path, graph_snapshot_diff —
-# put them FIRST in the round-8 front, then the r6-verified rows that
-# sat out round 7.
+# fastrp_embeddings, widest_path, reliable_path, graph_snapshot_diff,
+# cc_incremental — put them FIRST in the round-8 front, then the
+# r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -5130,6 +5199,7 @@ FROM ends GROUP BY vertex
         "pagerank_fixed": _pagerank_sql(PR_STEPS),
         "pagerank_incremental": _pagerank_incremental_sql(PR_STEPS, 4),
         "fastrp_embeddings": _fastrp_sql(4, 2, (1.0, 0.5)),
+        "cc_incremental": _cc_incremental_sql(6, 4),
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "pagerank_personalized": _personalized_pagerank_sql(PR_STEPS),
         "pagerank_weighted": _pagerank_sql(

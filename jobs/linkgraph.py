@@ -37,7 +37,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "local_community", "partition",
                             "single_linkage", "pagerank_incremental",
                             "fastrp", "widest_path", "reliable_path",
-                            "graph_diff"])
+                            "graph_diff", "cc_incremental"])
     p.add_argument("--edges-old", default=None,
                    help="graph_diff: parquet dir of the OLD snapshot "
                         "(--edges is the new one)")
@@ -495,6 +495,26 @@ def main() -> None:
             mode="cocitation",
             top_k=args.top_k,
             max_pivot_degree=args.max_pivot_degree,
+        )
+    elif args.op == "cc_incremental":
+        from smatchpp_spark.operators.incremental import cc_incremental
+
+        if not args.warm_ranks:
+            raise SystemExit(
+                "--op cc_incremental requires --warm-ranks "
+                "(prior components output parquet: vertex, component)"
+            )
+        res = cc_incremental(
+            edges, spark.read.parquet(args.warm_ranks),
+            max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            edges_old=(
+                spark.read.parquet(args.edges_old)
+                if args.edges_old else None
+            ),
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.components, res.supersteps, res.converged
         )
     elif args.op == "graph_diff":
         from smatchpp_spark.operators.graphdiff import graph_diff

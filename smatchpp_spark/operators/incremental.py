@@ -1,5 +1,6 @@
-"""Incremental PageRank — update converged ranks after a graph delta
-without recomputing from scratch.
+"""Incremental recompute on graph deltas — PageRank and connected
+components updated from a previous snapshot's answers instead of from
+scratch.
 
 The PageRank iteration is affine, ``T(π) = c + Aπ`` with
 ``A = α(Pᵀ + dangling·𝟙ᵀ/n)`` and ``c = (1−α)/n·𝟙`` (the exact operator
@@ -224,6 +225,120 @@ def pagerank_incremental(
         ranks=res.state.select("vertex", "rank"),
         state=res.state,
         delta_l1=float(last_l1),
+        supersteps=res.supersteps,
+        converged=res.converged,
+        metrics=res.metrics,
+    )
+
+
+@dataclass
+class IncrementalCCResult:
+    components: DataFrame  # (vertex, component) on the NEW graph
+    supersteps: int
+    converged: bool
+    metrics: list
+
+
+def cc_incremental(
+    edges: DataFrame,
+    old_labels: DataFrame,
+    max_supersteps: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    edges_old: DataFrame | None = None,
+) -> IncrementalCCResult:
+    """Hash-min connected components of the (new) graph ``edges``
+    warm-started from ``old_labels`` (vertex, component) — sound for
+    EDGE ADDITIONS ONLY.
+
+    Why the warm start is exact under additions: every old label is
+    itself a vertex of its component, and new edges only MERGE
+    components, so the min over a merged component of the warm labels
+    equals the min vertex id — the same fixpoint a cold run reaches.
+    Convergence cost drops from the graph diameter to the diameter of
+    the MERGE pattern (labels are already correct inside each old
+    component).
+
+    Removals can SPLIT components and leave a stale too-small label
+    with no witness path — silently wrong.  Pass ``edges_old`` to have
+    that precondition CHECKED (one distinct anti-join count, the
+    graph_diff classification); omitting it asserts additions-only on
+    the caller's authority (documented, like sssp's
+    ``check_nonnegative=False``)."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if edges_old is not None:
+        removed = (
+            edges_old.select("src", "dst")
+            .distinct()
+            .join(edges.select("src", "dst").distinct(),
+                  ["src", "dst"], "left_anti")
+            .count()
+        )
+        if removed:
+            raise ValueError(
+                f"cc_incremental: {removed} edges were REMOVED between "
+                "snapshots; removals can split components, so the warm "
+                "start is unsound — run connected_components from scratch."
+            )
+    undirected = (
+        edges.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("vertex"), F.col("src").alias("nbr")
+            )
+        )
+        .distinct()
+        .repartition(num_partitions, "nbr")
+        .persist()
+    )
+    n_msgs = undirected.count()
+    warm = old_labels.select(
+        "vertex", F.col("component").alias("old_component")
+    )
+    init = (
+        undirected.select("vertex")
+        .distinct()
+        .join(warm, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("old_component", "vertex").alias("component"),
+        )
+    )
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        msgs = (
+            state.withColumnRenamed("vertex", "nbr")
+            .join(undirected, "nbr")
+            .select("vertex", "component")
+        )
+        return (
+            msgs.unionByName(state.select("vertex", "component"))
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+
+    from smatchpp_spark.operators.supersteps import changed_count_delta
+
+    runner = SuperstepRunner(
+        spark,
+        op="cc_incremental",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_supersteps,
+        tol=0.0,
+    )
+    res = runner.run(
+        init,
+        step,
+        changed_count_delta("component"),
+        edges_processed_per_step=n_msgs,
+        resume=resume,
+    )
+    undirected.unpersist()
+    return IncrementalCCResult(
+        components=res.state,
         supersteps=res.supersteps,
         converged=res.converged,
         metrics=res.metrics,

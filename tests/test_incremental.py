@@ -105,3 +105,48 @@ def test_checkpoint_resume_identical(spark, tmp_path):
     )
     a, b = _ranks(r1.ranks), _ranks(r2.ranks)
     assert a == b
+
+
+def test_cc_incremental_matches_cold(spark):
+    from smatchpp_spark.operators.components import connected_components
+    from smatchpp_spark.operators.incremental import cc_incremental
+
+    rng = random.Random(17)
+    old = list({(rng.randrange(30), rng.randrange(30)) for _ in range(40)})
+    old = [(a, b) for a, b in old if a != b]
+    new = list(dict.fromkeys(old + [(0, 29), (3, 31), (31, 32)]))
+    warm = connected_components(_df(spark, old)).components
+    inc = cc_incremental(_df(spark, new), warm)
+    assert inc.converged
+    got = {r.vertex: r.component for r in inc.components.collect()}
+    want = {
+        r.vertex: r.component
+        for r in connected_components(_df(spark, new)).components.collect()
+    }
+    assert got == want
+
+
+def test_cc_incremental_saves_rounds_on_path(spark):
+    from smatchpp_spark.operators.components import connected_components
+    from smatchpp_spark.operators.incremental import cc_incremental
+
+    path = [(i, i + 1) for i in range(40)]
+    cold = connected_components(_df(spark, path))
+    warm = cc_incremental(_df(spark, path + [(0, 40)]), cold.components)
+    # labels were already the component minimum; the added chord changes
+    # nothing — one no-op round, vs a diameter-bound cold run
+    assert warm.supersteps <= 2 < cold.supersteps
+    assert {r.component for r in warm.components.collect()} == {"0"}
+
+
+def test_cc_incremental_removal_guard(spark):
+    from smatchpp_spark.operators.components import connected_components
+    from smatchpp_spark.operators.incremental import cc_incremental
+
+    old = [(1, 2), (2, 3)]
+    new = [(1, 2)]  # 2-3 removed
+    warm = connected_components(_df(spark, old)).components
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="REMOVED"):
+        cc_incremental(_df(spark, new), warm, edges_old=_df(spark, old))

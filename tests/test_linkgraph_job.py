@@ -554,3 +554,25 @@ def test_linkgraph_job_graph_diff(spark, tmp_path, monkeypatch, capsys):
     v = {r.vertex: r.churn
          for r in spark.read.parquet(str(tmp_path / "gd")).collect()}
     assert v["4"] == 1 and v["1"] == 0
+
+
+def test_linkgraph_job_cc_incremental(spark, tmp_path, monkeypatch, capsys):
+    old_pairs = [(1, 2), (3, 4)]
+    new_pairs = old_pairs + [(2, 3)]
+    e_old = _write_edges(spark, tmp_path, old_pairs, name="cci_old")
+    e_new = _write_edges(spark, tmp_path, new_pairs, name="cci_new")
+    warm = str(tmp_path / "cci_warm")
+    _run_job(
+        monkeypatch, capsys,
+        ["--op", "components", "--edges", e_old, "-o", warm],
+    )
+    out = str(tmp_path / "cci")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "cc_incremental", "--edges", e_new, "--warm-ranks", warm,
+         "--edges-old", e_old, "-o", out],
+    )
+    assert s["converged"]
+    comp = {r.vertex: r.component
+            for r in spark.read.parquet(out).collect()}
+    assert set(comp.values()) == {"1"}  # the bridge merges everything

@@ -845,6 +845,20 @@ def main() -> None:
         timed("widest_path_8rounds", scale, lambda: widest_path(
             _wpe, [_wp_seed], max_supersteps=8, directed=False
         ).values.count())
+
+        from smatchpp_spark.operators.incremental import cc_incremental
+
+        # warm labels already ARE the fixpoint minima (the warm run is
+        # untimed — it models yesterday's stored labels), so the timed
+        # part is the no-op detection: one message round + the merge —
+        # the incremental best case, graph-diameter-independent
+        _cc_warm = connected_components(
+            e_op
+        ).components.localCheckpoint(eager=True)
+        _cc_warm.count()
+        timed("cc_incremental_warm", scale, lambda: cc_incremental(
+            e_op, _cc_warm, max_supersteps=8
+        ).components.count())
         e_op.unpersist()
 
     fits = {}
@@ -1043,6 +1057,10 @@ def main() -> None:
         "* **widest_path_8rounds** — the sssp frontier superstep under",
         "  the (max, min) semiring; fixed 8-round budget keeps the work",
         "  definition identical at both scales.",
+        "* **cc_incremental_warm** — warm hash-min from stored labels",
+        "  (the warm run is untimed: it models yesterday's output);",
+        "  timed part = the no-op round that detects the fixpoint —",
+        "  diameter-independent, the incremental best case.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
