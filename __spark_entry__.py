@@ -3882,6 +3882,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cc_incremental"] = _cc_inc
 
+    def _unimax(spark, sf):
+        from smatchpp_spark.pipeline.mixing import unimax_allocation
+
+        return unimax_allocation(
+            _read(spark, sf, "documents"),
+            budget_tokens=20_000,
+            max_epochs=3,
+        )
+
+    q["doc_unimax"] = _unimax
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -5110,8 +5121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ppr_push, egonet_features, densest_subgraph, local_community,
 # balanced_partition, single_linkage_clusters, pagerank_incremental,
 # fastrp_embeddings, widest_path, reliable_path, graph_snapshot_diff,
-# cc_incremental — put them FIRST in the round-8 front, then the
-# r6-verified rows that sat out round 7.
+# cc_incremental, doc_unimax — put them FIRST in the round-8 front,
+# then the r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -5200,6 +5211,34 @@ FROM ends GROUP BY vertex
         "pagerank_incremental": _pagerank_incremental_sql(PR_STEPS, 4),
         "fastrp_embeddings": _fastrp_sql(4, 2, (1.0, 0.5)),
         "cc_incremental": _cc_incremental_sql(6, 4),
+        "doc_unimax": f"""
+WITH t AS (SELECT lang AS domain,
+           CAST(len({SQL_TOKS}) AS BIGINT) AS n FROM documents),
+g AS (SELECT domain, CAST(SUM(n) AS BIGINT) AS n_tokens FROM t
+      GROUP BY domain),
+c AS (SELECT domain, n_tokens, n_tokens * 3 AS capacity,
+        ROW_NUMBER() OVER (ORDER BY n_tokens * 3, domain) AS i,
+        COUNT(*) OVER () AS kk,
+        COALESCE(SUM(n_tokens * 3) OVER (ORDER BY n_tokens * 3, domain
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM g),
+raw AS (SELECT *, CASE WHEN capacity * (kk - i + 1) + cum <= 20000
+                       THEN 1 ELSE 0 END AS ok FROM c),
+-- binding = MAXIMAL PREFIX where the raw test holds (the raw
+-- inequality alone is not monotone past the first failure)
+b AS (SELECT *, MIN(ok) OVER (ORDER BY i
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS binding
+      FROM raw),
+agg AS (SELECT COALESCE(SUM(CASE WHEN binding THEN capacity END), 0) AS sb,
+        SUM(CASE WHEN binding THEN 0 ELSE 1 END) AS nn FROM b)
+SELECT b.domain, b.n_tokens, CAST(b.capacity AS BIGINT) AS capacity,
+  CASE WHEN b.binding THEN CAST(b.capacity AS DOUBLE)
+       ELSE CAST(20000 - agg.sb AS DOUBLE) / agg.nn END AS allocation,
+  (CASE WHEN b.binding THEN CAST(b.capacity AS DOUBLE)
+        ELSE CAST(20000 - agg.sb AS DOUBLE) / agg.nn END)
+  / CAST(b.n_tokens AS DOUBLE) AS epochs
+FROM b, agg
+""",
         "pagerank_hetero": _pagerank_sql(PR_STEPS, edge_sql=_TPCH_EDGES_SQL),
         "pagerank_personalized": _personalized_pagerank_sql(PR_STEPS),
         "pagerank_weighted": _pagerank_sql(

@@ -22,7 +22,7 @@ OPS = [
     "substring_dedup", "decontaminate",
     "quality", "gopher", "c4", "ccnet", "repetition", "langid",
     "fingerprints", "token_stats",
-    "chunks", "pack", "split", "mix", "dsir",
+    "chunks", "pack", "split", "mix", "dsir", "unimax",
     "bpe_train", "bpe_segment", "pii",
 ]
 
@@ -58,6 +58,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.5,
                    help="mix temperature / dsir smoothing")
     p.add_argument("--domain-col", default="source")
+    p.add_argument("--budget-tokens", type=int, default=1_000_000,
+                   help="unimax: total token budget to allocate")
+    p.add_argument("--max-epochs", type=int, default=4,
+                   help="unimax: per-domain epoch cap")
     p.add_argument("--target-rate", type=float, default=0.5,
                    help="mix overall keep rate")
     p.add_argument("--n-merges", type=int, default=64, help="bpe_train")
@@ -189,6 +193,14 @@ def main() -> None:
             domain_col=args.domain_col, id_col=idc,
         )
         summary["n_kept"] = out.count()
+    elif args.op == "unimax":
+        from smatchpp_spark.pipeline.mixing import unimax_allocation
+
+        out = unimax_allocation(
+            docs, budget_tokens=args.budget_tokens,
+            max_epochs=args.max_epochs, domain_col=args.domain_col,
+        )
+        summary["n_domains"] = out.count()
     elif args.op == "dsir":
         from smatchpp_spark.pipeline.mixing import dsir_importance
 

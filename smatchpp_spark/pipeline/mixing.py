@@ -405,3 +405,88 @@ def dsir_select(
             F.round("_k", 6).alias("gumbel_key"),
         )
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, public): split a
+    token ``budget_tokens`` across domains so every domain gets an
+    equal share EXCEPT where that would exceed ``max_epochs`` passes
+    over its corpus — the waterfilling ``alloc_d = min(capacity_d, θ)``
+    with capacity_d = n_tokens_d · max_epochs and the water level θ
+    chosen so the allocations sum to the budget.
+
+    Determinism/parity contract: capacities and the binding test are
+    EXACT integer arithmetic: in ascending (capacity, domain) order the
+    binding set is the MAXIMAL PREFIX on which
+    ``capacity·k_remaining + cum_prev ≤ B`` holds — the raw inequality
+    alone is NOT monotone (a later, larger capacity can spuriously pass
+    once an earlier one failed), so the first failure ends the prefix;
+    θ is ONE double division ``(B − Σ_binding capacity) / #non-binding``
+    of exact integers, identical in any engine.  K domains are
+    driver-collected (dozens of rows — the domain_mixture pattern);
+    the output IS the K-row allocation table, ready to feed
+    ``domain_mixture``-style per-domain keep rates.
+
+    Output: (domain, n_tokens, capacity, allocation, epochs), epochs =
+    allocation / n_tokens ≤ max_epochs.
+    """
+    from smatchpp_spark.pipeline.text import tokens
+
+    if budget_tokens < 0:
+        raise ValueError(
+            f"unimax_allocation: budget must be >= 0, got {budget_tokens}"
+        )
+    if max_epochs < 1:
+        raise ValueError(
+            f"unimax_allocation: max_epochs must be >= 1, got {max_epochs}"
+        )
+    spark = docs.sparkSession
+    counts = (
+        docs.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.sum(F.size(tokens(text_col))).alias("n_tokens"))
+        .collect()
+    )
+    rows = sorted(
+        ((r["domain"], int(r["n_tokens"])) for r in counts),
+        key=lambda t: (t[1] * max_epochs, t[0]),
+    )
+    k = len(rows)
+    if k == 0:
+        return spark.createDataFrame(
+            [],
+            "domain string, n_tokens bigint, capacity bigint, "
+            "allocation double, epochs double",
+        )
+    bound = []  # (domain, n, cap, binding)
+    cum = 0
+    n_bind = 0
+    in_prefix = True
+    for i, (d, n) in enumerate(rows):
+        cap = n * max_epochs
+        binding = in_prefix and cap * (k - i) + cum <= budget_tokens
+        if binding:
+            n_bind += 1
+            cum += cap
+        else:
+            in_prefix = False
+        bound.append((d, n, cap, binding))
+    theta = (
+        float(budget_tokens - cum) / float(k - n_bind)
+        if n_bind < k
+        else 0.0
+    )
+    out = []
+    for d, n, cap, binding in bound:
+        alloc = float(cap) if binding else theta
+        out.append((d, n, cap, alloc, alloc / float(n) if n else 0.0))
+    return spark.createDataFrame(
+        out,
+        "domain string, n_tokens bigint, capacity bigint, "
+        "allocation double, epochs double",
+    )

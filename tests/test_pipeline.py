@@ -1893,3 +1893,73 @@ def test_chunk_documents_guards(spark):
         chunk_documents(docs, window=0)
     with _pytest.raises(ValueError):
         chunk_documents(docs, window=4, stride=0)
+
+
+def test_unimax_allocation(spark):
+    """Waterfilling: small domains bind at max_epochs, the rest share
+    the leftover equally; allocations sum to the budget (python replay
+    on a hand-sized corpus)."""
+    from smatchpp_spark.pipeline.mixing import unimax_allocation
+
+    rows = (
+        [(i, "one two three", "aa") for i in range(2)]        # 6 tokens
+        + [(10 + i, "a b c d e", "bb") for i in range(20)]    # 100 tokens
+        + [(100 + i, "x y z w q", "cc") for i in range(20)]   # 100 tokens
+    )
+    docs = spark.createDataFrame(
+        [(d, t, lang) for d, t, lang in rows],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.domain: r
+        for r in unimax_allocation(
+            docs, budget_tokens=100, max_epochs=2
+        ).collect()
+    }
+    # capacities: aa 12, bb 200, cc 200.  aa binds (12*3 <= 100);
+    # theta = (100-12)/2 = 44 for bb and cc
+    assert out["aa"].capacity == 12 and out["aa"].allocation == 12.0
+    assert out["aa"].epochs == 2.0
+    assert out["bb"].allocation == out["cc"].allocation == 44.0
+    assert abs(sum(r.allocation for r in out.values()) - 100.0) < 1e-9
+    assert out["bb"].epochs == 0.44
+
+    # budget above total capacity: everything binds, no division
+    full = {
+        r.domain: r.allocation
+        for r in unimax_allocation(
+            docs, budget_tokens=10_000, max_epochs=2
+        ).collect()
+    }
+    assert full == {"aa": 12.0, "bb": 200.0, "cc": 200.0}
+
+    # prefix property: with capacities 12/200/200 and budget 13, NO
+    # domain binds (12*3 > 13) — everyone shares the level 13/3
+    none_bind = {
+        r.domain: r.allocation
+        for r in unimax_allocation(
+            docs, budget_tokens=13, max_epochs=2
+        ).collect()
+    }
+    assert all(abs(v - 13.0 / 3.0) < 1e-12 for v in none_bind.values())
+
+    # the non-monotone trap the maximal-prefix gate exists for:
+    # capacities 16 and 20, budget 20 — the FIRST fails (16*2 > 20)
+    # but the second's raw test (20*1 + 0 <= 20) would spuriously pass
+    # without the gate; correct answer: nobody binds, theta = 10 each
+    trap = spark.createDataFrame(
+        [(1, "a b c d e f g h", "aa"), (2, "p q r s t u v w x y", "bb")],
+        "doc_id long, text string, lang string",
+    )
+    tr = {
+        r.domain: r.allocation
+        for r in unimax_allocation(
+            trap, budget_tokens=20, max_epochs=2
+        ).collect()
+    }
+    assert tr == {"aa": 10.0, "bb": 10.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        unimax_allocation(docs, budget_tokens=-1)

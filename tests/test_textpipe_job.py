@@ -103,3 +103,22 @@ def test_textpipe_requires_dependent_inputs(spark, tmp_path, monkeypatch, capsys
         _run_job(monkeypatch, capsys,
                  ["--op", "bpe_segment", "--docs", dpath,
                   "-o", str(tmp_path / "y")])
+
+
+def test_textpipe_unimax(spark, tmp_path, monkeypatch, capsys):
+    # _write_docs assigns source src{i % 2}: src0 = indices 0/2/4
+    # (6 tokens, capacity 12), src1 = 1/3/5 (24 tokens, capacity 48)
+    texts = ["a b", "p q r s t u v w", "c d",
+             "m n o p q r s t", "e f", "h i j k l m n o"]
+    dpath = _write_docs(spark, tmp_path, texts)
+    out = str(tmp_path / "um")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "unimax", "--docs", dpath, "--domain-col", "source",
+         "--budget-tokens", "30", "--max-epochs", "2", "-o", out],
+    )
+    assert s["n_domains"] == 2
+    rows = {r.domain: r for r in spark.read.parquet(out).collect()}
+    # src0 binds (12*2 <= 30); theta = (30-12)/1 = 18 for src1
+    assert rows["src0"].allocation == 12.0 and rows["src0"].epochs == 2.0
+    assert rows["src1"].allocation == 18.0
