@@ -92,6 +92,19 @@ CHECKS = {
         ("HashAggregate",
          "degree and corner counts combine map-side (hub-safe)"),
     ],
+    # (doc_unimax is not auditable here: its returned frame is the
+    # K-row driver-built allocation table, so the token-count scan
+    # happens inside the operator's collect, not in the output plan)
+    "graph_snapshot_diff": [
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int>",
+         "the old-snapshot scan prunes to the 3 key columns and pushes "
+         "the l_linenumber filter"),
+        ("PushedFilters: [IsNotNull(l_linenumber), LessThanOrEqual(l_linenumber,5)]",
+         "snapshot predicate reaches the parquet scan"),
+        ("HashAggregate",
+         "degree deltas combine map-side; the edge-key full-outer join "
+         "is the only wide exchange"),
+    ],
     "egonet_features": [
         ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
          "egonet counts scan only the 2 key columns of lineitem"),
