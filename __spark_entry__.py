@@ -3893,6 +3893,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_unimax"] = _unimax
 
+    def _egonet_anom(spark, sf):
+        from smatchpp_spark.operators.egonet import egonet_anomalies
+
+        return egonet_anomalies(_e_co(spark, sf))
+
+    q["egonet_anomalies"] = _egonet_anom
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -5121,8 +5128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ppr_push, egonet_features, densest_subgraph, local_community,
 # balanced_partition, single_linkage_clusters, pagerank_incremental,
 # fastrp_embeddings, widest_path, reliable_path, graph_snapshot_diff,
-# cc_incremental, doc_unimax — put them FIRST in the round-8 front,
-# then the r6-verified rows that sat out round 7.
+# cc_incremental, doc_unimax, egonet_anomalies — put them FIRST in the
+# round-8 front, then the r6-verified rows that sat out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -5211,6 +5218,45 @@ FROM ends GROUP BY vertex
         "pagerank_incremental": _pagerank_incremental_sql(PR_STEPS, 4),
         "fastrp_embeddings": _fastrp_sql(4, 2, (1.0, 0.5)),
         "cc_incremental": _cc_incremental_sql(6, 4),
+        "egonet_anomalies": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS vertex, COUNT(*) AS degree FROM und GROUP BY a),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM c e1 JOIN c e2 ON e2.a = e1.b
+                  JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT v1 AS vertex FROM tri UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri),
+tc AS (SELECT vertex, COUNT(*) AS triangles FROM corners GROUP BY vertex),
+f AS MATERIALIZED (SELECT d.vertex,
+       CAST(d.degree + 1 AS BIGINT) AS ego_nodes,
+       CAST(d.degree + COALESCE(t.triangles, 0) AS BIGINT) AS ego_edges
+     FROM deg d LEFT JOIN tc t USING (vertex)),
+mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(ln(CAST(ego_nodes AS DOUBLE))) AS sx,
+         SUM(ln(CAST(ego_edges AS DOUBLE))) AS sy,
+         SUM(ln(CAST(ego_nodes AS DOUBLE)) * ln(CAST(ego_nodes AS DOUBLE))) AS sxx,
+         SUM(ln(CAST(ego_nodes AS DOUBLE)) * ln(CAST(ego_edges AS DOUBLE))) AS sxy
+       FROM f),
+fit AS (SELECT ((sxy / n - (sx / n) * (sy / n))
+                / (sxx / n - (sx / n) * (sx / n))) AS theta,
+               (sy / n - ((sxy / n - (sx / n) * (sy / n))
+                / (sxx / n - (sx / n) * (sx / n))) * (sx / n)) AS logc
+        FROM mom)
+SELECT f.vertex, f.ego_nodes, f.ego_edges,
+       ROUND(exp(fit.logc + fit.theta * ln(CAST(f.ego_nodes AS DOUBLE))), 6)
+         AS expected_edges,
+       ROUND((GREATEST(CAST(f.ego_edges AS DOUBLE),
+                       exp(fit.logc + fit.theta * ln(CAST(f.ego_nodes AS DOUBLE))))
+              / LEAST(CAST(f.ego_edges AS DOUBLE),
+                      exp(fit.logc + fit.theta * ln(CAST(f.ego_nodes AS DOUBLE)))))
+             * ln(abs(CAST(f.ego_edges AS DOUBLE)
+                      - exp(fit.logc + fit.theta * ln(CAST(f.ego_nodes AS DOUBLE))))
+                  + 1.0), 6) AS score
+FROM f, fit
+""",
         "doc_unimax": f"""
 WITH t AS (SELECT lang AS domain,
            CAST(len({SQL_TOKS}) AS BIGINT) AS n FROM documents),

@@ -79,3 +79,71 @@ def egonet_features(edges: DataFrame) -> DataFrame:
     )
     canonical.unpersist()
     return out
+
+
+def egonet_anomalies(edges: DataFrame) -> DataFrame:
+    """OddBall anomaly scores (Akoglu et al. PAKDD 2010 §3, public):
+    fit the ego power law ``ego_edges ≈ C · ego_nodes^θ`` by ordinary
+    least squares in log-log space (one moment aggregation — the
+    degree_assortativity pattern), then score every vertex by the
+    paper's out-of-line measure
+
+        score(v) = (max(y, ŷ) / min(y, ŷ)) · ln(|y − ŷ| + 1)
+
+    with y = ego_edges and ŷ = C·ego_nodes^θ — distance from the fit
+    in both ratio and absolute terms, so near-cliques AND near-stars
+    surface regardless of size.
+
+    Scale shape: egonet_features (degree agg + oriented wedge corners)
+    + ONE two-column moment aggregation (map-side combined, 1 row to
+    the driver as plan literals) + a stateless scoring projection — no
+    new joins.  Output: (vertex, ego_nodes, ego_edges, expected_edges,
+    score), floats rounded 6 at the sink (moment-sum ulp noise
+    amplified through exp reaches ~1e-10 at yhat ≈ 10³, so round-9
+    flipped 101/2000 rows cross-engine; round-6 absorbs it).
+
+    Single-vertex-degenerate guard: a fit needs ≥ 2 distinct
+    ego_nodes values and positive variance; otherwise raises (a
+    regular graph has no out-of-line notion).
+    """
+    feats = egonet_features(edges).localCheckpoint(eager=True)
+    lx = F.log(F.col("ego_nodes").cast("double"))
+    ly = F.log(F.col("ego_edges").cast("double"))
+    mom = (
+        feats.select(lx.alias("x"), ly.alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .collect()[0]
+    )
+    n, sx, sy, sxx, sxy = (
+        float(mom["n"]), float(mom["sx"]), float(mom["sy"]),
+        float(mom["sxx"]), float(mom["sxy"]),
+    )
+    var = sxx / n - (sx / n) * (sx / n)
+    if n < 2.0 or var <= 0.0:
+        raise ValueError(
+            "egonet_anomalies: the log-log fit needs >= 2 vertices with "
+            "distinct ego sizes (zero variance — a regular graph has no "
+            "out-of-line notion)"
+        )
+    theta = (sxy / n - (sx / n) * (sy / n)) / var
+    logc = sy / n - theta * (sx / n)
+    yhat = F.exp(
+        F.lit(logc) + F.lit(theta) * F.log(F.col("ego_nodes").cast("double"))
+    )
+    y = F.col("ego_edges").cast("double")
+    score = (
+        F.greatest(y, yhat) / F.least(y, yhat)
+    ) * F.log(F.abs(y - yhat) + F.lit(1.0))
+    return feats.select(
+        "vertex",
+        "ego_nodes",
+        "ego_edges",
+        F.round(yhat, 6).alias("expected_edges"),
+        F.round(score, 6).alias("score"),
+    )

@@ -295,3 +295,53 @@ def test_partition_guards(spark):
         balanced_partition(_df(spark, [(1, 2)]), k=1)
     with pytest.raises(ValueError):
         balanced_partition(_df(spark, [(1, 2)]), k=2, slack=-0.1)
+
+
+# --------------------------------------------------------------- anomalies
+def test_egonet_anomalies_flags_planted_star(spark):
+    """A big star hub sits far off the clique-chain power-law fit; its
+    OddBall score dominates. Python moment replay agrees to 1e-9."""
+    import math
+
+    from smatchpp_spark.operators.egonet import (
+        egonet_anomalies,
+        egonet_features,
+    )
+
+    clique = [(a, b) for a in range(1, 7) for b in range(a + 1, 7)]
+    chain = [(10 + i, 11 + i) for i in range(20)]
+    star = [("h", f"s{i}") for i in range(30)]
+    edges = _df(spark, clique + chain + star)
+    got = {r.vertex: r for r in egonet_anomalies(edges).collect()}
+
+    feats = {
+        r.vertex: (r.ego_nodes, r.ego_edges)
+        for r in egonet_features(edges).collect()
+    }
+    xs = {v: math.log(float(a)) for v, (a, _) in feats.items()}
+    ys = {v: math.log(float(b)) for v, (_, b) in feats.items()}
+    n = float(len(xs))
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxx = sum(x * x for x in xs.values())
+    sxy = sum(xs[v] * ys[v] for v in xs)
+    var = sxx / n - (sx / n) ** 2
+    theta = (sxy / n - (sx / n) * (sy / n)) / var
+    logc = sy / n - theta * (sx / n)
+    for v, (a, b) in feats.items():
+        yhat = math.exp(logc + theta * math.log(float(a)))
+        y = float(b)
+        want = (max(y, yhat) / min(y, yhat)) * math.log(abs(y - yhat) + 1.0)
+        assert abs(got[v].score - want) < 1e-6, v
+    # the star hub is the top anomaly by a margin
+    top = max(got.values(), key=lambda r: r.score)
+    assert top.vertex == "h"
+
+
+def test_egonet_anomalies_regular_graph_raises(spark):
+    import pytest as _pytest
+
+    from smatchpp_spark.operators.egonet import egonet_anomalies
+
+    tri = [(1, 2), (2, 3), (1, 3)]  # all ego_nodes equal -> zero variance
+    with _pytest.raises(ValueError, match="variance"):
+        egonet_anomalies(_df(spark, tri))
