@@ -3900,6 +3900,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["egonet_anomalies"] = _egonet_anom
 
+    def _nbr_feats(spark, sf):
+        from smatchpp_spark.operators.egonet import egonet_features
+        from smatchpp_spark.operators.nbragg import (
+            aggregate_neighbor_features,
+        )
+
+        # integer-valued input features (egonet counts) => the mean is
+        # one exact BIGINT-sum / count division — bit-exact oracle
+        e = _e_co(spark, sf)
+        feats = egonet_features(e).select(
+            "vertex",
+            F.array(
+                F.col("degree").cast("double"),
+                F.col("triangles").cast("double"),
+            ).alias("features"),
+        )
+        r = aggregate_neighbor_features(e, feats, dims=2)
+        return r.features.select(
+            "vertex",
+            "n_neighbors",
+            F.col("mean")[0].alias("mean_degree"),
+            F.col("mean")[1].alias("mean_triangles"),
+            F.col("max")[0].alias("max_degree"),
+            F.col("max")[1].alias("max_triangles"),
+        )
+
+    q["neighbor_features"] = _nbr_feats
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -5128,8 +5156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ppr_push, egonet_features, densest_subgraph, local_community,
 # balanced_partition, single_linkage_clusters, pagerank_incremental,
 # fastrp_embeddings, widest_path, reliable_path, graph_snapshot_diff,
-# cc_incremental, doc_unimax, egonet_anomalies — put them FIRST in the
-# round-8 front, then the r6-verified rows that sat out round 7.
+# cc_incremental, doc_unimax, egonet_anomalies, neighbor_features — put
+# them FIRST in the round-8 front, then the r6-verified rows that sat
+# out round 7.
 _DRIVER_WINDOW_FRONT = [
     # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
     "graph_modularity",
@@ -5218,6 +5247,30 @@ FROM ends GROUP BY vertex
         "pagerank_incremental": _pagerank_incremental_sql(PR_STEPS, 4),
         "fastrp_embeddings": _fastrp_sql(4, 2, (1.0, 0.5)),
         "cc_incremental": _cc_incremental_sql(6, 4),
+        "neighbor_features": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS vertex, COUNT(*) AS degree FROM und GROUP BY a),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM c e1 JOIN c e2 ON e2.a = e1.b
+                  JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT v1 AS vertex FROM tri UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri),
+tc AS (SELECT vertex, COUNT(*) AS triangles FROM corners GROUP BY vertex),
+f AS MATERIALIZED (SELECT d.vertex,
+       CAST(d.degree AS DOUBLE) AS fdeg,
+       CAST(COALESCE(t.triangles, 0) AS DOUBLE) AS ftri
+     FROM deg d LEFT JOIN tc t USING (vertex)),
+nb AS (SELECT und.a AS vertex, f.fdeg, f.ftri
+       FROM und JOIN f ON f.vertex = und.b)
+SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       SUM(fdeg) / COUNT(*) AS mean_degree,
+       SUM(ftri) / COUNT(*) AS mean_triangles,
+       MAX(fdeg) AS max_degree, MAX(ftri) AS max_triangles
+FROM nb GROUP BY vertex
+""",
         "egonet_anomalies": f"""
 WITH raw AS ({SQL_E_CO}),
 c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
