@@ -859,6 +859,46 @@ def main() -> None:
         timed("cc_incremental_warm", scale, lambda: cc_incremental(
             e_op, _cc_warm, max_supersteps=8
         ).components.count())
+
+        from smatchpp_spark.operators.graphdiff import graph_diff
+
+        # one distinct per side + full-outer edge-key join + degree aggs
+        _gd_old = inp["e_co"].filter(F.xxhash64("src", "dst") % 3 != 0)
+        timed("graph_snapshot_diff", scale, lambda: graph_diff(
+            _gd_old, inp["e_co"]
+        ).vertices.count())
+
+        from smatchpp_spark.operators.egonet import egonet_anomalies
+        from smatchpp_spark.operators.nbragg import (
+            aggregate_neighbor_features,
+        )
+
+        # egonet features + one moment agg + stateless scoring
+        timed("egonet_anomalies", scale, lambda: egonet_anomalies(
+            inp["e_co"]
+        ).count())
+        # one edges-vs-features join + one 2d+1-accumulator agg
+        from smatchpp_spark.operators.egonet import egonet_features
+
+        _nf = egonet_features(inp["e_co"]).select(
+            "vertex",
+            F.array(
+                F.col("degree").cast("double"),
+                F.col("triangles").cast("double"),
+            ).alias("features"),
+        ).localCheckpoint(eager=True)
+        _nf.count()
+        timed("neighbor_features", scale, lambda:
+              aggregate_neighbor_features(
+                  inp["e_co"], _nf, dims=2
+              ).features.count())
+
+        from smatchpp_spark.pipeline.mixing import unimax_allocation
+
+        # one scan + per-domain token agg; waterfill on K driver rows
+        timed("doc_unimax", scale, lambda: unimax_allocation(
+            inp["docs"], budget_tokens=200_000, max_epochs=3
+        ).count())
         e_op.unpersist()
 
     fits = {}
@@ -1061,6 +1101,12 @@ def main() -> None:
         "  (the warm run is untimed: it models yesterday's output);",
         "  timed part = the no-op round that detects the fixpoint —",
         "  diameter-independent, the incremental best case.",
+        "* **graph_snapshot_diff / doc_unimax** — single-pass: distinct",
+        "  + full-outer join + degree aggs / one token-count agg with a",
+        "  K-row driver waterfill; both map-side combined.",
+        "* **egonet_anomalies / neighbor_features** — the egonet wedge",
+        "  bound plus one moment agg / one join + 2d+1-accumulator agg;",
+        "  both track the egonet_features profile.",
         "* This box is a shared VM: walls are best-of-2 minima, and the",
         "  residual noise band (±30% on join-heavy plans) moves exponents",
         "  by ~±0.1 between runs.  Compare the table's exponents, not its",
