@@ -3928,6 +3928,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["neighbor_features"] = _nbr_feats
 
+    def _four_cliques(spark, sf):
+        from smatchpp_spark.operators.cliques import four_clique_count
+
+        return four_clique_count(_e_co(spark, sf)).per_vertex
+
+    q["four_clique_counts"] = _four_cliques
+
+    def _clique_perc(spark, sf):
+        from smatchpp_spark.operators.cliques import clique_percolation
+
+        # %19-sparsified co-purchase graph: the full graph percolates
+        # into one giant community (weak signal); the sparse one keeps
+        # ~500 distinct communities at sf0.01 and the two-phase CC
+        # reaches the fixpoint in ~6 rounds (the oracle is DuckDB's
+        # recursive transitive closure, so convergence is REQUIRED —
+        # enforced loudly below, the dedup.py silent-survivor rule)
+        li = (
+            _read(spark, sf, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .filter(F.col("l_orderkey") % 19 == 0)
+        )
+        a = li.withColumnRenamed("l_partkey", "pa")
+        b = li.withColumnRenamed("l_partkey", "pb")
+        e = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(
+                F.concat(F.lit("p"), F.col("pa").cast("string")).alias("src"),
+                F.concat(F.lit("p"), F.col("pb").cast("string")).alias("dst"),
+            )
+        )
+        r = clique_percolation(e, max_supersteps=24)
+        if not r.converged:
+            raise RuntimeError(
+                "clique_percolation did not reach the CC fixpoint; "
+                "the transitive-closure oracle would silently mismatch"
+            )
+        return r.membership
+
+    q["clique_percolation"] = _clique_perc
+
     def _core_hist(spark, sf):
         from smatchpp_spark.operators.kcore import core_histogram
 
@@ -5684,6 +5725,51 @@ corners AS (SELECT v1 AS vertex FROM tri UNION ALL SELECT v2 FROM tri
 SELECT vertex, COUNT(*) AS triangles FROM corners GROUP BY vertex
 """,
         "triangle_counts_approx": _tri_approx_sql(0.2),
+        "four_clique_counts": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src <> dst),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM c e1 JOIN c e2 ON e2.a = e1.b
+                  JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+four AS (SELECT t.v1, t.v2, t.v3, ew.b AS v4
+         FROM tri t JOIN c ew ON ew.a = t.v3
+                    JOIN c ev ON ev.a = t.v2 AND ev.b = ew.b
+                    JOIN c eu ON eu.a = t.v1 AND eu.b = ew.b),
+corners AS (SELECT v1 AS vertex FROM four UNION ALL SELECT v2 FROM four
+            UNION ALL SELECT v3 FROM four UNION ALL SELECT v4 FROM four)
+SELECT vertex, COUNT(*) AS four_cliques FROM corners GROUP BY vertex
+""",
+        "clique_percolation": """
+WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                      WHERE l_orderkey % 19 = 0),
+raw AS (SELECT 'p' || a.l_partkey AS src, 'p' || b.l_partkey AS dst
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3,
+               e1.a || '|' || e1.b || '|' || e2.b AS tid
+        FROM c e1 JOIN c e2 ON e2.a = e1.b
+                  JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+pe AS (SELECT tid, v1 AS a, v2 AS b FROM tri
+       UNION ALL SELECT tid, v1, v3 FROM tri
+       UNION ALL SELECT tid, v2, v3 FROM tri),
+hub AS (SELECT a, b, MIN(tid) AS hub FROM pe GROUP BY a, b),
+star AS (SELECT pe.tid AS src, hub.hub AS dst
+         FROM pe JOIN hub ON pe.a = hub.a AND pe.b = hub.b
+         WHERE pe.tid <> hub.hub),
+und AS (SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+reach(v, l) AS (SELECT tid, tid FROM tri
+                UNION
+                SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.v),
+comp AS (SELECT v AS tid, MIN(l) AS community FROM reach GROUP BY v)
+SELECT DISTINCT x.vertex, comp.community
+FROM (SELECT tid, v1 AS vertex FROM tri
+      UNION ALL SELECT tid, v2 FROM tri
+      UNION ALL SELECT tid, v3 FROM tri) x
+JOIN comp ON comp.tid = x.tid
+""",
         "reentrancies": f"""
 WITH t AS ({SQL_TRIPLES}),
 vars AS (SELECT DISTINCT graph_id, src AS node FROM t WHERE rel = ':instance'),
