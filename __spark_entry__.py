@@ -3935,6 +3935,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["four_clique_counts"] = _four_cliques
 
+    def _rank_corr(spark, sf):
+        from smatchpp_spark.operators.graphstats import (
+            centrality_rank_correlation,
+        )
+
+        return centrality_rank_correlation(_e_co(spark, sf))
+
+    q["centrality_rank_correlation"] = _rank_corr
+
     def _clique_perc(spark, sf):
         from smatchpp_spark.operators.cliques import clique_percolation
 
@@ -4857,6 +4866,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["doc_bpe_tokens"] = lambda spark, sf: text.bpe_token_count(_docs(spark, sf))
     q["doc_repetition"] = lambda spark, sf: text.repetition_features(_docs(spark, sf))
+    # within-doc repeated 3-gram span removal (keep-first) — the
+    # self-dedup counterpart of doc_substring_dedup
+    q["doc_span_self_dedup"] = lambda spark, sf: text.span_self_dedup(
+        _docs(spark, sf), n=3
+    )
     q["doc_line_dedup"] = lambda spark, sf: text.line_dedup(
         _docs(spark, sf), min_count=3
     )
@@ -5104,6 +5118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(spark, sf, "events")
     )
     q["events_minute_rollup"] = lambda spark, sf: events.minute_rollup(
+        _read(spark, sf, "events")
+    )
+    # typed JSON extraction over the semi-structured props column:
+    # from_json with an explicit schema (codegen projection, PERMISSIVE
+    # nulls on malformed payloads) + exact decimal value sums
+    q["events_props_rollup"] = lambda spark, sf: events.props_rollup(
         _read(spark, sf, "events")
     )
 
@@ -5769,6 +5789,78 @@ FROM (SELECT tid, v1 AS vertex FROM tri
       UNION ALL SELECT tid, v2 FROM tri
       UNION ALL SELECT tid, v3 FROM tri) x
 JOIN comp ON comp.tid = x.tid
+""",
+        "events_props_rollup": """
+WITH p AS (SELECT event_type,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                  value
+           FROM events)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COUNT(DISTINCT k) AS n_distinct_k,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM p GROUP BY event_type
+""",
+        "centrality_rank_correlation": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS vertex, COUNT(*) AS degree FROM und GROUP BY a),
+tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM c e1 JOIN c e2 ON e2.a = e1.b
+                  JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT v1 AS vertex FROM tri UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri),
+tc AS (SELECT vertex, COUNT(*) AS triangles FROM corners GROUP BY vertex),
+j AS (SELECT d.vertex, d.degree, COALESCE(t.triangles, 0) AS triangles
+      FROM deg d LEFT JOIN tc t ON t.vertex = d.vertex),
+hx AS (SELECT degree AS v, COUNT(*) AS cnt FROM j GROUP BY 1),
+rx AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2 FROM hx),
+hy AS (SELECT triangles AS v, COUNT(*) AS cnt FROM j GROUP BY 1),
+ry AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2 FROM hy),
+s AS (SELECT COUNT(*) AS n,
+             SUM(CAST(rx.r2 AS HUGEINT)) AS sx,
+             SUM(CAST(ry.r2 AS HUGEINT)) AS sy,
+             SUM(CAST(rx.r2 AS HUGEINT) * rx.r2) AS sxx,
+             SUM(CAST(ry.r2 AS HUGEINT) * ry.r2) AS syy,
+             SUM(CAST(rx.r2 AS HUGEINT) * ry.r2) AS sxy
+      FROM j JOIN rx ON j.degree = rx.v JOIN ry ON j.triangles = ry.v)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0 THEN 0.0
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS spearman_rho
+FROM s
+""",
+        "doc_span_self_dedup": f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, u.p AS pos, u.g AS gram FROM
+      (SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 2, 0)),
+           i -> {{'p': i, 'g': array_to_string(toks[i+1:i+3], ' ')}})) AS u FROM t)),
+firsts AS (SELECT doc_id, gram, MIN(pos) AS fp FROM g GROUP BY 1, 2),
+rep AS (SELECT g.doc_id, g.pos FROM g
+        JOIN firsts ON firsts.doc_id = g.doc_id AND firsts.gram = g.gram
+        WHERE g.pos > firsts.fp),
+cov AS (SELECT DISTINCT doc_id, unnest([pos, pos + 1, pos + 2]) AS tt FROM rep),
+tok AS (SELECT doc_id, u.p AS tt, u.w AS tok FROM
+        (SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+             i -> {{'p': i, 'w': toks[i+1]}})) AS u FROM t)),
+kept AS (SELECT k.doc_id, k.tt, k.tok FROM tok k
+         LEFT JOIN cov ON cov.doc_id = k.doc_id AND cov.tt = k.tt
+         WHERE cov.tt IS NULL),
+reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tt) AS text_clean
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(reb.text_clean, '') AS text_clean
+FROM t LEFT JOIN reb ON reb.doc_id = t.doc_id
 """,
         "reentrancies": f"""
 WITH t AS ({SQL_TRIPLES}),

@@ -506,3 +506,86 @@ def rich_club(
         )
         .orderBy("k")
     )
+
+
+def spearman_correlation(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation ρ between two columns, with exact
+    average-rank tie handling (ρ = Pearson correlation of the average
+    ranks — the textbook tie-corrected definition).
+
+    Returns one row ``(n, spearman_rho)``; ρ is 0.0 when either column
+    is constant (zero rank variance).
+
+    Scale shape at 100 TB: NO global row sort.  Average ranks come from
+    a value HISTOGRAM — ``groupBy(value).count()`` (map-side
+    combinable), a cumulative sum over the distinct-value set, and an
+    equi-join back.  The only window partition is the distinct-value
+    list (for integer centralities that is ≤ ~2·sqrt(m) rows — the
+    kcore.py h-index-histogram argument), so a 10^8-row column costs a
+    ~10^3-row window task, not a 10^8-row sort.  Doubled average ranks
+    (2·cum_less + cnt_eq + 1) stay INTEGERS; all sums run in
+    DECIMAL(38,0), so the final double combine (one subtraction, two
+    sqrts, one division on exactly-equal inputs) is bit-identical in
+    any engine — Pearson is affine-invariant, so doubling cancels.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+
+    def ranks2(col: str) -> DataFrame:
+        hist = pairs.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return hist.select(
+            col,
+            (
+                2 * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r2{col}"),
+        )
+
+    ranked = pairs.join(ranks2("x"), "x").join(ranks2("y"), "y")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact sums
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("r2x"))).alias("sx"),
+        F.sum(dec(F.col("r2y"))).alias("sy"),
+        F.sum(dec(F.col("r2x")) * dec(F.col("r2x"))).alias("sxx"),
+        F.sum(dec(F.col("r2y")) * dec(F.col("r2y"))).alias("syy"),
+        F.sum(dec(F.col("r2x")) * dec(F.col("r2y"))).alias("sxy"),
+    )
+    n = dec(F.col("n"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = F.when(
+        (denx <= 0) | (deny <= 0), F.lit(0.0)
+    ).otherwise(num / (F.sqrt(denx) * F.sqrt(deny)))
+    return s.select("n", rho.alias("spearman_rho"))
+
+
+def centrality_rank_correlation(edges: DataFrame) -> DataFrame:
+    """Spearman ρ between per-vertex degree and triangle count on the
+    undirected simple graph — the standard "do hubs close triangles?"
+    diagnostic (positive on social/co-occurrence graphs, negative on
+    bipartite-ish link graphs).  Vertices in no triangle count as 0.
+    """
+    # undirected_simple is symmetrized (one row per direction), so the
+    # per-vertex degree is a straight count over the 'a' side
+    deg = (
+        undirected_simple(edges)
+        .groupBy(F.col("a").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(edges).per_vertex
+    joined = deg.join(tri, "vertex", "left").select(
+        "vertex",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+    )
+    return spearman_correlation(joined, "degree", "triangles")

@@ -73,3 +73,63 @@ def minute_rollup(
             F.round(F.sum(value_col), 6).alias("value_sum"),
         )
     )
+
+
+def parse_props(
+    events: DataFrame,
+    schema: str = "k BIGINT",
+    props_col: str = "props",
+) -> DataFrame:
+    """Typed extraction of the semi-structured ``props`` JSON column.
+
+    ``from_json`` with an explicit schema keeps the whole extraction
+    JVM-side inside whole-stage codegen (one pass, no Python); malformed
+    or missing JSON yields NULL fields, never an error (PERMISSIVE mode
+    — the only sane contract at 10^12-row scale where some fraction of
+    payloads is always garbage).  Extracted fields are appended as
+    top-level columns named after the schema fields.
+    """
+    parsed = events.withColumn("_p", F.from_json(F.col(props_col), schema))
+    fields = [f.strip().split()[0] for f in schema.split(",")]
+    out = events.columns + [
+        F.col(f"_p.{f}").alias(f) for f in fields if f not in events.columns
+    ]
+    return parsed.select(*out)
+
+
+def props_rollup(
+    events: DataFrame,
+    key_field: str = "k",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-event-type rollup over a JSON-extracted integer property.
+
+    Output: ``(event_type, n_events, n_missing, sum_k, min_k, max_k,
+    n_distinct_k, sum_value)``.  ``n_missing`` counts rows whose props
+    JSON is absent, malformed, or lacks the field.  ``sum_value`` is an
+    exact DECIMAL(12,2) sum cast to double at the very end, so the
+    result is bit-identical across engines and partitionings (no
+    float-accumulation order dependence).
+
+    Scale shape: one scan + one map-side-combinable aggregation keyed
+    by event type; the JSON parse is a codegen projection, never a UDF.
+    """
+    p = parse_props(events, f"{key_field} BIGINT")
+    k = F.col(key_field)
+    return (
+        p.groupBy(F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+            F.sum(F.col(value_col).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -570,3 +570,93 @@ def c4_filter(
             .alias("clean_text")
         )
     return docs.select(*cols)
+
+
+def span_self_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated n-gram span removal — the self-dedup
+    counterpart of the cross-doc substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): keep
+    the FIRST occurrence of every word n-gram; any token covered by a
+    later occurrence of an already-seen n-gram is removed.
+
+    Definition (token-level, deterministic): gram position p (0-based,
+    p + n ≤ L) is a REPEAT iff the same n-gram string occurs at some
+    earlier position of the same doc; token t is removed iff some
+    repeat span [p, p+n) covers it.  Output per input doc:
+    ``(doc_id, n_tokens, n_removed, text_clean)`` — surviving tokens in
+    original order, space-joined; docs shorter than n tokens pass
+    through unchanged.
+
+    Scale shape at 100 TB: everything is doc-local — one projection
+    builds the positional gram array (single text scan), one explode,
+    one map-side-combined ``groupBy(doc, gram).min(pos)``, a join back,
+    and an n-row explode of each repeat span into covered token
+    indices (n is a small constant).  Keys are (doc_id, gram) and
+    (doc_id, pos): partition sizes track document sizes, never corpus
+    size, and no window ever sorts more than one document's tokens.
+    """
+    toks = tokens(text_col)
+    gram_idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    base = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.transform(
+                gram_idx,
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    firsts = (
+        base.filter(F.col("gram").isNotNull())
+        .groupBy(id_col, "gram")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    covered = (
+        base.join(firsts, [id_col, "gram"])
+        .filter(F.col("pos") > F.col("first_pos"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    tok_rows = docs.select(
+        F.col(id_col), F.posexplode_outer(toks).alias("t", "tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "t"], "left_anti")
+    rebuilt = (
+        kept.filter(F.col("tok").isNotNull())
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("t"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
