@@ -5113,6 +5113,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ivf_topk"] = _ivf
 
+    def _pq(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        # n_iter=0 codebooks = subspace slices of the 16 lowest-id
+        # vectors (oracle-replayable; kmeans refinement is the
+        # production path, recall-tested in pytest)
+        cbs = similarity.pq_codebooks(emb, m=4, n_codes=16)
+        return similarity.pq_topk(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), cbs, k=5
+        )
+
+    q["emb_pq_topk"] = _pq
+
     # ---- events: sessionization + rollup ---------------------------------
     q["events_sessionize"] = lambda spark, sf: events.sessionize(
         _read(spark, sf, "events")
@@ -6268,6 +6280,7 @@ SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rk <= 5
         "emb_bucketed_topk": _bucketed_topk_sql(4, 5),
         "emb_hyperplane_topk": _hyperplane_topk_sql(5),
         "emb_ivf_topk": _ivf_topk_sql(8, 2, 5),
+        "emb_pq_topk": _pq_topk_sql(4, 16, 16, 5),
         "events_sessionize": """
 WITH x AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
 m AS (SELECT user_id, event_id, ep,
@@ -6690,6 +6703,54 @@ sc AS (SELECT query_id, neighbor_id,
 r AS (SELECT query_id, neighbor_id, sim,
       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM sc)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rk <= {k}
+"""
+
+
+def _pq_topk_sql(m: int, d0: int, n_codes: int, k: int) -> str:
+    """Oracle for the PQ-ADC path (similarity.pq_codebooks n_iter=0 +
+    pq_topk): codebooks are subspace slices of the ``n_codes``
+    lowest-id vectors; per-subspace assignment is argmin of the
+    SEQUENTIAL-fold squared L2 (list_reduce — bit-identical to Spark's
+    F.aggregate), ties to the lower code; ADC sums the m per-subspace
+    terms in subspace order (ordered adds, not an unordered SUM, so
+    the float result is bit-identical too)."""
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {d0 + 1}), "
+            f"i -> ({a}[j*{d0}+i] - {b}[j*{d0}+i]) * ({a}[j*{d0}+i] - {b}[j*{d0}+i]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    subspaces = ", ".join(str(j) for j in range(m))
+    ordered_sum = "SUM(CASE WHEN j = 0 THEN t END)"
+    for j in range(1, m):
+        ordered_sum = f"({ordered_sum} + SUM(CASE WHEN j = {j} THEN t END))"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_codes})),
+sub AS (SELECT e.vec_id, e.v, js.j, cb.code, {l2("e.v", "cb.cv")} AS d
+        FROM e CROSS JOIN (SELECT unnest([{subspaces}]) AS j) js CROSS JOIN cb),
+asn AS (SELECT vec_id, v, j, code FROM
+        (SELECT vec_id, v, j, code,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rr
+         FROM sub) WHERE rr = 1),
+qc AS (SELECT vec_id AS query_id, v AS q, code AS cell
+       FROM asn WHERE j = 0 AND vec_id % 50 = 0),
+cc AS (SELECT vec_id AS neighbor_id, code AS cell FROM asn WHERE j = 0),
+cand AS (SELECT qc.query_id, qc.q, a.vec_id AS neighbor_id, a.j, a.code
+         FROM qc JOIN cc ON cc.cell = qc.cell
+         JOIN asn a ON a.vec_id = cc.neighbor_id
+         WHERE cc.neighbor_id <> qc.query_id),
+terms AS (SELECT query_id, neighbor_id, j, {l2("cand.q", "cb.cv")} AS t
+          FROM cand JOIN cb ON cb.code = cand.code),
+dist AS (SELECT query_id, neighbor_id, {ordered_sum} AS dist
+         FROM terms GROUP BY query_id, neighbor_id),
+r AS (SELECT query_id, neighbor_id, dist,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+      FROM dist)
+SELECT query_id, neighbor_id, ROUND(dist, 6) AS approx_dist FROM r WHERE rk <= {k}
 """
 
 

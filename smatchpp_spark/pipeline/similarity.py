@@ -505,3 +505,214 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization: per-subspace codebooks + ADC search
+# --------------------------------------------------------------------------
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential left-to-right fold —
+    deterministic and engine-portable (the ``dot`` discipline)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 0,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, public): the
+    vector is split into ``m`` contiguous subspaces; each subspace gets
+    its own ``n_codes``-centroid codebook.
+
+    ``n_iter=0`` (default) is the deterministic oracle-replayable
+    seeding — subspace slices of the ``n_codes`` lowest-id vectors
+    (the ``unit_centroids`` discipline).  ``n_iter>0`` refines every
+    subspace simultaneously with Lloyd iterations run IN Spark: one
+    explode to (vec, subspace) rows, per-iteration argmin assignment +
+    ``groupBy(subspace, code)`` mean — map-side combinable, and only
+    ``m * n_codes`` centroid rows ever reach the driver.  Empty cells
+    keep their previous centroid (no respawn → deterministic).
+
+    Returns ``codebooks[j][c]`` = centroid ``c`` of subspace ``j``.
+    """
+    head = (
+        corpus.select(F.col(id_col).alias("i"), _to_double(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_codes)
+        .collect()
+    )
+    dims = len(head[0].v)
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    d0 = dims // m
+    books = [
+        [[float(x) for x in r.v[j * d0 : (j + 1) * d0]] for r in head]
+        for j in range(m)
+    ]
+    if n_iter == 0:
+        return books
+
+    subs = corpus.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(_to_double(vec_col), j * d0 + 1, d0).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s")
+    ).select("s.j", "s.sv").persist()
+    for _ in range(n_iter):
+        # argmin is PER SUBSPACE: each row only evaluates its own j's
+        # codebook (the when() guard), then coalesce picks that column
+        assign = subs.select(
+            "j",
+            "sv",
+            *[
+                F.when(
+                    F.col("j") == j,
+                    F.least(
+                        *[
+                            F.struct(
+                                l2sq(
+                                    F.col("sv"),
+                                    F.array(*[F.lit(x) for x in books[j][c]]),
+                                ).alias("d"),
+                                F.lit(c).alias("c"),
+                            )
+                            for c in range(n_codes)
+                        ]
+                    )["c"],
+                ).alias(f"c{j}")
+                for j in range(m)
+            ],
+        ).select(
+            "j", "sv", F.coalesce(*[F.col(f"c{j}") for j in range(m)]).alias("code")
+        )
+        rows = (
+            assign.groupBy("j", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("sv", i + 1)).alias(f"s{i}")
+                    for i in range(d0)
+                ],
+            )
+            .collect()
+        )
+        for r in rows:
+            if r["n"] > 0:
+                books[r["j"]][r["code"]] = [
+                    r[f"s{i}"] / r["n"] for i in range(d0)
+                ]
+    subs.unpersist()
+    return books
+
+
+def _pq_code_cols(
+    vec: Column, codebooks: list[list[list[float]]]
+) -> list[Column]:
+    """One argmin-code column per subspace (ties → lower code id)."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    out = []
+    for j in range(m):
+        sub = F.slice(vec, j * d0 + 1, d0)
+        out.append(
+            F.least(
+                *[
+                    F.struct(
+                        l2sq(sub, F.array(*[F.lit(x) for x in cent])).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c, cent in enumerate(codebooks[j])
+                ]
+            )["c"].alias(f"code{j}")
+        )
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` subspace code ids:
+    ``(vec_id, codes array<int>)`` — dims → m small ints, the 100 TB
+    compression that makes re-ranking candidate sets memory-resident.
+    The encoding is a scan projection (codebooks ride the plan as
+    literals, whole-stage codegen, no shuffle, no UDF)."""
+    m = len(codebooks)
+    v = _to_double(vec_col)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(*[c for c in _pq_code_cols(v, codebooks)]).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k by squared L2: candidates share the
+    query's SUBSPACE-0 code (the code doubles as a coarse IVF cell, so
+    candidate generation is an equi-join on the cell key — never
+    all-pairs; compose with ``ivf_topk`` cells for a finer coarse
+    quantizer), then the asymmetric distance computation scores each
+    candidate as Σ_j ||q_j − centroid_j(code_j)||² — the query side
+    stays un-quantized, the corpus side is m small ints.
+
+    Output: ``(query_id, neighbor_id, approx_dist)`` — ascending
+    distance, ties to the lower neighbor id, rounded to 6.
+    """
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    qv = _to_double(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("q"),
+        _pq_code_cols(qv, codebooks)[0].alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*_pq_code_cols(_to_double(vec_col), codebooks)).alias("codes"),
+    ).withColumn("cell", F.element_at("codes", 1))
+    adc = None
+    for j in range(m):
+        cb_lit = F.array(
+            *[F.array(*[F.lit(x) for x in cent]) for cent in codebooks[j]]
+        )
+        term = l2sq(
+            F.slice(F.col("q"), j * d0 + 1, d0),
+            F.element_at(cb_lit, F.element_at(F.col("codes"), j + 1) + 1),
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("dist", 6).alias("approx_dist"))
+    )
