@@ -3944,6 +3944,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["centrality_rank_correlation"] = _rank_corr
 
+    def _graphlets(spark, sf):
+        from smatchpp_spark.operators.graphlets import graphlet_census
+
+        return graphlet_census(_e_co(spark, sf))
+
+    q["graphlet_census"] = _graphlets
+
     def _clique_perc(spark, sf):
         from smatchpp_spark.operators.cliques import clique_percolation
 
@@ -5801,6 +5808,55 @@ FROM (SELECT tid, v1 AS vertex FROM tri
       UNION ALL SELECT tid, v2 FROM tri
       UNION ALL SELECT tid, v3 FROM tri) x
 JOIN comp ON comp.tid = x.tid
+""",
+        "graphlet_census": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b AS a, a AS b FROM c),
+deg AS MATERIALIZED (SELECT a AS v, COUNT(*) AS d FROM und GROUP BY a),
+base AS (SELECT COUNT(*) AS n_vertices,
+                SUM(d) // 2 AS n_edges,
+                SUM(d * (d - 1) // 2) AS wedges,
+                SUM(d * (d - 1) * (d - 2) // 6) AS three_stars
+         FROM deg),
+tri AS MATERIALIZED (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM c e1 JOIN c e2 ON e2.a = e1.b
+                  JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+tcnt AS (SELECT COUNT(*) AS t FROM tri),
+tv AS (SELECT vertex, COUNT(*) AS t_v FROM
+        (SELECT v1 AS vertex FROM tri UNION ALL SELECT v2 FROM tri
+         UNION ALL SELECT v3 FROM tri) GROUP BY vertex),
+tailed AS (SELECT COALESCE(SUM(tv.t_v * (deg.d - 2)), 0) AS tailed_triangles
+           FROM tv JOIN deg ON deg.v = tv.vertex),
+w3 AS (SELECT COALESCE(SUM((da.d - 1) * (db.d - 1)), 0) AS walk3
+       FROM c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b),
+-- independent C4 derivation: every unordered pair's codegree, each
+-- 4-cycle counted once per diagonal => halve (the Spark side uses the
+-- Chiba-Nishizeki order-max formulation instead)
+codeg AS (SELECT u1.b AS x, u2.b AS y, COUNT(*) AS cd
+          FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b GROUP BY 1, 2),
+c4 AS (SELECT COALESCE(SUM(cd * (cd - 1) // 2), 0) // 2 AS four_cycles FROM codeg),
+te AS (SELECT ea, eb, COUNT(*) AS t_e FROM (
+        SELECT v1 AS ea, v2 AS eb FROM tri
+        UNION ALL SELECT v1, v3 FROM tri
+        UNION ALL SELECT v2, v3 FROM tri) GROUP BY 1, 2),
+dia AS (SELECT COALESCE(SUM(t_e * (t_e - 1) // 2), 0) AS diamonds FROM te),
+four AS (SELECT COUNT(*) AS k4 FROM tri t
+         JOIN c ew ON ew.a = t.v3
+         JOIN c ev ON ev.a = t.v2 AND ev.b = ew.b
+         JOIN c eu ON eu.a = t.v1 AND eu.b = ew.b)
+SELECT CAST(base.n_vertices AS BIGINT) AS n_vertices,
+       CAST(base.n_edges AS BIGINT) AS n_edges,
+       CAST(base.wedges AS BIGINT) AS wedges,
+       CAST(tcnt.t AS BIGINT) AS triangles,
+       CAST(base.three_stars AS BIGINT) AS three_stars,
+       CAST(w3.walk3 - 3 * tcnt.t AS BIGINT) AS four_paths,
+       CAST(tailed.tailed_triangles AS BIGINT) AS tailed_triangles,
+       CAST(c4.four_cycles AS BIGINT) AS four_cycles,
+       CAST(dia.diamonds AS BIGINT) AS diamonds,
+       CAST(four.k4 AS BIGINT) AS four_cliques
+FROM base, tcnt, tailed, w3, c4, dia, four
 """,
         "events_props_rollup": """
 WITH p AS (SELECT event_type,
