@@ -5236,7 +5236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ppr_push, egonet_features, densest_subgraph, local_community,
 # balanced_partition, single_linkage_clusters, pagerank_incremental,
 # fastrp_embeddings, widest_path, reliable_path, graph_snapshot_diff,
-# cc_incremental, doc_unimax, egonet_anomalies, neighbor_features — put
+# cc_incremental, doc_unimax, egonet_anomalies, neighbor_features,
+# four_clique_counts, clique_percolation, events_props_rollup,
+# centrality_rank_correlation, doc_span_self_dedup, emb_pq_topk,
+# graphlet_census — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [

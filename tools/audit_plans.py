@@ -245,6 +245,34 @@ CHECKS = {
          "global top-k runs as take-ordered — no full sort "
          "materialization of the pair table"),
     ],
+    "four_clique_counts": [
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+         "co-purchase edge derivation reads 2 of 11 lineitem columns"),
+        ("HashAggregate",
+         "exploded 4-clique corners combine map-side per vertex"),
+    ],
+    "graphlet_census": [
+        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+         "every primitive (degrees, triangles, CN wedges, 4-cliques) "
+         "derives from the same 2-column scan"),
+        ("HashAggregate",
+         "all census identities are map-side-combinable aggregations "
+         "over the oriented-join outputs"),
+    ],
+    "emb_pq_topk": [
+        ("BroadcastExchange",
+         "the query side (with its subspace-0 cell) broadcasts — the "
+         "corpus encodes its PQ codes inside the scan projection and "
+         "never shuffles for candidate generation"),
+        ("PushedFilters: [IsNotNull(vec_id)]",
+         "predicate pushdown reaches the parquet scan"),
+    ],
+    "doc_span_self_dedup": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "2 of 5 document columns scanned for gram + token explodes"),
+        ("HashAggregate",
+         "per-(doc, gram) first-position agg combines map-side"),
+    ],
 }
 
 

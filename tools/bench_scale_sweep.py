@@ -190,11 +190,37 @@ def main() -> None:
         )
         stats10 = c if stats10 is None else stats10.unionByName(c)
 
+    # %19-sparsified co-purchase graph (the clique_percolation contract
+    # input shape)
+    li19 = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey") % 19 == 0)
+    )
+    co19 = (
+        li19.withColumnRenamed("l_partkey", "pa")
+        .join(li19.withColumnRenamed("l_partkey", "pb"), "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            F.concat(F.lit("p"), F.col("pa").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("pb").cast("string")).alias("dst"),
+        )
+    )
+    ev1 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev10 = None
+    for i in range(SCALE):
+        c = ev1.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 1_000_000_000)
+        )
+        ev10 = c if ev10 is None else ev10.unionByName(c)
+
     inputs = {
         1: {
             "e_op": em._e_op(spark, sf_dir),
             "e_cust": em._e_cust(spark, sf_dir),
             "e_co": em._e_co(spark, sf_dir),
+            "e_co19": co19,
+            "events": ev1,
             "docs": docs1,
             "docs_hub": hub_docs(docs1, 1),
             "emb": emb1,
@@ -206,6 +232,8 @@ def main() -> None:
             "e_op": replicate_edges(em._e_op(spark, sf_dir), SCALE),
             "e_cust": replicate_edges(em._e_cust(spark, sf_dir), SCALE),
             "e_co": replicate_edges(em._e_co(spark, sf_dir), SCALE),
+            "e_co19": replicate_edges(co19, SCALE),
+            "events": ev10,
             "docs": docs10,
             "docs_hub": hub_docs(docs10, SCALE),
             "emb": emb10,
@@ -899,6 +927,43 @@ def main() -> None:
         timed("doc_unimax", scale, lambda: unimax_allocation(
             inp["docs"], budget_tokens=200_000, max_epochs=3
         ).count())
+
+        # -- round-7 late additions ---------------------------------------
+        from smatchpp_spark.operators.cliques import (
+            clique_percolation,
+            four_clique_count,
+        )
+        from smatchpp_spark.operators.graphlets import graphlet_census
+        from smatchpp_spark.operators.graphstats import (
+            centrality_rank_correlation,
+        )
+        from smatchpp_spark.pipeline.events import props_rollup
+        from smatchpp_spark.pipeline.similarity import pq_codebooks, pq_topk
+        from smatchpp_spark.pipeline.text import span_self_dedup
+
+        # oriented extend + two verify joins; candidate volume tracks
+        # Σ_triangles d_out — the same √(2m) bound as triangles, so the
+        # exponent should track triangle_counts
+        timed("four_cliques", scale, lambda: four_clique_count(
+            inp["e_co"]).total)
+        # census = triangles + 4-cliques + CN order-max wedges + degree
+        # aggregations; the CN rule keeps hub wedges un-enumerated
+        timed("graphlet_census", scale, lambda: graphlet_census(
+            inp["e_co"]).collect())
+        timed("centrality_rank_corr", scale, lambda:
+              centrality_rank_correlation(inp["e_co"]).collect())
+        # percolation on the %19-sparsified graph (the contract input):
+        # star-graph build + two-phase CC to the fixpoint
+        timed("clique_percolation", scale, lambda: clique_percolation(
+            inp["e_co19"]).membership.count())
+        timed("emb_pq_topk", scale, lambda: pq_topk(
+            inp["emb"], emb_queries,
+            pq_codebooks(inp["emb"], m=4, n_codes=16), k=5,
+        ).count())
+        timed("doc_span_self_dedup", scale, lambda: span_self_dedup(
+            inp["docs"], n=3).agg(F.sum("n_removed")).collect())
+        timed("events_props_rollup", scale, lambda: props_rollup(
+            inp["events"]).collect())
         e_op.unpersist()
 
     fits = {}
