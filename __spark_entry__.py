@@ -3951,6 +3951,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graphlet_census"] = _graphlets
 
+    def _temporal_tri(spark, sf):
+        from smatchpp_spark.operators.temporal import temporal_triangles
+
+        li = _read(spark, sf, "lineitem").select(
+            "l_orderkey",
+            "l_partkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("t"),
+        )
+        a = li.select(
+            "l_orderkey", F.col("l_partkey").alias("pa"), F.col("t").alias("ta")
+        )
+        b = li.select(
+            "l_orderkey", F.col("l_partkey").alias("pb"), F.col("t").alias("tb")
+        )
+        contacts = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(
+                F.concat(F.lit("p"), F.col("pa").cast("string")).alias("src"),
+                F.concat(F.lit("p"), F.col("pb").cast("string")).alias("dst"),
+                F.greatest("ta", "tb").alias("t"),
+            )
+        )
+        return temporal_triangles(contacts, delta=30)
+
+    q["temporal_triangles"] = _temporal_tri
+
+    def _label_mix(spark, sf):
+        from smatchpp_spark.operators.graphstats import label_mixing_matrix
+
+        labels = _read(spark, sf, "part").select(
+            F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias(
+                "vertex"
+            ),
+            F.col("p_brand").alias("label"),
+        )
+        return label_mixing_matrix(_e_co(spark, sf), labels)
+
+    q["graph_label_mixing"] = _label_mix
+
+    def _label_assort(spark, sf):
+        from smatchpp_spark.operators.graphstats import label_assortativity
+
+        labels = _read(spark, sf, "part").select(
+            F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias(
+                "vertex"
+            ),
+            F.col("p_brand").alias("label"),
+        )
+        return label_assortativity(_e_co(spark, sf), labels)
+
+    q["graph_label_assortativity"] = _label_assort
+
     def _clique_perc(spark, sf):
         from smatchpp_spark.operators.cliques import clique_percolation
 
@@ -5860,6 +5916,71 @@ SELECT CAST(base.n_vertices AS BIGINT) AS n_vertices,
        CAST(dia.diamonds AS BIGINT) AS diamonds,
        CAST(four.k4 AS BIGINT) AS four_cliques
 FROM base, tcnt, tailed, w3, c4, dia, four
+""",
+        "temporal_triangles": """
+WITH li AS (SELECT l_orderkey, l_partkey,
+                   CAST(datediff('day', DATE '1970-01-01',
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS t
+            FROM lineitem),
+raw AS (SELECT 'p' || a.l_partkey AS src, 'p' || b.l_partkey AS dst,
+               greatest(a.t, b.t) AS t
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey),
+pc AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b, t
+                    FROM raw WHERE src <> dst),
+e AS MATERIALIZED (SELECT DISTINCT a, b FROM pc),
+tri AS MATERIALIZED (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3,
+               e1.a || '|' || e1.b || '|' || e2.b AS tid
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tp AS (SELECT tid, 0 AS pidx, v1 AS a, v2 AS b FROM tri
+       UNION ALL SELECT tid, 1, v1, v3 FROM tri
+       UNION ALL SELECT tid, 2, v2, v3 FROM tri),
+anch AS (SELECT DISTINCT tp.tid, pc.t AS t0
+         FROM tp JOIN pc ON pc.a = tp.a AND pc.b = tp.b),
+hits AS (SELECT DISTINCT anch.tid, anch.t0, tp.pidx
+         FROM anch JOIN tp ON tp.tid = anch.tid
+         JOIN pc ON pc.a = tp.a AND pc.b = tp.b
+                AND pc.t BETWEEN anch.t0 AND anch.t0 + 30),
+realized AS (SELECT DISTINCT tid FROM
+             (SELECT tid, t0, COUNT(*) AS c FROM hits GROUP BY 1, 2)
+             WHERE c = 3)
+SELECT (SELECT COUNT(*) FROM tri) AS static_triangles,
+       (SELECT COUNT(*) FROM realized) AS temporal_triangles,
+       CAST(30 AS BIGINT) AS delta
+""",
+        "graph_label_mixing": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+lab AS (SELECT 'p' || p_partkey AS v, p_brand AS lbl FROM part)
+SELECT least(la.lbl, lb.lbl) AS label_a,
+       greatest(la.lbl, lb.lbl) AS label_b,
+       COUNT(*) AS n_edges
+FROM c JOIN lab la ON la.v = c.a JOIN lab lb ON lb.v = c.b
+GROUP BY 1, 2
+""",
+        "graph_label_assortativity": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+lab AS (SELECT 'p' || p_partkey AS v, p_brand AS lbl FROM part),
+stubs AS (SELECT la.lbl AS la, lb.lbl AS lb
+          FROM und JOIN lab la ON la.v = und.a JOIN lab lb ON lb.v = und.b),
+per AS (SELECT la, COUNT(*) AS row_sum,
+               SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS same
+        FROM stubs GROUP BY la),
+agg AS (SELECT SUM(CAST(row_sum AS HUGEINT)) AS m2,
+               SUM(CAST(same AS HUGEINT)) AS t,
+               SUM(CAST(row_sum AS HUGEINT) * row_sum) AS s
+        FROM per)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+       CASE WHEN (m2 * m2 - s) = 0 THEN 0.0
+            ELSE CAST(m2 * t - s AS DOUBLE) / CAST(m2 * m2 - s AS DOUBLE)
+       END AS r
+FROM agg
 """,
         "events_props_rollup": """
 WITH p AS (SELECT event_type,

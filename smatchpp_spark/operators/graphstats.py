@@ -589,3 +589,74 @@ def centrality_rank_correlation(edges: DataFrame) -> DataFrame:
         F.coalesce("triangles", F.lit(0)).alias("triangles"),
     )
     return spearman_correlation(joined, "degree", "triangles")
+
+
+def label_mixing_matrix(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Categorical mixing matrix of the undirected simple graph: for
+    every unordered label pair, the number of edges joining them.
+    Output: ``(label_a, label_b, n_edges)`` with label_a ≤ label_b —
+    the Newman (2003) e_ij table before normalization, kept as exact
+    integers so downstream assortativity math is engine-portable.
+
+    ``labels``: (vertex, label).  Vertices missing a label drop with a
+    loud count check left to the caller (the join is inner).
+
+    Scale shape: two vertex-keyed equi-joins (label dim broadcasts when
+    small) + one map-side-combined groupBy on the K² label-pair key.
+    """
+    ue = undirected_simple(edges)  # symmetrized (a, b)
+    canon = ue.filter(F.col("a") < F.col("b"))
+    la = labels.select(F.col("vertex").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("vertex").alias("b"), F.col("label").alias("lb"))
+    return (
+        canon.join(la, "a")
+        .join(lb, "b")
+        .groupBy(
+            F.least("la", "lb").alias("label_a"),
+            F.greatest("la", "lb").alias("label_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def label_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman's categorical assortativity coefficient
+
+        r = (Σ_i e_ii − Σ_i a_i²) / (1 − Σ_i a_i²)
+
+    over the normalized mixing matrix (e_ij = fraction of ordered edge
+    endpoints with labels (i, j), a_i = Σ_j e_ij).  Computed from EXACT
+    integer stub counts: with M = 2m ordered stubs, T = Σ_i (ordered
+    same-label count) and S = Σ_i (row-sum)²,
+
+        r = (M·T − S) / (M² − S)
+
+    — one double division at the end, everything before it integral,
+    so the value is bit-identical in any engine.  r = 0.0 when the
+    denominator is 0 (all edges in one label).  Output one row:
+    ``(n_edges, r)``.
+    """
+    ue = undirected_simple(edges)
+    la = labels.select(F.col("vertex").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("vertex").alias("b"), F.col("label").alias("lb"))
+    stubs = ue.join(la, "a").join(lb, "b")  # ordered endpoint pairs
+    per_label = stubs.groupBy("la").agg(
+        F.count(F.lit(1)).alias("row_sum"),
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)).alias("same"),
+    )
+    agg = per_label.agg(
+        F.sum("row_sum").cast("decimal(38,0)").alias("m2"),
+        F.sum("same").cast("decimal(38,0)").alias("t"),
+        F.sum(
+            F.col("row_sum").cast("decimal(38,0)")
+            * F.col("row_sum").cast("decimal(38,0)")
+        ).alias("s"),
+    )
+    num = (F.col("m2") * F.col("t") - F.col("s")).cast("double")
+    den = (F.col("m2") * F.col("m2") - F.col("s")).cast("double")
+    return agg.select(
+        F.expr("CAST(m2 AS BIGINT) div 2").alias("n_edges"),
+        F.when(den == 0, F.lit(0.0)).otherwise(num / den).alias("r"),
+    )

@@ -137,3 +137,108 @@ def temporal_earliest_arrival(
         rounds=res.supersteps,
         converged=res.converged,
     )
+
+
+def temporal_triangles(
+    contacts: DataFrame,
+    delta: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    t_col: str = "t",
+) -> DataFrame:
+    """δ-temporal triangle counting (the undirected instance of the
+    temporal-motif family, Paranjape-Benson-Leskovec WSDM'17, public):
+    a static triangle {a,b,c} is TEMPORALLY REALIZED iff each of its
+    three pairs has a contact inside one common window of width
+    ``delta`` — equivalently, iff some contact triple (one per pair)
+    has max(t) − min(t) ≤ delta.
+
+    Returns one row: ``(static_triangles, temporal_triangles, delta)``.
+
+    Anchor argument (soundness + completeness): a qualifying triple has
+    a minimum contact t0, so the triangle is realized iff SOME contact
+    t0 on one of its pairs has all three pairs touched within
+    [t0, t0 + delta] (the anchor's own pair trivially via t0).  The
+    scan therefore never materializes contact TRIPLES (k³ per
+    multi-contact edge); it joins anchors against per-pair contacts
+    with the window predicate inside the join condition.
+
+    Scale shape at 100 TB: static triangles come from the
+    degree-oriented wedge join (hub-safe, Σ d_out² bound); anchors are
+    one equi-join of triangle pairs against the contact table keyed on
+    the pair; the window check is a second pair-keyed equi-join with
+    the range predicate evaluated join-side.  Everything keys on pair
+    or triangle ids — no time-sorted windows, no all-pairs.
+    """
+    from smatchpp_spark.operators.cliques import oriented_triangles
+
+    pair_contacts = (
+        contacts.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+            F.col(t_col).cast("long").alias("t"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    static = pair_contacts.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).distinct()
+    tri = oriented_triangles(static)
+    sorted_corners = F.array_sort(F.array("u", "v", "w"))
+    tri_id = tri.select(
+        F.concat_ws("|", sorted_corners).alias("tid"),
+        sorted_corners[0].alias("n1"),
+        sorted_corners[1].alias("n2"),
+        sorted_corners[2].alias("n3"),
+    ).localCheckpoint(eager=True)
+    tri_pairs = tri_id.select(
+        "tid",
+        F.posexplode(
+            F.array(
+                F.struct(F.col("n1").alias("a"), F.col("n2").alias("b")),
+                F.struct(F.col("n1").alias("a"), F.col("n3").alias("b")),
+                F.struct(F.col("n2").alias("a"), F.col("n3").alias("b")),
+            )
+        ).alias("pidx", "e"),
+    ).select("tid", "pidx", "e.a", "e.b")
+
+    anchors = (
+        tri_pairs.join(pair_contacts, ["a", "b"])
+        .select("tid", F.col("t").alias("t0"))
+        .distinct()
+    )
+    hits = (
+        anchors.join(tri_pairs, "tid")
+        .join(
+            pair_contacts.withColumnRenamed("t", "tc"),
+            ["a", "b"],
+        )
+        .filter(
+            (F.col("tc") >= F.col("t0"))
+            & (F.col("tc") <= F.col("t0") + F.lit(int(delta)))
+        )
+        .select("tid", "t0", "pidx")
+        .distinct()
+    )
+    realized = (
+        hits.groupBy("tid", "t0")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") == 3)
+        .select("tid")
+        .distinct()
+    )
+    return (
+        tri_id.agg(F.count(F.lit(1)).cast("long").alias("static_triangles"))
+        .crossJoin(
+            realized.agg(
+                F.count(F.lit(1)).cast("long").alias("temporal_triangles")
+            )
+        )
+        .select(
+            "static_triangles",
+            "temporal_triangles",
+            F.lit(int(delta)).cast("long").alias("delta"),
+        )
+    )
