@@ -472,6 +472,71 @@ def _walks_sql(walk_length: int = 3, seed: int = 7) -> str:
     return "\n".join(parts)
 
 
+def _simrank_sql(
+    walk_length: int, walks: int, mod: int, seed: int
+) -> str:
+    """MC-SimRank oracle (operators/simrank.py): the random_walks
+    unroll (same md5 'walk_id#step#k#seed' draws, _walks_sql pattern)
+    over the REVERSED c→o→p purchase graph, starts restricted to the
+    %``mod`` part pairs, then the first-meeting scan (CASE chain — the
+    earliest step whose path elements match and are non-empty) and the
+    exact-dyadic C^τ average (c=0.5, walks a power of two, so SUM and
+    the division are float-exact)."""
+    parts = [
+        "WITH eo AS (SELECT 'o' || o_orderkey AS src, 'c' || o_custkey AS dst"
+        " FROM orders),",
+        "ep AS (SELECT DISTINCT 'p' || l_partkey AS src,"
+        " 'o' || l_orderkey AS dst FROM lineitem),",
+        "ee AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT * FROM eo UNION ALL SELECT * FROM ep) WHERE src <> dst),",
+        "nbr AS MATERIALIZED (SELECT src, dst,",
+        "      ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,",
+        "      COUNT(*) OVER (PARTITION BY src) AS deg FROM ee),",
+        f"pp AS (SELECT 'p' || a.p_partkey AS ia, 'p' || b.p_partkey AS ib"
+        f" FROM part a JOIN part b ON a.p_partkey < b.p_partkey"
+        f" WHERE a.p_partkey % {mod} = 0 AND b.p_partkey % {mod} = 0),",
+        "sv AS (SELECT DISTINCT v FROM"
+        " (SELECT ia AS v FROM pp UNION ALL SELECT ib FROM pp)),",
+        f"w0 AS (SELECT v || '#' || w AS walk_id, v AS cur, v AS path_str,"
+        f" FALSE AS stopped FROM sv CROSS JOIN"
+        f" (SELECT unnest(range(0, {walks})) AS w)),",
+    ]
+    for k in range(1, walk_length + 1):
+        h = duckdb_hash64_sql(f"w.walk_id || '#step#{k}#{seed}'")
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT w.walk_id, "
+            f"COALESCE(n.dst, w.cur) AS cur, "
+            f"CASE WHEN n.dst IS NULL THEN w.path_str "
+            f"ELSE w.path_str || '>' || n.dst END AS path_str, "
+            f"(w.stopped OR n.dst IS NULL) AS stopped "
+            f"FROM w{k-1} w LEFT JOIN nbr n "
+            f"ON (NOT w.stopped) AND n.src = w.cur AND n.idx = {h} % n.deg),"
+        )
+    meet = " ".join(
+        f"WHEN split_part(pa, '>', {k + 1}) <> '' AND "
+        f"split_part(pa, '>', {k + 1}) = split_part(pb, '>', {k + 1}) "
+        f"THEN {k}"
+        for k in range(1, walk_length + 1)
+    )
+    parts.append(
+        f"wt AS (SELECT walk_id, path_str FROM w{walk_length}),\n"
+        f"spine AS (SELECT ia, ib, w FROM pp CROSS JOIN"
+        f" (SELECT unnest(range(0, {walks})) AS w)),\n"
+        "j AS (SELECT s.ia, s.ib, wa.path_str AS pa, wb.path_str AS pb"
+        " FROM spine s"
+        " JOIN wt wa ON wa.walk_id = s.ia || '#' || s.w"
+        " JOIN wt wb ON wb.walk_id = s.ib || '#' || s.w),\n"
+        f"tt AS (SELECT ia, ib, CASE {meet} ELSE 0 END AS tau FROM j)\n"
+        "SELECT ia AS id_a, ib AS id_b,\n"
+        "  CAST(SUM(CASE WHEN tau > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_meet,\n"
+        f"  SUM(CASE WHEN tau > 0 THEN power(0.5, tau) ELSE 0 END)"
+        f" / {walks} AS simrank\n"
+        "FROM tt GROUP BY 1, 2"
+    )
+    return "\n".join(parts)
+
+
 def _hits_sql(iters: int) -> str:
     """Unrolled fixed-iteration HITS oracle over the order→part graph:
     per iteration an authority half-step (sum of pointing hubs, L2
@@ -3981,6 +4046,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temporal_triangles"] = _temporal_tri
 
+    def _simrank(spark, sf):
+        from smatchpp_spark.operators.simrank import simrank_scores
+
+        # c→o→p purchase graph; SimRank couples REVERSE walks, so two
+        # parts are similar via shared orders (τ=1) or customers (τ=2)
+        e = _e_cust(spark, sf).unionByName(_e_op(spark, sf))
+        keys = (
+            _read(spark, sf, "part")
+            .filter(F.col("p_partkey") % 50 == 0)
+            .select(F.col("p_partkey").alias("k"))
+        )
+        prs = (
+            keys.withColumnRenamed("k", "ka")
+            .crossJoin(keys.withColumnRenamed("k", "kb"))
+            .filter(F.col("ka") < F.col("kb"))
+            .select(
+                F.concat(F.lit("p"), F.col("ka").cast("string")).alias("id_a"),
+                F.concat(F.lit("p"), F.col("kb").cast("string")).alias("id_b"),
+            )
+        )
+        return simrank_scores(
+            e, prs, c=0.5, walk_length=3, walks_per_vertex=8, seed=7
+        )
+
+    q["simrank_scores"] = _simrank
+
     def _label_mix(spark, sf):
         from smatchpp_spark.operators.graphstats import label_mixing_matrix
 
@@ -5605,6 +5696,7 @@ SELECT CAST(MIN(r) AS INT) AS effective_diameter_r, MAX(final_nf) AS final_nf
 FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
 """,
         "random_walks": _walks_sql(),
+        "simrank_scores": _simrank_sql(3, 8, 50, 7),
         "node2vec_walks": _node2vec_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "doc_jaccard_verify": _jaccard_verify_sql(),

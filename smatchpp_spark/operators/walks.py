@@ -138,10 +138,17 @@ def random_walks(
     resume: bool = False,
     hub_threshold: int | None = None,
     n_salts: int = 16,
+    starts: DataFrame | None = None,
 ) -> DataFrame:
     """One row per walk: ``(walk_id string, start vertex, path
     array<string>)`` — ``path[0]`` is the start vertex and the walk
     truncates early only at a dead end (|path| ≤ walk_length + 1).
+
+    ``starts``: optional 1-column DataFrame of start vertices (default:
+    every vertex of the graph).  Restricting starts does NOT change any
+    walk's draws — draws key on (walk_id, step, seed) only — so the
+    walks from a restricted run are walk-for-walk identical to the same
+    vertices' walks in a full run (pytest-locked).
 
     ``walk_id`` = ``"<start>#<w>"`` for w in [0, walks_per_vertex) —
     stable across runs; the step-k neighbor choice is
@@ -168,11 +175,16 @@ def random_walks(
     )
     nbr.count()  # materialize once; every step reuses this exchange
 
-    vertices = (
-        edges.select(F.col("src").alias("v"))
-        .unionByName(edges.select(F.col("dst").alias("v")))
-        .distinct()
-    )
+    if starts is None:
+        vertices = (
+            edges.select(F.col("src").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+    else:
+        vertices = starts.select(
+            F.col(starts.columns[0]).alias("v")
+        ).distinct()
     init = vertices.select(
         F.explode(
             F.transform(
