@@ -5386,7 +5386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # cc_incremental, doc_unimax, egonet_anomalies, neighbor_features,
 # four_clique_counts, clique_percolation, events_props_rollup,
 # centrality_rank_correlation, doc_span_self_dedup, emb_pq_topk,
-# graphlet_census — put
+# graphlet_census, temporal_triangles, graph_label_mixing,
+# graph_label_assortativity, simrank_scores — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [

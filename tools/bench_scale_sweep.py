@@ -964,6 +964,45 @@ def main() -> None:
             inp["docs"], n=3).agg(F.sum("n_removed")).collect())
         timed("events_props_rollup", scale, lambda: props_rollup(
             inp["events"]).collect())
+
+        from smatchpp_spark.operators.graphstats import (
+            label_assortativity,
+        )
+        from smatchpp_spark.operators.simrank import simrank_scores
+        from smatchpp_spark.operators.temporal import temporal_triangles
+
+        # labels keyed off the vertex id suffix so replicated copies
+        # keep the same K labels (matrix stays K², stubs scale 10x)
+        lab = (
+            inp["e_co"].select(F.col("src").alias("vertex"))
+            .unionByName(inp["e_co"].select(F.col("dst").alias("vertex")))
+            .distinct()
+            .withColumn(
+                "label", F.pmod(F.xxhash64("vertex"), F.lit(25)).cast("string")
+            )
+        )
+        timed("graph_label_assortativity", scale, lambda:
+              label_assortativity(inp["e_co"], lab).collect())
+        # contacts = co-purchase edges timed by a hash-derived day so the
+        # 10x copies keep per-pair contact multiplicity
+        contacts = inp["e_co"].withColumn(
+            "t", F.pmod(F.xxhash64("src", "dst"), F.lit(365)).cast("long")
+        )
+        timed("temporal_triangles_d30", scale, lambda: temporal_triangles(
+            contacts, delta=30).collect())
+        # pair set fixed (the 1x query pairs); corpus/walk cost scales
+        # with the graph the reverse walks traverse
+        sr_keys = (
+            inp["e_co"].select(F.col("src").alias("v")).distinct().limit(40)
+        )
+        sr_pairs = (
+            sr_keys.withColumnRenamed("v", "id_a")
+            .crossJoin(sr_keys.withColumnRenamed("v", "id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        timed("simrank_scores", scale, lambda: simrank_scores(
+            inp["e_op"], sr_pairs, walk_length=3, walks_per_vertex=8
+        ).count())
         e_op.unpersist()
 
     fits = {}
