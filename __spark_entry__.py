@@ -537,6 +537,78 @@ def _simrank_sql(
     return "\n".join(parts)
 
 
+def _config_model_sql(seed: int, n_buckets: int) -> str:
+    """configuration_model replay (sources/configmodel.py): same md5
+    stub hashes, same (h % n_buckets, h, vertex, i) total order — the
+    two-level dense index flattens to one ORDER BY here — then the
+    consecutive-stub pairing and the erased-model cleanup."""
+    h = duckdb_hash64_sql(f"vertex || '#' || i || '#' || {seed}")
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 19 = 0),
+raw AS (SELECT 'p' || a.l_partkey AS src, 'p' || b.l_partkey AS dst
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey),
+c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+und AS (SELECT a, b FROM c UNION ALL SELECT b, a FROM c),
+deg AS (SELECT a AS vertex, COUNT(*) AS deg FROM und GROUP BY a),
+stubs AS (SELECT vertex, u AS i FROM
+          (SELECT vertex, unnest(range(0, deg)) AS u FROM deg)),
+hs AS (SELECT vertex, i, {h} AS h FROM stubs),
+ix AS (SELECT vertex,
+       ROW_NUMBER() OVER (ORDER BY h % {n_buckets}, h, vertex, i) - 1 AS idx
+       FROM hs),
+lo AS (SELECT idx // 2 AS pair_id, vertex AS va FROM ix WHERE idx % 2 = 0),
+hi AS (SELECT (idx - 1) // 2 AS pair_id, vertex AS vb FROM ix WHERE idx % 2 = 1)
+SELECT DISTINCT least(va, vb) AS src, greatest(va, vb) AS dst
+FROM lo JOIN hi USING (pair_id) WHERE va <> vb
+"""
+
+
+def _transitivity_approx_sql(draws: int, seed: int) -> str:
+    """transitivity_approx replay (operators/graphstats.py): the dense
+    neighbor index (row_number by dst per src), the same md5 draws for
+    both wedge endpoints (skip-shift keeps them distinct), the closure
+    semi-join, and the exact-integer Horvitz-Thompson combination."""
+    h1 = duckdb_hash64_sql("src || '#' || r || '#a#" + str(seed) + "'")
+    h2 = duckdb_hash64_sql("src || '#' || r || '#b#" + str(seed) + "'")
+    return f"""
+WITH raw AS ({SQL_E_CO}),
+ee AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+      (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+      WHERE src <> dst),
+nbr AS MATERIALIZED (SELECT src, dst,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+      COUNT(*) OVER (PARTITION BY src) AS deg FROM ee),
+dv AS (SELECT DISTINCT src, deg FROM nbr WHERE deg >= 2),
+dr AS (SELECT src, deg, u AS r FROM
+       (SELECT src, deg, unnest(range(0, {draws})) AS u FROM dv)),
+d1 AS (SELECT src, deg, r, {h1} % deg AS j1,
+              {h2} % (deg - 1) AS j2p FROM dr),
+d2 AS (SELECT src, deg, r, j1,
+              j2p + CASE WHEN j2p >= j1 THEN 1 ELSE 0 END AS j2 FROM d1),
+rx AS (SELECT d2.src, d2.deg, n1.dst AS x, n2.dst AS y FROM d2
+       JOIN nbr n1 ON n1.src = d2.src AND n1.idx = d2.j1
+       JOIN nbr n2 ON n2.src = d2.src AND n2.idx = d2.j2),
+cl AS (SELECT rx.src, COUNT(*) AS closed_r FROM rx
+       JOIN (SELECT src AS cx, dst AS cy FROM ee WHERE src < dst) cc
+       ON least(rx.x, rx.y) = cc.cx AND greatest(rx.x, rx.y) = cc.cy
+       GROUP BY 1),
+tot AS (SELECT SUM(CAST(dv.deg AS BIGINT) * (dv.deg - 1) // 2) AS n_wedges,
+               CAST(COUNT(*) * {draws} AS BIGINT) AS n_sampled,
+               SUM(CAST(dv.deg AS BIGINT) * (dv.deg - 1) // 2
+                   * COALESCE(cl.closed_r, 0)) AS weighted_closed
+        FROM dv LEFT JOIN cl ON cl.src = dv.src)
+SELECT CAST(n_wedges AS BIGINT) AS n_wedges, n_sampled,
+       CAST(weighted_closed AS BIGINT) AS weighted_closed,
+       CASE WHEN n_wedges > 0 THEN CAST(weighted_closed AS DOUBLE)
+            / (CAST(n_wedges AS DOUBLE) * {draws}) ELSE 0.0
+       END AS transitivity_approx
+FROM tot
+"""
+
+
 def _hits_sql(iters: int) -> str:
     """Unrolled fixed-iteration HITS oracle over the order→part graph:
     per iteration an authority half-step (sum of pointing hubs, L2
@@ -4072,6 +4144,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simrank_scores"] = _simrank
 
+    def _config_model(spark, sf):
+        from smatchpp_spark.sources.configmodel import configuration_model
+
+        li = (
+            _read(spark, sf, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .filter(F.col("l_orderkey") % 19 == 0)
+        )
+        e = (
+            li.withColumnRenamed("l_partkey", "pa")
+            .join(li.withColumnRenamed("l_partkey", "pb"), "l_orderkey")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(
+                F.concat(F.lit("p"), F.col("pa").cast("string")).alias("a"),
+                F.concat(F.lit("p"), F.col("pb").cast("string")).alias("b"),
+            )
+            .distinct()
+        )
+        deg = (
+            e.select(F.col("a").alias("vertex"))
+            .unionByName(e.select(F.col("b").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        return configuration_model(deg, seed=11, erased=True)
+
+    q["config_model_edges"] = _config_model
+
+    def _trans_approx(spark, sf):
+        from smatchpp_spark.operators.graphstats import transitivity_approx
+
+        return transitivity_approx(
+            _e_co(spark, sf), draws_per_vertex=2, seed=42, portable=True
+        )
+
+    q["transitivity_sampled"] = _trans_approx
+
     def _label_mix(spark, sf):
         from smatchpp_spark.operators.graphstats import label_mixing_matrix
 
@@ -5698,6 +5807,8 @@ FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
 """,
         "random_walks": _walks_sql(),
         "simrank_scores": _simrank_sql(3, 8, 50, 7),
+        "config_model_edges": _config_model_sql(11, 256),
+        "transitivity_sampled": _transitivity_approx_sql(2, 42),
         "node2vec_walks": _node2vec_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "doc_jaccard_verify": _jaccard_verify_sql(),

@@ -660,3 +660,103 @@ def label_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         F.expr("CAST(m2 AS BIGINT) div 2").alias("n_edges"),
         F.when(den == 0, F.lit(0.0)).otherwise(num / den).alias("r"),
     )
+
+
+def transitivity_approx(
+    edges: DataFrame,
+    draws_per_vertex: int = 1,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Approximate global transitivity by WEDGE SAMPLING (Seshadhri,
+    Pinar, Kolda SDM'13, public) — the estimator that never enumerates
+    wedges: per vertex with degree ≥ 2, draw ``draws_per_vertex``
+    uniform wedges (two distinct neighbor positions via deterministic
+    hash draws over the dense neighbor index) and check closure; the
+    Horvitz–Thompson combination
+
+        T̂ = Σ_v C(d_v, 2) · (closed_v / R)   over   W = Σ_v C(d_v, 2)
+
+    is unbiased for the closed-wedge fraction.  Exact arithmetic: the
+    weighted closed sum stays integral (Σ C(d,2)·closed_v), so the
+    single final double division is bit-identical across engines;
+    ``portable=True`` makes the draws themselves engine-replayable
+    (the random_walks hash-draw contract).
+
+    Returns one row: ``(n_wedges, n_sampled, weighted_closed,
+    transitivity_approx)``.  Cost: the neighbor-index build plus O(V·R)
+    equi-join rows — compare the exact ``transitivity`` whose wedge
+    join is Σ d_out² (this is the DOULION-style escape hatch for the
+    wedge side).
+    """
+    from smatchpp_spark.functions.hashing import hash64
+    from smatchpp_spark.operators.walks import neighbor_index
+
+    und = undirected_simple(edges).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    nbr = neighbor_index(und).persist()
+    deg = nbr.select("src", "deg").distinct().filter(F.col("deg") >= 2)
+
+    def draw(tag: str, modulus):
+        key = F.concat_ws(
+            "#",
+            F.col("src"),
+            F.col("r").cast("string"),
+            F.lit(tag),
+            F.lit(str(seed)),
+        )
+        h = hash64(key, portable=True) if portable else F.xxhash64(
+            F.col("src"), F.col("r"), F.lit(tag), F.lit(seed)
+        )
+        return F.pmod(h, modulus)
+
+    samples = deg.select(
+        "src",
+        "deg",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(draws_per_vertex - 1))
+        ).alias("r"),
+    ).withColumn("j1", draw("a", F.col("deg")))
+    # second index drawn from the remaining d-1 positions (skip-shift
+    # keeps the pair distinct and uniform)
+    samples = samples.withColumn(
+        "j2p", draw("b", F.col("deg") - 1)
+    ).withColumn(
+        "j2",
+        F.col("j2p") + (F.col("j2p") >= F.col("j1")).cast("int"),
+    )
+    n1 = nbr.select("src", F.col("idx").alias("j1"), F.col("dst").alias("x"))
+    n2 = nbr.select("src", F.col("idx").alias("j2"), F.col("dst").alias("y"))
+    resolved = samples.join(n1, ["src", "j1"]).join(n2, ["src", "j2"])
+    canon = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("cx"), F.col("dst").alias("cy")
+    )
+    closed = resolved.join(
+        canon,
+        (F.least("x", "y") == F.col("cx"))
+        & (F.greatest("x", "y") == F.col("cy")),
+        "left_semi",
+    )
+    per_v = closed.groupBy("src", "deg").agg(
+        F.count(F.lit(1)).alias("closed_r")
+    )
+    totals = deg.join(per_v.select("src", "closed_r"), "src", "left").agg(
+        F.expr("sum(CAST(deg AS BIGINT) * (deg - 1) div 2)").alias("n_wedges"),
+        (F.count(F.lit(1)) * draws_per_vertex).cast("long").alias("n_sampled"),
+        F.expr(
+            "sum(CAST(deg AS BIGINT) * (deg - 1) div 2"
+            " * coalesce(closed_r, 0))"
+        ).alias("weighted_closed"),
+    )
+    nbr.unpersist()
+    r = F.lit(float(draws_per_vertex))
+    est = F.when(
+        F.col("n_wedges") > 0,
+        F.col("weighted_closed").cast("double")
+        / (F.col("n_wedges").cast("double") * r),
+    ).otherwise(F.lit(0.0))
+    return totals.select(
+        "n_wedges", "n_sampled", "weighted_closed",
+        est.alias("transitivity_approx"),
+    )
