@@ -1003,6 +1003,19 @@ def main() -> None:
         timed("simrank_scores", scale, lambda: simrank_scores(
             inp["e_op"], sr_pairs, walk_length=3, walks_per_vertex=8
         ).count())
+
+        from smatchpp_spark.operators.graphstats import transitivity_approx
+        from smatchpp_spark.sources.configmodel import configuration_model
+
+        cm_deg = (
+            inp["e_co19"].select(F.col("src").alias("vertex"))
+            .unionByName(inp["e_co19"].select(F.col("dst").alias("vertex")))
+            .groupBy("vertex").agg(F.count(F.lit(1)).alias("deg"))
+        )
+        timed("config_model_edges", scale, lambda: configuration_model(
+            cm_deg, seed=11).count())
+        timed("transitivity_sampled", scale, lambda: transitivity_approx(
+            inp["e_co"], draws_per_vertex=2).collect())
         e_op.unpersist()
 
     fits = {}
