@@ -4181,6 +4181,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["transitivity_sampled"] = _trans_approx
 
+    def _part_agreement(spark, sf):
+        from smatchpp_spark.operators.graphstats import partition_agreement
+
+        p = _read(spark, sf, "part")
+        la = p.select(
+            F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias(
+                "vertex"
+            ),
+            F.col("p_brand").alias("label"),
+        )
+        lb = p.select(
+            F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias(
+                "vertex"
+            ),
+            F.col("p_type").alias("label"),
+        )
+        return partition_agreement(la, lb)
+
+    q["partition_agreement"] = _part_agreement
+
     def _label_mix(spark, sf):
         from smatchpp_spark.operators.graphstats import label_mixing_matrix
 
@@ -5810,6 +5830,37 @@ FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
         "simrank_scores": _simrank_sql(3, 8, 50, 7),
         "config_model_edges": _config_model_sql(11, 256),
         "transitivity_sampled": _transitivity_approx_sql(2, 42),
+        "partition_agreement": """
+WITH la AS (SELECT 'p' || p_partkey AS vertex, p_brand AS x FROM part),
+lb AS (SELECT 'p' || p_partkey AS vertex, p_type AS y FROM part),
+cont AS (SELECT x, y, COUNT(*) AS nij
+         FROM la JOIN lb USING (vertex) GROUP BY 1, 2),
+ai AS (SELECT x, SUM(nij) AS ai FROM cont GROUP BY x),
+bj AS (SELECT y, SUM(nij) AS bj FROM cont GROUP BY y),
+s AS (SELECT SUM(CAST(nij AS HUGEINT)) AS n,
+             SUM(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS sij FROM cont),
+sab AS (SELECT (SELECT SUM(CAST(ai AS HUGEINT) * (ai - 1) // 2) FROM ai) AS sa,
+               (SELECT SUM(CAST(bj AS HUGEINT) * (bj - 1) // 2) FROM bj) AS sb),
+mi AS (SELECT SUM((cont.nij / CAST(s.n AS DOUBLE))
+           * ln(CAST(s.n AS DOUBLE) * cont.nij / (ai.ai * bj.bj))) AS mi
+       FROM cont JOIN ai USING (x) JOIN bj USING (y) CROSS JOIN s),
+ha AS (SELECT -SUM((ai.ai / CAST(s.n AS DOUBLE))
+           * ln(ai.ai / CAST(s.n AS DOUBLE))) AS ha FROM ai CROSS JOIN s),
+hb AS (SELECT -SUM((bj.bj / CAST(s.n AS DOUBLE))
+           * ln(bj.bj / CAST(s.n AS DOUBLE))) AS hb FROM bj CROSS JOIN s),
+fin AS (SELECT s.n, s.sij, sab.sa, sab.sb,
+               s.n * (s.n - 1) // 2 AS c, mi.mi, ha.ha, hb.hb
+        FROM s, sab, mi, ha, hb)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN (c * (sa + sb) - 2 * sa * sb) = 0 THEN 1.0
+            ELSE CAST(2 * (c * sij - sa * sb) AS DOUBLE)
+                 / CAST(c * (sa + sb) - 2 * sa * sb AS DOUBLE)
+       END AS ari,
+       CASE WHEN ha <= 0 OR hb <= 0 THEN 0.0
+            ELSE ROUND(2.0 * mi / (ha + hb), 6)
+       END AS nmi
+FROM fin
+""",
         "node2vec_walks": _node2vec_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "doc_jaccard_verify": _jaccard_verify_sql(),

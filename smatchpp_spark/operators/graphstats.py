@@ -760,3 +760,110 @@ def transitivity_approx(
         "n_wedges", "n_sampled", "weighted_closed",
         est.alias("transitivity_approx"),
     )
+
+
+def partition_agreement(
+    labels_a: DataFrame, labels_b: DataFrame
+) -> DataFrame:
+    """Agreement between two vertex partitions — Adjusted Rand Index and
+    Normalized Mutual Information (the standard pair for comparing two
+    community detections, e.g. LPA vs Louvain, or either vs ground
+    truth).  Inputs: two (vertex, label) DataFrames; vertices present
+    in both are compared (inner join).
+
+    Output one row: ``(n, ari, nmi)``.
+
+    Exactness: ARI is computed entirely from pair-count integers —
+    with C = C(n,2), Sij = Σ C(n_ij,2), Sa = Σ C(a_i,2), Sb = Σ C(b_j,2),
+
+        ARI = 2·(C·Sij − Sa·Sb) / (C·(Sa + Sb) − 2·Sa·Sb)
+
+    (the ×2C-cleared Hubert–Arabie form), all terms in decimal(38,0),
+    ONE double division at the end — bit-identical across engines.
+    NMI = 2·I(A;B)/(H(A)+H(B)) sums natural-log terms over the ≤K²
+    contingency cells and is rounded to 6 (float-order noise over a
+    few hundred cells is ~1e-13, far inside the rounding).  Degenerate
+    cases: single-cluster-vs-single-cluster gives ari=1.0 (identical)
+    via the 0/0 convention, and nmi=0.0 when either entropy is 0.
+
+    Scale shape: one vertex-keyed join + one groupBy on the (K_a, K_b)
+    contingency key (map-side combined) — the contingency table, not
+    the vertex set, is all that ever leaves the executors.
+    """
+    a = labels_a.select(
+        F.col(labels_a.columns[0]).alias("vertex"),
+        F.col(labels_a.columns[1]).alias("la"),
+    )
+    b = labels_b.select(
+        F.col(labels_b.columns[0]).alias("vertex"),
+        F.col(labels_b.columns[1]).alias("lb"),
+    )
+    cont = (
+        a.join(b, "vertex")
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)
+    )
+    arow = cont.groupBy("la").agg(F.sum("nij").alias("ai"))
+    brow = cont.groupBy("lb").agg(F.sum("nij").alias("bj"))
+
+    def c2(col):
+        return F.expr(f"CAST({col} AS DECIMAL(38,0)) * ({col} - 1) div 2")
+
+    sums = (
+        cont.agg(
+            F.sum("nij").cast("decimal(38,0)").alias("n"),
+            F.sum(c2("nij")).cast("decimal(38,0)").alias("sij"),
+        )
+        .crossJoin(
+            arow.agg(F.sum(c2("ai")).cast("decimal(38,0)").alias("sa"))
+        )
+        .crossJoin(
+            brow.agg(F.sum(c2("bj")).cast("decimal(38,0)").alias("sb"))
+        )
+    )
+    # entropy/MI terms (double; round 6 at the end)
+    n_lit = cont.agg(F.sum("nij")).collect()[0][0]
+    n_d = float(n_lit)
+    mi = (
+        cont.join(arow, "la")
+        .join(brow, "lb")
+        .agg(
+            F.sum(
+                (F.col("nij") / F.lit(n_d))
+                * F.log(
+                    F.lit(n_d)
+                    * F.col("nij")
+                    / (F.col("ai") * F.col("bj"))
+                )
+            ).alias("mi")
+        )
+    )
+    ha = arow.agg(
+        (-F.sum((F.col("ai") / F.lit(n_d)) * F.log(F.col("ai") / F.lit(n_d))))
+        .alias("ha")
+    )
+    hb = brow.agg(
+        (-F.sum((F.col("bj") / F.lit(n_d)) * F.log(F.col("bj") / F.lit(n_d))))
+        .alias("hb")
+    )
+    j = sums.crossJoin(mi).crossJoin(ha).crossJoin(hb)
+    cpairs = F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2")
+    num = (F.lit(2).cast("decimal(38,0)") * (
+        cpairs * F.col("sij") - F.col("sa") * F.col("sb")
+    )).cast("double")
+    den = (
+        cpairs * (F.col("sa") + F.col("sb"))
+        - F.lit(2).cast("decimal(38,0)") * F.col("sa") * F.col("sb")
+    ).cast("double")
+    ari = F.when(den == 0, F.lit(1.0)).otherwise(num / den)
+    nmi = F.when(
+        (F.col("ha") <= 0) | (F.col("hb") <= 0), F.lit(0.0)
+    ).otherwise(
+        F.round(2.0 * F.col("mi") / (F.col("ha") + F.col("hb")), 6)
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        ari.alias("ari"),
+        nmi.alias("nmi"),
+    )
