@@ -5517,7 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # centrality_rank_correlation, doc_span_self_dedup, emb_pq_topk,
 # graphlet_census, temporal_triangles, graph_label_mixing,
 # graph_label_assortativity, simrank_scores, config_model_edges,
-# transitivity_sampled — put
+# transitivity_sampled, partition_agreement — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [

@@ -1016,6 +1016,18 @@ def main() -> None:
             cm_deg, seed=11).count())
         timed("transitivity_sampled", scale, lambda: transitivity_approx(
             inp["e_co"], draws_per_vertex=2).collect())
+
+        from smatchpp_spark.operators.graphstats import partition_agreement
+
+        pa_a = lab.select("vertex", F.col("label").alias("label"))
+        pa_b = lab.select(
+            "vertex",
+            F.pmod(F.xxhash64("vertex", F.lit(1)), F.lit(25))
+            .cast("string")
+            .alias("label"),
+        )
+        timed("partition_agreement", scale, lambda: partition_agreement(
+            pa_a, pa_b).collect())
         e_op.unpersist()
 
     fits = {}
