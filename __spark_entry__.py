@@ -4214,6 +4214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_label_mixing"] = _label_mix
 
+    def _vertex_encode(spark, sf):
+        from smatchpp_spark.sources.encode import vertex_dictionary
+
+        return vertex_dictionary(_e_op(spark, sf))
+
+    q["vertex_encode"] = _vertex_encode
+
     def _label_assort(spark, sf):
         from smatchpp_spark.operators.graphstats import label_assortativity
 
@@ -5517,7 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # centrality_rank_correlation, doc_span_self_dedup, emb_pq_topk,
 # graphlet_census, temporal_triangles, graph_label_mixing,
 # graph_label_assortativity, simrank_scores, config_model_edges,
-# transitivity_sampled, partition_agreement — put
+# transitivity_sampled, partition_agreement, vertex_encode — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -5830,6 +5837,17 @@ FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
         "simrank_scores": _simrank_sql(3, 8, 50, 7),
         "config_model_edges": _config_model_sql(11, 256),
         "transitivity_sampled": _transitivity_approx_sql(2, 42),
+        "vertex_encode": f"""
+WITH e AS ({SQL_E_OP}),
+v AS (SELECT DISTINCT vertex FROM
+      (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)),
+h AS (SELECT vertex,
+             CAST(('0x' || substr(md5(vertex || '#42'), 1, 15)) AS BIGINT) AS h
+      FROM v)
+SELECT vertex,
+       CAST(row_number() OVER (ORDER BY h % 256, h, vertex) - 1 AS BIGINT) AS vid
+FROM h
+""",
         "partition_agreement": """
 WITH la AS (SELECT 'p' || p_partkey AS vertex, p_brand AS x FROM part),
 lb AS (SELECT 'p' || p_partkey AS vertex, p_type AS y FROM part),

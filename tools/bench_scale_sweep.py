@@ -1028,6 +1028,11 @@ def main() -> None:
         )
         timed("partition_agreement", scale, lambda: partition_agreement(
             pa_a, pa_b).collect())
+
+        from smatchpp_spark.sources.encode import vertex_dictionary
+
+        timed("vertex_encode", scale, lambda: vertex_dictionary(
+            inp["e_op"]).count())
         e_op.unpersist()
 
     fits = {}
