@@ -3430,6 +3430,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_fixed"] = _pr
 
+    def _pr_csr(spark, sf):
+        from smatchpp_spark.operators.csr import pagerank_csr
+
+        r = pagerank_csr(
+            _e_op(spark, sf), alpha=ALPHA, tol=-1.0, max_supersteps=PR_STEPS
+        )
+        return r.ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_csr"] = _pr_csr
+
     def _pr_hetero(spark, sf):
         from smatchpp_spark.sources.tables import tpch_edges
 
@@ -5524,7 +5534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # centrality_rank_correlation, doc_span_self_dedup, emb_pq_topk,
 # graphlet_census, temporal_triangles, graph_label_mixing,
 # graph_label_assortativity, simrank_scores, config_model_edges,
-# transitivity_sampled, partition_agreement, vertex_encode — put
+# transitivity_sampled, partition_agreement, vertex_encode,
+# pagerank_csr — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -5612,6 +5623,9 @@ SELECT vertex, CAST(SUM(i) AS BIGINT) AS in_deg, CAST(SUM(o) AS BIGINT) AS out_d
 FROM ends GROUP BY vertex
 """,
         "pagerank_fixed": _pagerank_sql(PR_STEPS),
+        # same fixpoint as the join dataflow — the CSR variant is held
+        # to the identical unrolled oracle
+        "pagerank_csr": _pagerank_sql(PR_STEPS),
         "pagerank_incremental": _pagerank_incremental_sql(PR_STEPS, 4),
         "fastrp_embeddings": _fastrp_sql(4, 2, (1.0, 0.5)),
         "cc_incremental": _cc_incremental_sql(6, 4),

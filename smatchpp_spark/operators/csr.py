@@ -1,0 +1,326 @@
+"""CSR-blocked adjacency PageRank: vectorized Arrow scatter over
+per-partition CSR blocks.
+
+The join-based :mod:`pagerank` moves one row per EDGE through the
+superstep join + map-side-combined ``groupBy(dst)``.  This module is the
+alternative dataflow for graphs where |E| >> |V|: the edge set is frozen
+once into per-partition CSR blocks (dense-vid arrays, see
+``sources/encode.py``) and each superstep is
+
+  1. one shuffle of the |V|-row rank state to its ``pmod(vid, P)`` part,
+  2. a cogrouped Arrow kernel per part — ``searchsorted`` rank gather,
+     ``repeat`` edge scatter, ``bincount`` over the block-LOCAL dst
+     dictionary — i.e. C-speed numpy over contiguous arrays instead of
+     per-row JVM expression evaluation, emitting at most one row per
+     (part, distinct dst-in-part): the hub fan-in is pre-aggregated
+     INSIDE the block before anything is shuffled,
+  3. a final ``groupBy(dst)`` over those pre-combined partials.
+
+Block layout (one DataFrame row per (part, salt) block):
+
+  part      pmod(src_vid, P) — the rank-routing key; every src whose
+            edges live in this block has its rank row land in the same
+            cogroup, so the gather never leaves the partition.
+  salt      hub splitter: a src with out-degree > max_fanout is sliced
+            into ceil(deg / max_fanout) blocks by dst hash, so no block
+            row (and no Arrow batch) scales with a 10^8-degree hub.
+  src_vids  sorted distinct srcs of the block          (array<long>)
+  indptr    CSR row pointer over the block's edges     (array<long>)
+  dst_local edge targets as indices into dst_vids      (array<int>)
+  dst_vids  sorted distinct dsts of the block          (array<long>)
+  inv_deg   1 / GLOBAL out-degree, aligned to src_vids (array<double>)
+
+Semantics are identical to :func:`pagerank` (multi-edge multiplicity,
+uniform dangling redistribution, ``(1-α)/N`` teleport) and held to the
+same fixpoint by a 1e-12 parity pytest and the driver's unrolled SQL
+oracle.  String vertex ids are densified through
+``sources/encode.vertex_dictionary`` and decoded on the way out.
+
+Measured on this box (19.2M edges, warm, steady-state superstep walls,
+interleaved A/B in one session): join 3.09 s/step @8 cores / 1.62 @32;
+CSR 3.53 / ~2.0 — the per-edge join + Tungsten map-side combine beats
+the Arrow round-trip here, because the join's static side also never
+reshuffles, so BOTH dataflows move only O(V) rows per superstep and the
+difference is pure compute, where whole-stage codegen holds its own
+against numpy once Arrow (de)serialization of the rank state is paid.
+The join dataflow therefore stays the default (same verdict as the
+``adjacency=True`` note in pagerank.py).  What the CSR variant buys at
+100 TB: a ~30% smaller pinned static side (measured 235 vs 328 MB
+in-memory columnar at 19.2M edges — arrays compress the src column and
+the per-edge weight away), hub fan-in combined inside the block before
+ANY shuffle (the join path combines map-side per shuffle partition, one
+row per partition per hub; the CSR path emits one row per block), and a
+kernel whose inner loop is swappable (weighted/personalized variants
+need only a different per-edge array) without touching the plan shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smatchpp_spark.operators.pagerank import PageRankResult
+from smatchpp_spark.operators.supersteps import SuperstepRunner
+from smatchpp_spark.sources.encode import (
+    decode_vertices,
+    encode_edges,
+    vertex_dictionary,
+)
+
+_BLOCK_SCHEMA = (
+    "part int, src_vids array<long>, indptr array<long>, "
+    "dst_local array<int>, dst_vids array<long>, inv_deg array<double>"
+)
+
+
+def _build_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (part, salt) group of edges → one CSR block row."""
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    inv = pdf["inv_deg"].to_numpy(dtype=np.float64)
+    order = np.lexsort((dst, src))
+    src, dst, inv = src[order], dst[order], inv[order]
+    src_vids, counts = np.unique(src, return_counts=True)
+    indptr = np.concatenate(([0], np.cumsum(counts)))
+    dst_vids, dst_local = np.unique(dst, return_inverse=True)
+    return pd.DataFrame(
+        {
+            "part": [int(pdf["part"].iloc[0])],
+            "src_vids": [src_vids],
+            "indptr": [indptr],
+            "dst_local": [dst_local.astype(np.int32)],
+            "dst_vids": [dst_vids],
+            # first edge of each CSR row carries the src's global 1/deg
+            "inv_deg": [inv[indptr[:-1]]],
+        }
+    )
+
+
+def build_csr_blocks(
+    enc_edges: DataFrame,
+    n_parts: int,
+    max_fanout: int = 100_000,
+) -> DataFrame:
+    """Freeze a long-vid edge table into CSR blocks (one |E| shuffle).
+
+    ``enc_edges`` must carry ``src``/``dst`` as longs (use
+    ``sources/encode``).  Out-degree is computed globally BEFORE hub
+    salting, so a salted hub still divides its rank by its full degree.
+    """
+    out_deg = enc_edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    tagged = (
+        enc_edges.join(out_deg, "src")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"),
+            F.pmod(F.col("src"), F.lit(n_parts)).cast("int").alias("part"),
+            F.pmod(
+                F.xxhash64("dst"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.col("out_deg") / F.lit(max_fanout)).cast("long"),
+                ),
+            ).alias("salt"),
+        )
+    )
+    return tagged.groupBy("part", "salt").applyInPandas(
+        _build_block, _BLOCK_SCHEMA
+    )
+
+
+def _scatter(key, state_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame):
+    """Arrow kernel: gather src ranks, scatter along CSR rows, combine
+    on the block-local dst dictionary.  Emits ≤ one row per distinct dst
+    in the part — the map-side combine of the join dataflow, done in
+    numpy."""
+    if blocks_pdf.empty or state_pdf.empty:
+        return pd.DataFrame(
+            {
+                "vertex": pd.Series([], dtype="int64"),
+                "in_sum": pd.Series([], dtype="float64"),
+            }
+        )
+    vids = state_pdf["vertex"].to_numpy(dtype=np.int64)
+    ranks = state_pdf["rank"].to_numpy(dtype=np.float64)
+    order = np.argsort(vids)
+    vids, ranks = vids[order], ranks[order]
+    dsts, vals = [], []
+    for src_vids, indptr, dst_local, dst_vids, inv_deg in zip(
+        blocks_pdf["src_vids"],
+        blocks_pdf["indptr"],
+        blocks_pdf["dst_local"],
+        blocks_pdf["dst_vids"],
+        blocks_pdf["inv_deg"],
+    ):
+        src_vids = np.asarray(src_vids, dtype=np.int64)
+        indptr = np.asarray(indptr, dtype=np.int64)
+        dst_vids = np.asarray(dst_vids, dtype=np.int64)
+        # rank * (1/deg) per CSR row, repeated across the row's edges
+        r = (
+            ranks[np.searchsorted(vids, src_vids)]
+            * np.asarray(inv_deg, dtype=np.float64)
+        )
+        per_edge = np.repeat(r, np.diff(indptr))
+        partial = np.bincount(
+            np.asarray(dst_local, dtype=np.int64),
+            weights=per_edge,
+            minlength=len(dst_vids),
+        )
+        dsts.append(dst_vids)
+        vals.append(partial)
+    dst = np.concatenate(dsts)
+    val = np.concatenate(vals)
+    u, inv = np.unique(dst, return_inverse=True)
+    return pd.DataFrame(
+        {"vertex": u, "in_sum": np.bincount(inv, weights=val)}
+    )
+
+
+def pagerank_csr(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-10,
+    max_supersteps: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    input_lineage: str = "",
+    max_fanout: int = 100_000,
+) -> PageRankResult:
+    """PageRank over CSR-blocked adjacency partitions (module docstring
+    for the dataflow).  Accepts string or long vertex ids; strings are
+    dictionary-encoded in and decoded out."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    is_string = dict(edges.select("src", "dst").dtypes)["src"] == "string"
+    if is_string:
+        dictionary = vertex_dictionary(edges).persist()
+        enc = encode_edges(edges, dictionary)
+        vid_all = dictionary.select(F.col("vid").alias("vertex"))
+    else:
+        dictionary = None
+        enc = edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        vid_all = (
+            enc.select(F.col("src").alias("vertex"))
+            .unionByName(enc.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+
+    blocks = (
+        build_csr_blocks(enc, num_partitions, max_fanout=max_fanout)
+        .repartition(num_partitions, "part")
+        .persist()
+    )
+    n_edges = blocks.agg(F.sum(F.size("dst_local"))).collect()[0][0] or 0
+
+    vertices = (
+        vid_all.join(
+            enc.select(F.col("src").alias("vertex")).distinct()
+            .withColumn("has_out", F.lit(True)),
+            "vertex",
+            "left",
+        )
+        .select(
+            "vertex",
+            F.col("has_out").isNull().alias("dangling"),
+            F.pmod(F.col("vertex"), F.lit(num_partitions))
+            .cast("int")
+            .alias("part"),
+        )
+        .repartition(num_partitions, "vertex")
+        .persist()
+    )
+    n = vertices.count()
+    if n == 0:
+        blocks.unpersist()
+        vertices.unpersist()
+        if dictionary is not None:
+            dictionary.unpersist()
+        return PageRankResult(
+            ranks=spark.createDataFrame([], "vertex long, rank double"),
+            supersteps=0,
+            converged=True,
+            metrics=[],
+        )
+
+    init = vertices.select(
+        "vertex", "part", "dangling", F.lit(1.0 / n).alias("rank"),
+        F.lit(float("nan")).alias("prev_rank"),
+    )
+
+    def step(state: DataFrame, k: int) -> DataFrame:
+        dm_df = state.filter("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        base_df = dm_df.select(
+            (
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha) * F.col("dm") / F.lit(float(n))
+            ).alias("base")
+        )
+        contribs = (
+            state.select("part", "vertex", "rank")
+            .groupBy("part")
+            .cogroup(blocks.groupBy("part"))
+            .applyInPandas(_scatter, "vertex long, in_sum double")
+            .groupBy("vertex")
+            .agg(F.sum("in_sum").alias("in_sum"))
+        )
+        return (
+            state.select(
+                "vertex", "part", "dangling", F.col("rank").alias("old_rank")
+            )
+            .join(contribs, "vertex", "left")
+            .crossJoin(F.broadcast(base_df))
+            .select(
+                "vertex",
+                "part",
+                "dangling",
+                (
+                    F.col("base")
+                    + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+                F.col("old_rank").alias("prev_rank"),
+            )
+        )
+
+    def delta_fn(old: DataFrame, new: DataFrame) -> float:
+        row = new.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev_rank")))
+        ).collect()[0]
+        return row[0] if row[0] is not None else float("inf")
+
+    runner = SuperstepRunner(
+        spark,
+        op="pagerank_csr",
+        checkpoint_dir=checkpoint_dir,
+        max_supersteps=max_supersteps,
+        tol=tol,
+        input_lineage=input_lineage,
+    )
+    result = runner.run(
+        init, step, delta_fn,
+        edges_processed_per_step=n_edges,
+        resume=resume,
+    )
+    ranks = result.state.select("vertex", "rank")
+    if dictionary is not None:
+        ranks = decode_vertices(ranks, dictionary)
+    blocks.unpersist()
+    vertices.unpersist()
+    return PageRankResult(
+        ranks=ranks,
+        supersteps=result.supersteps,
+        converged=result.converged,
+        metrics=result.metrics,
+    )

@@ -331,6 +331,12 @@ def main() -> None:
             w_edges, alpha=0.85, tol=-1.0, max_supersteps=PR_SUPERSTEPS,
             weight_col="wt",
         ).ranks.agg(F.sum("rank")).collect())
+
+        from smatchpp_spark.operators.csr import pagerank_csr
+
+        timed("pagerank_csr", scale, lambda: pagerank_csr(
+            e_op, alpha=0.85, tol=-1.0, max_supersteps=PR_SUPERSTEPS
+        ).ranks.agg(F.sum("rank")).collect())
         timed("degrees", scale, lambda: degrees(e_op).count())
         timed("connected_components", scale, lambda: connected_components(
             inp["e_cust"]
