@@ -5355,6 +5355,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_split"] = _doc_split
 
+    def _lm_scores(spark, sf):
+        from smatchpp_spark.pipeline import text
+
+        docs = _read(spark, sf, "documents")
+        return text.bigram_lm_scores(docs, docs.filter(F.col("doc_id") % 5 == 0))
+
+    q["doc_lm_scores"] = _lm_scores
+
     def _mm(spark, sf):
         from smatchpp_spark.pipeline import multimodal
 
@@ -5535,7 +5543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # graphlet_census, temporal_triangles, graph_label_mixing,
 # graph_label_assortativity, simrank_scores, config_model_edges,
 # transitivity_sampled, partition_agreement, vertex_encode,
-# pagerank_csr — put
+# pagerank_csr, doc_lm_scores — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -6729,6 +6737,39 @@ FROM documents
         "doc_line_dedup": _line_dedup_sql(3),
         "doc_vocabulary": _vocab_sql(500),
         "doc_split": _split_sql(),
+        # bigram stupid-backoff LM replay (pipeline/text.py
+        # bigram_lm_scores): ref = doc_id % 5 = 0, backoff 0.4,
+        # add-one unigram over (N + V + 1)
+        "doc_lm_scores": f"""
+WITH tl AS (SELECT doc_id,
+        list_filter({SQL_TOKS_LOWER}, w -> length(w) > 0) AS tk
+      FROM documents),
+ref AS (SELECT tk FROM tl WHERE doc_id % 5 = 0),
+uni AS (SELECT w, COUNT(*) AS cw
+        FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
+nv AS (SELECT CAST(SUM(cw) + COUNT(*) + 1 AS DOUBLE) AS denom FROM uni),
+rbi AS (SELECT u.v AS v, u.w AS w, COUNT(*) AS cvw FROM
+   (SELECT unnest(list_transform(range(1, len(tk)),
+        i -> {{'v': tk[i], 'w': tk[i+1]}})) AS u FROM ref) GROUP BY 1, 2),
+dbi AS (SELECT doc_id, u.v AS v, u.w AS w FROM
+   (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        i -> {{'v': tk[i], 'w': tk[i+1]}})) AS u FROM tl)),
+sc AS (SELECT doc_id, v, w, COUNT(*) AS k FROM dbi GROUP BY 1, 2, 3),
+j AS (SELECT s.doc_id, s.k,
+        CASE WHEN rbi.cvw IS NOT NULL
+             THEN ln(rbi.cvw / CAST(cv.cw AS DOUBLE))
+             ELSE ln(0.4 * (COALESCE(uw.cw, 0) + 1)
+                     / (SELECT denom FROM nv)) END AS lp
+      FROM sc s LEFT JOIN rbi ON rbi.v = s.v AND rbi.w = s.w
+      LEFT JOIN uni cv ON cv.w = s.v
+      LEFT JOIN uni uw ON uw.w = s.w),
+agg AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_pairs,
+               SUM(k * lp) / SUM(k) AS avg_lp FROM j GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(agg.n_pairs, 0) AS n_pairs,
+       ROUND(COALESCE(agg.avg_lp, 0.0), 6) AS avg_logprob,
+       ROUND(exp(-COALESCE(agg.avg_lp, 0.0)), 6) AS ppl
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
         "emb_neardup_pairs": _emb_neardup_sql(0.3),
         "emb_dedup_clusters": _emb_dedup_clusters_sql(0.3),
         "doc_domain_mix": _domain_mix_sql(0.5, 7),

@@ -660,3 +660,109 @@ def span_self_dedup(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """CCNet-style LM quality scoring: a bigram stupid-backoff language
+    model (Brants et al. 2007) trained on ``ref_docs`` scores every doc
+    in ``docs`` — low log-probability per transition ≈ low-quality /
+    out-of-domain text, the filter CCNet implements with KenLM
+    (reference pipeline component; counts replace the trained model, so
+    everything stays deterministic and SQL-replayable).
+
+      P(w|v) = c(v,w) / c(v)                 if c(v,w) > 0
+             = backoff · (c(w)+1)/(N+V+1)    otherwise (add-one unigram,
+                                             unseen words share 1/(N+V+1))
+
+    Tokens are the corpus convention: lowercased whitespace tokens with
+    empties dropped BEFORE pairing (so the trailing-'' quirk of
+    ``split(trim(.))`` can't split a bigram differently across engines).
+
+    Scale shape: bigram/unigram count tables are map-side-combined
+    groupBys over the reference; scoring pre-combines each doc's
+    repeated bigrams (``groupBy(id, v, w)``) so the two count joins see
+    one row per distinct (doc, bigram) — stop-word-pair skew beyond
+    that is AQE skew-join territory.  Only N and V (two scalars) ever
+    reach the driver.
+
+    Returns (id, n_pairs, avg_logprob, ppl) — 0-pair docs score 0 / 1
+    by convention.  avg_logprob/ppl rounded 6 for cross-engine parity.
+    """
+    toks = F.filter(
+        F.transform(tokens(text_col), lambda w: F.lower(w)),
+        lambda w: F.length(w) > 0,
+    )
+
+    uni = (
+        ref_docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    row = uni.agg(
+        F.coalesce(F.sum("cw"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    denom = float(row["n"] + row["v"] + 1)
+
+    def pairs(df: DataFrame, extra: list) -> DataFrame:
+        t = toks
+        pr = F.arrays_zip(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("v"),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w"),
+        )
+        return df.select(*extra, F.explode(pr).alias("p")).select(
+            *extra, F.col("p.v").alias("v"), F.col("p.w").alias("w")
+        )
+
+    bi = pairs(ref_docs, []).groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("cvw")
+    )
+    cv = uni.select(F.col("w").alias("v"), F.col("cw").alias("cv"))
+
+    scored = (
+        pairs(docs, [F.col(id_col)])
+        .groupBy(id_col, "v", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(bi, ["v", "w"], "left")
+        .join(cv, "v", "left")
+        .join(uni, "w", "left")
+        .select(
+            id_col,
+            "k",
+            F.when(
+                F.col("cvw").isNotNull(),
+                F.log(F.col("cvw").cast("double") / F.col("cv")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(backoff)
+                    * (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(1))
+                    / F.lit(denom)
+                )
+            )
+            .alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_pairs"),
+            (F.sum(F.col("k") * F.col("lp")) / F.sum("k")).alias("avg_lp"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.round(F.coalesce("avg_lp", F.lit(0.0)), 6).alias("avg_logprob"),
+            F.round(
+                F.exp(-F.coalesce("avg_lp", F.lit(0.0))), 6
+            ).alias("ppl"),
+        )
+    )
