@@ -4231,6 +4231,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vertex_encode"] = _vertex_encode
 
+    def _deg_quantiles(spark, sf):
+        from smatchpp_spark.operators.quantiles import quantiles_exact
+
+        deg = (
+            _e_op(spark, sf)
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        return quantiles_exact(deg, "d", [0.1, 0.5, 0.9, 0.99])
+
+    q["degree_quantiles"] = _deg_quantiles
+
     def _label_assort(spark, sf):
         from smatchpp_spark.operators.graphstats import label_assortativity
 
@@ -5543,7 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # graphlet_census, temporal_triangles, graph_label_mixing,
 # graph_label_assortativity, simrank_scores, config_model_edges,
 # transitivity_sampled, partition_agreement, vertex_encode,
-# pagerank_csr, doc_lm_scores — put
+# pagerank_csr, doc_lm_scores, degree_quantiles — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -5859,6 +5871,18 @@ FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
         "simrank_scores": _simrank_sql(3, 8, 50, 7),
         "config_model_edges": _config_model_sql(11, 256),
         "transitivity_sampled": _transitivity_approx_sql(2, 42),
+        # exact order statistics at the 'lower' rank convention
+        # (operators/quantiles.py): k = floor(q*(n-1)) + 1
+        "degree_quantiles": f"""
+WITH e AS ({SQL_E_OP}),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM deg),
+qs(q) AS (VALUES (0.1), (0.5), (0.9), (0.99)),
+ks AS (SELECT q, CAST(floor(q * (n - 1)) + 1 AS BIGINT) AS k FROM qs, n),
+s AS (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM deg)
+SELECT CAST(ks.q AS DOUBLE) AS q, ks.k AS k, CAST(s.d AS DOUBLE) AS value
+FROM ks JOIN s ON s.rn = ks.k
+""",
         "vertex_encode": f"""
 WITH e AS ({SQL_E_OP}),
 v AS (SELECT DISTINCT vertex FROM

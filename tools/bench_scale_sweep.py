@@ -1044,6 +1044,14 @@ def main() -> None:
 
         timed("vertex_encode", scale, lambda: vertex_dictionary(
             inp["e_op"]).count())
+
+        from smatchpp_spark.operators.quantiles import quantiles_exact
+
+        qe_deg = (
+            inp["e_op"].groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        )
+        timed("degree_quantiles", scale, lambda: quantiles_exact(
+            qe_deg, "d", [0.1, 0.5, 0.9, 0.99]).count())
         e_op.unpersist()
 
     fits = {}
