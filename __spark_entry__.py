@@ -5371,7 +5371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from smatchpp_spark.pipeline import text
 
         docs = _read(spark, sf, "documents")
-        return text.bigram_lm_scores(docs, docs.filter(F.col("doc_id") % 5 == 0))
+        return text.backoff_lm_scores(docs, docs.filter(F.col("doc_id") % 5 == 0))
 
     q["doc_lm_scores"] = _lm_scores
 
@@ -6761,8 +6761,8 @@ FROM documents
         "doc_line_dedup": _line_dedup_sql(3),
         "doc_vocabulary": _vocab_sql(500),
         "doc_split": _split_sql(),
-        # bigram stupid-backoff LM replay (pipeline/text.py
-        # bigram_lm_scores): ref = doc_id % 5 = 0, backoff 0.4,
+        # cross-domain stupid-backoff LM replay (pipeline/text.py
+        # backoff_lm_scores): ref = doc_id % 5 = 0, backoff 0.4,
         # add-one unigram over (N + V + 1)
         "doc_lm_scores": f"""
 WITH tl AS (SELECT doc_id,

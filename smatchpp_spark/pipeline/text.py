@@ -662,19 +662,23 @@ def span_self_dedup(
     )
 
 
-def bigram_lm_scores(
+def backoff_lm_scores(
     docs: DataFrame,
     ref_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     backoff: float = 0.4,
 ) -> DataFrame:
-    """CCNet-style LM quality scoring: a bigram stupid-backoff language
-    model (Brants et al. 2007) trained on ``ref_docs`` scores every doc
-    in ``docs`` — low log-probability per transition ≈ low-quality /
-    out-of-domain text, the filter CCNet implements with KenLM
-    (reference pipeline component; counts replace the trained model, so
-    everything stays deterministic and SQL-replayable).
+    """CCNet-style CROSS-DOMAIN LM quality scoring: a bigram
+    stupid-backoff model (Brants et al. 2007) trained on ``ref_docs``
+    (the trusted corpus — CCNet trains on Wikipedia) scores every doc
+    in ``docs`` (the crawl) — low log-probability per transition ≈
+    low-quality / out-of-domain text.  Counts replace the trained KenLM
+    so everything stays deterministic and SQL-replayable.  Contrast
+    ``relevance.bigram_lm_scores``: that one is the SAME-corpus
+    add-alpha likelihood (self-consistency signal, no reference); this
+    one is reference-trained with explicit OOV backoff mass — the
+    filter that separates in-domain from out-of-domain text.
 
       P(w|v) = c(v,w) / c(v)                 if c(v,w) > 0
              = backoff · (c(w)+1)/(N+V+1)    otherwise (add-one unigram,

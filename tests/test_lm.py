@@ -7,7 +7,7 @@ import math
 import re
 from collections import Counter
 
-from smatchpp_spark.pipeline.text import bigram_lm_scores
+from smatchpp_spark.pipeline.text import backoff_lm_scores
 
 REF = [
     (1, "the cat sat on the mat"),
@@ -58,7 +58,7 @@ def test_matches_python_replay(spark):
     tdf = spark.createDataFrame(TGT, "doc_id long, text string")
     got = {
         r.doc_id: (r.n_pairs, r.avg_logprob, r.ppl)
-        for r in bigram_lm_scores(tdf, rdf).collect()
+        for r in backoff_lm_scores(tdf, rdf).collect()
     }
     exp = _replay()
     assert set(got) == set(exp)
@@ -71,7 +71,7 @@ def test_matches_python_replay(spark):
 def test_in_domain_beats_out_of_domain(spark):
     rdf = spark.createDataFrame(REF, "doc_id long, text string")
     tdf = spark.createDataFrame(TGT, "doc_id long, text string")
-    got = {r.doc_id: r.ppl for r in bigram_lm_scores(tdf, rdf).collect()}
+    got = {r.doc_id: r.ppl for r in backoff_lm_scores(tdf, rdf).collect()}
     # in-reference sentences have low perplexity ((the,mat) and
     # (the,rug) have identical counts, so 14 and 10 tie exactly);
     # unseen vocabulary is heavily penalized
@@ -83,7 +83,7 @@ def test_in_domain_beats_out_of_domain(spark):
 def test_empty_reference(spark):
     rdf = spark.createDataFrame([], "doc_id long, text string")
     tdf = spark.createDataFrame(TGT, "doc_id long, text string")
-    out = bigram_lm_scores(tdf, rdf)
+    out = backoff_lm_scores(tdf, rdf)
     rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == len(TGT)
     # every pair backs off to 0.4 * 1 / (0 + 0 + 1) = 0.4

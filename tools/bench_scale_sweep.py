@@ -532,9 +532,9 @@ def main() -> None:
         timed("doc_vocabulary", scale, lambda: vocabulary(
             inp["docs"], k=1000
         ).count())
-        from smatchpp_spark.pipeline.text import bigram_lm_scores
+        from smatchpp_spark.pipeline.text import backoff_lm_scores
 
-        timed("doc_lm_scores", scale, lambda: bigram_lm_scores(
+        timed("doc_lm_scores", scale, lambda: backoff_lm_scores(
             inp["docs"], inp["docs"].filter(F.col("doc_id") % 5 == 0)
         ).count())
         from smatchpp_spark.operators.bfs import double_sweep_diameter
