@@ -4243,6 +4243,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["degree_quantiles"] = _deg_quantiles
 
+    def _hitting(spark, sf):
+        from smatchpp_spark.operators.hitting import hitting_times
+
+        targets = (
+            _read(spark, sf, "part")
+            .filter(F.col("p_partkey") % 97 == 0)
+            .select(
+                F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias(
+                    "vertex"
+                )
+            )
+        )
+        r = hitting_times(_e_op(spark, sf), targets, horizon=6)
+        return r.times.select(
+            "vertex", F.round("hitting_time", 9).alias("hitting_time")
+        )
+
+    q["hitting_times"] = _hitting
+
     def _label_assort(spark, sf):
         from smatchpp_spark.operators.graphstats import label_assortativity
 
@@ -5555,7 +5574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # graphlet_census, temporal_triangles, graph_label_mixing,
 # graph_label_assortativity, simrank_scores, config_model_edges,
 # transitivity_sampled, partition_agreement, vertex_encode,
-# pagerank_csr, doc_lm_scores, degree_quantiles — put
+# pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -5871,6 +5890,36 @@ FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
         "simrank_scores": _simrank_sql(3, 8, 50, 7),
         "config_model_edges": _config_model_sql(11, 256),
         "transitivity_sampled": _transitivity_approx_sql(2, 42),
+        # truncated hitting time replay (operators/hitting.py):
+        # K=6 value-iteration steps, targets = parts with key % 97 = 0
+        "hitting_times": f"""
+WITH e AS ({SQL_E_OP}),
+v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+tg AS (SELECT DISTINCT 'p' || p_partkey AS vertex FROM part WHERE p_partkey % 97 = 0),
+outd AS (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS od FROM e GROUP BY src),
+w AS (SELECT e.src, e.dst, 1.0 / outd.od AS w FROM e JOIN outd ON outd.vertex = e.src),
+h0 AS (SELECT v.vertex, (tg.vertex IS NOT NULL) AS is_t, (outd.vertex IS NULL) AS stuck, 0.0 AS h
+       FROM v LEFT JOIN tg ON tg.vertex = v.vertex LEFT JOIN outd ON outd.vertex = v.vertex),
+s1 AS (SELECT w.src AS vertex, SUM(h.h * w.w) AS nh FROM h0 h JOIN w ON w.dst = h.vertex GROUP BY w.src),
+h1 AS (SELECT p.vertex, p.is_t, p.stuck, CASE WHEN p.is_t THEN 0.0 WHEN p.stuck THEN 1.0 + p.h
+     ELSE 1.0 + COALESCE(s.nh, 0.0) END AS h FROM h0 p LEFT JOIN s1 s ON s.vertex = p.vertex),
+s2 AS (SELECT w.src AS vertex, SUM(h.h * w.w) AS nh FROM h1 h JOIN w ON w.dst = h.vertex GROUP BY w.src),
+h2 AS (SELECT p.vertex, p.is_t, p.stuck, CASE WHEN p.is_t THEN 0.0 WHEN p.stuck THEN 1.0 + p.h
+     ELSE 1.0 + COALESCE(s.nh, 0.0) END AS h FROM h1 p LEFT JOIN s2 s ON s.vertex = p.vertex),
+s3 AS (SELECT w.src AS vertex, SUM(h.h * w.w) AS nh FROM h2 h JOIN w ON w.dst = h.vertex GROUP BY w.src),
+h3 AS (SELECT p.vertex, p.is_t, p.stuck, CASE WHEN p.is_t THEN 0.0 WHEN p.stuck THEN 1.0 + p.h
+     ELSE 1.0 + COALESCE(s.nh, 0.0) END AS h FROM h2 p LEFT JOIN s3 s ON s.vertex = p.vertex),
+s4 AS (SELECT w.src AS vertex, SUM(h.h * w.w) AS nh FROM h3 h JOIN w ON w.dst = h.vertex GROUP BY w.src),
+h4 AS (SELECT p.vertex, p.is_t, p.stuck, CASE WHEN p.is_t THEN 0.0 WHEN p.stuck THEN 1.0 + p.h
+     ELSE 1.0 + COALESCE(s.nh, 0.0) END AS h FROM h3 p LEFT JOIN s4 s ON s.vertex = p.vertex),
+s5 AS (SELECT w.src AS vertex, SUM(h.h * w.w) AS nh FROM h4 h JOIN w ON w.dst = h.vertex GROUP BY w.src),
+h5 AS (SELECT p.vertex, p.is_t, p.stuck, CASE WHEN p.is_t THEN 0.0 WHEN p.stuck THEN 1.0 + p.h
+     ELSE 1.0 + COALESCE(s.nh, 0.0) END AS h FROM h4 p LEFT JOIN s5 s ON s.vertex = p.vertex),
+s6 AS (SELECT w.src AS vertex, SUM(h.h * w.w) AS nh FROM h5 h JOIN w ON w.dst = h.vertex GROUP BY w.src),
+h6 AS (SELECT p.vertex, p.is_t, p.stuck, CASE WHEN p.is_t THEN 0.0 WHEN p.stuck THEN 1.0 + p.h
+     ELSE 1.0 + COALESCE(s.nh, 0.0) END AS h FROM h5 p LEFT JOIN s6 s ON s.vertex = p.vertex),
+fin AS (SELECT 1) SELECT vertex, ROUND(h, 9) AS hitting_time FROM h6
+""",
         # exact order statistics at the 'lower' rank convention
         # (operators/quantiles.py): k = floor(q*(n-1)) + 1
         "degree_quantiles": f"""

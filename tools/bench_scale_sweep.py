@@ -1045,6 +1045,15 @@ def main() -> None:
         timed("vertex_encode", scale, lambda: vertex_dictionary(
             inp["e_op"]).count())
 
+        from smatchpp_spark.operators.hitting import hitting_times
+
+        ht_targets = inp["e_op"].select("dst").distinct().filter(
+            F.col("dst").rlike("00$")
+        )
+        timed("hitting_times", scale, lambda: hitting_times(
+            inp["e_op"], ht_targets, horizon=6
+        ).times.count())
+
         from smatchpp_spark.operators.quantiles import quantiles_exact
 
         qe_deg = (
