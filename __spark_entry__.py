@@ -2143,6 +2143,74 @@ WHERE CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
 """
 
 
+def _dedup_against_sql(
+    threshold: float = 0.3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 1000,
+) -> str:
+    """dedup_against replay (pipeline/dedup.py): batch = doc_id %% 3 = 0,
+    corpus = the rest; exact content-hash match + minhash-band
+    candidates against the bucket-guarded corpus side, shingle-Jaccard
+    verified, deterministic best match (jaccard desc, corpus id asc)."""
+    sig = _sig_cols(num_hashes)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b // band_size} AS band_idx, "
+        + _h(
+            "("
+            + " || ',' || ".join(
+                f"CAST(sig_{i} AS VARCHAR)" for i in range(b, b + band_size)
+            )
+            + ")"
+        )
+        + " AS band_hash FROM sigs"
+        for b in range(0, num_hashes, band_size)
+    )
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0 "
+        "ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa.sh, sb.sh))) END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS MATERIALIZED (SELECT doc_id, {SQL_SHINGLES} AS sh FROM t),
+newd AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+cord AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+ch AS (SELECT doc_id, {_h('text')} AS content_hash FROM documents),
+cor_hash AS (SELECT content_hash, MIN(ch.doc_id) AS exact_match_id
+             FROM ch JOIN cord USING (doc_id) GROUP BY content_hash),
+ex AS (SELECT n.doc_id, cor_hash.exact_match_id
+       FROM newd n JOIN ch ON ch.doc_id = n.doc_id
+       LEFT JOIN cor_hash ON cor_hash.content_hash = ch.content_hash),
+sigs AS (SELECT doc_id, {sig} FROM s),
+bands AS ({band_rows}),
+bn AS (SELECT bands.* FROM bands JOIN newd USING (doc_id)),
+bc0 AS (SELECT bands.* FROM bands JOIN cord USING (doc_id)),
+keep AS (SELECT band_idx, band_hash FROM bc0
+         GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket}),
+bc AS (SELECT bc0.* FROM bc0 JOIN keep USING (band_idx, band_hash)),
+cand AS (SELECT DISTINCT bn.doc_id AS new_id, bc.doc_id AS corpus_id
+         FROM bn JOIN bc ON bn.band_idx = bc.band_idx
+                        AND bn.band_hash = bc.band_hash),
+ok AS (SELECT cand.new_id, cand.corpus_id, {jac} AS jaccard
+       FROM cand JOIN s sa ON sa.doc_id = cand.new_id
+       JOIN s sb ON sb.doc_id = cand.corpus_id
+       WHERE {jac} >= {threshold!r}),
+best AS (SELECT new_id AS doc_id, corpus_id AS near_match_id,
+                jaccard AS near_jaccard
+         FROM (SELECT ok.*, row_number() OVER
+                 (PARTITION BY new_id ORDER BY jaccard DESC, corpus_id) AS rn
+               FROM ok) WHERE rn = 1)
+SELECT ex.doc_id,
+       ex.exact_match_id IS NOT NULL AS exact_dup,
+       best.near_match_id IS NOT NULL AS near_dup,
+       COALESCE(ex.exact_match_id, best.near_match_id) AS match_id,
+       ROUND(CASE WHEN ex.exact_match_id IS NOT NULL THEN 1.0
+             ELSE best.near_jaccard END, 9) AS match_jaccard
+FROM ex LEFT JOIN best ON best.doc_id = ex.doc_id
+"""
+
+
 def _dedup_clusters_sql(
     threshold: float = 0.5, num_hashes: int = 8, band_size: int = 2
 ) -> str:
@@ -5186,6 +5254,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_neardup_pairs"] = lambda spark, sf: dedup.neardup_pairs_minhash(
         _docs(spark, sf), num_hashes=8, band_size=2, portable=True
     )
+    def _dedup_against(spark, sf):
+        docs = _docs(spark, sf)
+        r = dedup.dedup_against(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 != 0),
+            threshold=0.3,
+            num_hashes=8,
+            band_size=2,
+            portable=True,
+        )
+        return r.select(
+            "doc_id",
+            "exact_dup",
+            "near_dup",
+            "match_id",
+            F.round("match_jaccard", 9).alias("match_jaccard"),
+        )
+
+    q["doc_dedup_against"] = _dedup_against
+
     q["doc_simhash"] = lambda spark, sf: dedup.simhash(
         _docs(spark, sf), bits=16, portable=True
     )
@@ -5574,7 +5662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # graphlet_census, temporal_triangles, graph_label_mixing,
 # graph_label_assortativity, simrank_scores, config_model_edges,
 # transitivity_sampled, partition_agreement, vertex_encode,
-# pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times — put
+# pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
+# doc_dedup_against — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -5977,6 +6066,7 @@ FROM fin
         "node2vec_walks": _node2vec_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "doc_jaccard_verify": _jaccard_verify_sql(),
+        "doc_dedup_against": _dedup_against_sql(0.3),
         "strongly_connected_components": """
 WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,
                     s_suppkey % 2 = 0 AS even

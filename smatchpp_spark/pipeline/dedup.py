@@ -801,3 +801,139 @@ def source_similarity(
             "est_jaccard"
         ),
     )
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-corpus (incremental-ingest) dedup: flag every ``new_docs``
+    row that exactly or nearly duplicates something already in
+    ``corpus_docs`` — the production path where yesterday's corpus is
+    the index and today's crawl batch is the probe.  Within-batch
+    duplicates are a separate concern (compose with ``exact_dedup`` /
+    ``duplicate_clusters`` on the batch).
+
+    Stages (both sides of every join are bucketed — nothing quadratic):
+      1. exact — content-hash anti-semantics: a batch doc whose text
+         hash exists in the corpus is ``exact_dup`` (match = min corpus
+         id for that hash, deterministic).
+      2. near — MinHash signatures on BOTH sides, LSH band keys, and a
+         batch-bands ⋈ corpus-bands equi-join on (band_idx, band_hash).
+         Corpus mega-buckets (> ``max_bucket``) are dropped before the
+         join — the corpus side is the one that accumulates degenerate
+         buckets over time.  Candidates verify with exact shingle
+         Jaccard ≥ ``threshold``; best match per batch doc =
+         ``min(struct(-jaccard, corpus_id))`` (one aggregation,
+         deterministic argmax).
+
+    Returns one row per ``new_docs`` row: (id, exact_dup, near_dup,
+    match_id nullable, match_jaccard nullable).  ``near_dup`` is true
+    only for VERIFIED near-duplicates; an exact dup is also reported
+    through the near stage only if its bands survive the bucket guard
+    (exact_dup is the authoritative bit for identical text).
+    """
+    # exact stage: corpus hash groups are the index
+    corpus_hashes = (
+        corpus_docs.select(
+            hash64(F.col(text_col), portable).alias("content_hash"),
+            F.col(id_col).alias("corpus_id"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("corpus_id").alias("exact_match_id"))
+    )
+    exact = new_docs.select(
+        F.col(id_col),
+        hash64(F.col(text_col), portable).alias("content_hash"),
+    ).join(corpus_hashes, "content_hash", "left")
+
+    # near stage: signature tables once per side (projection-collapse
+    # discipline of neardup_pairs_minhash)
+    sig_new = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_k, portable
+    ).localCheckpoint(eager=False)
+    sig_cor = minhash_signatures(
+        corpus_docs, text_col, id_col, num_hashes, shingle_k, portable
+    ).localCheckpoint(eager=False)
+    bands_new = lsh_bands(sig_new, num_hashes, id_col, band_size, portable)
+    bands_cor = lsh_bands(sig_cor, num_hashes, id_col, band_size, portable)
+    cor_sizes = bands_cor.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    bands_cor = bands_cor.join(
+        cor_sizes.filter(F.col("sz") <= max_bucket).select(
+            "band_idx", "band_hash"
+        ),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+    cands = (
+        bands_new.select(
+            "band_idx", "band_hash", F.col(id_col).alias("new_id")
+        )
+        .join(
+            bands_cor.select(
+                "band_idx", "band_hash", F.col(id_col).alias("corpus_id")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_new = new_docs.select(
+        F.col(id_col).alias("new_id"), shingles(text_col, shingle_k).alias("sh_a")
+    )
+    sh_cor = corpus_docs.select(
+        F.col(id_col).alias("corpus_id"),
+        shingles(text_col, shingle_k).alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    verified = (
+        cands.join(sh_new, "new_id")
+        .join(sh_cor, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(inter.cast("double") / union)
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = (
+        verified.groupBy("new_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jaccard")).alias("nj"),
+                    F.col("corpus_id").alias("cid"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("b.cid").alias("near_match_id"),
+            (-F.col("b.nj")).alias("near_jaccard"),
+        )
+    )
+    return (
+        exact.join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("exact_match_id").isNotNull().alias("exact_dup"),
+            F.col("near_match_id").isNotNull().alias("near_dup"),
+            F.coalesce("exact_match_id", "near_match_id").alias("match_id"),
+            F.when(F.col("exact_match_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("near_jaccard"))
+            .alias("match_jaccard"),
+        )
+    )

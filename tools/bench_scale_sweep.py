@@ -537,6 +537,14 @@ def main() -> None:
         timed("doc_lm_scores", scale, lambda: backoff_lm_scores(
             inp["docs"], inp["docs"].filter(F.col("doc_id") % 5 == 0)
         ).count())
+
+        from smatchpp_spark.pipeline.dedup import dedup_against
+
+        timed("doc_dedup_against", scale, lambda: dedup_against(
+            inp["docs"].filter(F.col("doc_id") % 3 == 0),
+            inp["docs"].filter(F.col("doc_id") % 3 != 0),
+            threshold=0.3,
+        ).count())
         from smatchpp_spark.operators.bfs import double_sweep_diameter
         from smatchpp_spark.operators.kcore import coreness
 
