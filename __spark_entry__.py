@@ -2143,6 +2143,60 @@ WHERE CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
 """
 
 
+def _spectral_sql(iters: int = 10, seed: int = 7) -> str:
+    """spectral_bisection replay (operators/spectral.py): the exact
+    deflated power iterates — closed-form phi = sqrt(d) deflation and
+    l2 normalization per step, hash-seeded start vector, shift (M+I)/2.
+    Float-order noise stays ~1e-13 through the smooth normalization;
+    ROUND 6 absorbs it."""
+    h = _h(f"(vertex || '#{seed}')")
+    parts = [
+        f"WITH e0 AS ({SQL_E_OP}),",
+        "c0 AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b",
+        "       FROM e0 WHERE src <> dst GROUP BY 1, 2),",
+        "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM c0",
+        "        UNION ALL SELECT b, a FROM c0),",
+        "deg AS MATERIALIZED (SELECT src AS vertex, CAST(COUNT(*) AS DOUBLE) AS d",
+        "        FROM und GROUP BY src),",
+        "w AS MATERIALIZED (SELECT und.src, und.dst, 1.0 / sqrt(ds.d * dt.d) AS w",
+        "      FROM und JOIN deg ds ON ds.vertex = und.src",
+        "      JOIN deg dt ON dt.vertex = und.dst),",
+        f"xr AS (SELECT vertex, sqrt(d) AS phi,",
+        f"        CAST(({h}) % 1000000 AS DOUBLE) / 500000.0 - 1.0 AS x",
+        "        FROM deg),",
+    ]
+
+    def deflate(k: int, src_cte: str) -> list[str]:
+        return [
+            f"c_{k} AS (SELECT SUM(x * phi) / SUM(phi * phi) AS c FROM {src_cte}),",
+            f"y_{k} AS MATERIALIZED (SELECT vertex, phi,",
+            f"          x - (SELECT c FROM c_{k}) * phi AS x FROM {src_cte}),",
+            f"n_{k} AS (SELECT sqrt(SUM(x * x)) AS nrm FROM y_{k}),",
+            f"x{k} AS MATERIALIZED (SELECT vertex, phi,",
+            f"         CASE WHEN (SELECT nrm FROM n_{k}) > 0",
+            f"              THEN x / (SELECT nrm FROM n_{k}) ELSE 0.0 END AS x",
+            f"         FROM y_{k}),",
+        ]
+
+    parts += deflate(0, "xr")
+    for k in range(1, iters + 1):
+        p = f"x{k-1}"
+        parts += [
+            f"m_{k} AS (SELECT w.dst AS vertex, SUM(x.x * w.w) AS mx",
+            f"          FROM {p} x JOIN w ON w.src = x.vertex GROUP BY w.dst),",
+            f"s_{k} AS (SELECT p.vertex, p.phi,",
+            f"          (COALESCE(m.mx, 0.0) + p.x) / 2.0 AS x",
+            f"          FROM {p} p LEFT JOIN m_{k} m ON m.vertex = p.vertex),",
+        ]
+        parts += deflate(k, f"s_{k}")
+    parts.append(
+        f"fin AS (SELECT 1) SELECT vertex,"
+        f" ROUND(x, 6) + 0.0 AS fiedler,"
+        f" ROUND(x, 6) + 0.0 >= 0 AS side FROM x{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _dedup_against_sql(
     threshold: float = 0.3,
     num_hashes: int = 8,
@@ -4330,6 +4384,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hitting_times"] = _hitting
 
+    def _spectral(spark, sf):
+        from smatchpp_spark.operators.spectral import spectral_bisection
+
+        r = spectral_bisection(_e_op(spark, sf), supersteps=10, seed=7)
+        # + 0.0 clears IEEE -0.0 (repr-sorts differently than 0.0 in the
+        # driver compare); side re-derived from the ROUNDED value so both
+        # engines decide the boundary at the same granularity
+        f6 = F.round("fiedler", 6) + F.lit(0.0)
+        return r.coords.select(
+            "vertex", f6.alias("fiedler"), (f6 >= 0).alias("side")
+        )
+
+    q["spectral_bisection"] = _spectral
+
     def _label_assort(spark, sf):
         from smatchpp_spark.operators.graphstats import label_assortativity
 
@@ -5663,7 +5731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # graph_label_assortativity, simrank_scores, config_model_edges,
 # transitivity_sampled, partition_agreement, vertex_encode,
 # pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
-# doc_dedup_against — put
+# doc_dedup_against, spectral_bisection — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -5981,6 +6049,7 @@ FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
         "transitivity_sampled": _transitivity_approx_sql(2, 42),
         # truncated hitting time replay (operators/hitting.py):
         # K=6 value-iteration steps, targets = parts with key % 97 = 0
+        "spectral_bisection": _spectral_sql(10, 7),
         "hitting_times": f"""
 WITH e AS ({SQL_E_OP}),
 v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),

@@ -1062,6 +1062,12 @@ def main() -> None:
             inp["e_op"], ht_targets, horizon=6
         ).times.count())
 
+        from smatchpp_spark.operators.spectral import spectral_bisection
+
+        timed("spectral_bisection", scale, lambda: spectral_bisection(
+            inp["e_op"], supersteps=6
+        ).coords.count())
+
         from smatchpp_spark.operators.quantiles import quantiles_exact
 
         qe_deg = (
