@@ -37,7 +37,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "local_community", "partition",
                             "single_linkage", "pagerank_incremental",
                             "fastrp", "widest_path", "reliable_path",
-                            "graph_diff", "cc_incremental"])
+                            "graph_diff", "cc_incremental",
+                            "pagerank_csr", "hitting", "spectral",
+                            "encode", "degree_quantiles"])
+    p.add_argument("--quantiles", default="0.1,0.5,0.9,0.99",
+                   help="degree_quantiles: comma-separated q values")
     p.add_argument("--edges-old", default=None,
                    help="graph_diff: parquet dir of the OLD snapshot "
                         "(--edges is the new one)")
@@ -611,6 +615,52 @@ def main() -> None:
         print(f"single_linkage: n_clusters={res.n_clusters} "
               f"msf_rounds={res.msf_rounds}")
         out = res.clusters
+    elif args.op == "pagerank_csr":
+        from smatchpp_spark.operators.csr import pagerank_csr
+
+        res = pagerank_csr(
+            edges, alpha=args.alpha, tol=args.tol,
+            max_supersteps=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            max_fanout=args.max_fanout,
+        )
+        out, summary["supersteps"], summary["converged"] = (
+            res.ranks, res.supersteps, res.converged
+        )
+    elif args.op == "hitting":
+        from smatchpp_spark.operators.hitting import hitting_times
+
+        if not args.sources:
+            raise SystemExit("hitting requires --sources (the target set)")
+        if args.sources.startswith("@"):
+            targets = spark.read.parquet(args.sources[1:])
+        else:
+            targets = spark.createDataFrame(
+                [(v,) for v in args.sources.split(",")], "vertex string"
+            )
+        res = hitting_times(
+            edges, targets, horizon=args.max_supersteps,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"] = res.times, res.supersteps
+    elif args.op == "spectral":
+        from smatchpp_spark.operators.spectral import spectral_bisection
+
+        res = spectral_bisection(
+            edges, supersteps=args.max_supersteps, seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        out, summary["supersteps"] = res.coords, res.supersteps
+    elif args.op == "encode":
+        from smatchpp_spark.sources.encode import vertex_dictionary
+
+        out = vertex_dictionary(edges, seed=args.seed)
+    elif args.op == "degree_quantiles":
+        from smatchpp_spark.operators.quantiles import quantiles_exact
+
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        qs = [float(x) for x in args.quantiles.split(",")]
+        out = quantiles_exact(deg, "d", qs)
     elif args.op == "egonet":
         from smatchpp_spark.operators.egonet import egonet_features
 

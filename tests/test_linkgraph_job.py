@@ -576,3 +576,60 @@ def test_linkgraph_job_cc_incremental(spark, tmp_path, monkeypatch, capsys):
     comp = {r.vertex: r.component
             for r in spark.read.parquet(out).collect()}
     assert set(comp.values()) == {"1"}  # the bridge merges everything
+
+
+def test_linkgraph_job_round7_late_ops(spark, tmp_path, monkeypatch, capsys):
+    pairs = [(i, (i * 3 + 1) % 40) for i in range(40)] + [(0, 1), (1, 2)]
+    epath = _write_edges(spark, tmp_path, pairs)
+
+    # pagerank_csr converges to the join dataflow's ranks
+    o_csr = str(tmp_path / "prc")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "pagerank_csr", "--edges", epath,
+         "--max-supersteps", "6", "--tol", "-1", "-o", o_csr],
+    )
+    assert s["rows"] > 0
+    o_pr = str(tmp_path / "prj")
+    _run_job(
+        monkeypatch, capsys,
+        ["--op", "pagerank", "--edges", epath,
+         "--max-supersteps", "6", "--tol", "-1", "-o", o_pr],
+    )
+    a = {r.vertex: r.rank for r in spark.read.parquet(o_pr).collect()}
+    b = {r.vertex: r.rank for r in spark.read.parquet(o_csr).collect()}
+    assert a.keys() == b.keys()
+    assert max(abs(a[v] - b[v]) for v in a) < 1e-12
+
+    # hitting: targets via the inline --sources form
+    o_hit = str(tmp_path / "hit")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "hitting", "--edges", epath, "--sources", "1,2",
+         "--max-supersteps", "5", "-o", o_hit],
+    )
+    assert s["rows"] == len(a)
+    hs = {r.vertex: r.hitting_time for r in spark.read.parquet(o_hit).collect()}
+    assert hs["1"] == 0.0 and hs["2"] == 0.0
+    assert all(0.0 <= v <= 5.0 for v in hs.values())
+
+    # spectral / encode / degree_quantiles smoke through the CLI
+    o_sp = str(tmp_path / "sp")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "spectral", "--edges", epath,
+         "--max-supersteps", "4", "-o", o_sp],
+    )
+    assert s["rows"] == len(a)
+    o_enc = str(tmp_path / "enc")
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "encode", "--edges", epath, "-o", o_enc])
+    vids = sorted(r.vid for r in spark.read.parquet(o_enc).collect())
+    assert vids == list(range(len(a)))
+    o_q = str(tmp_path / "dq")
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "degree_quantiles", "--edges", epath,
+         "--quantiles", "0.5,1.0", "-o", o_q],
+    )
+    assert s["rows"] == 2

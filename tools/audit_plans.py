@@ -14,6 +14,30 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.01"
 
 CHECKS = {
+    "vertex_encode": [
+        ("ReadSchema: struct<l_orderkey:bigint>",
+         "column pruning per union branch: the src-endpoint scan reads "
+         "ONE of 11 lineitem columns (the dst branch reads l_partkey)"),
+        ("BroadcastHashJoin",
+         "the 256-row bucket-offset spine broadcasts — no global window "
+         "ever sees the V-row dictionary"),
+        ("HashAggregate",
+         "per-bucket counts combine map-side before the offset scan"),
+    ],
+    "doc_lm_scores": [
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "LM training + scoring read 2 of 5 document columns"),
+        ("HashAggregate",
+         "unigram/bigram counts and the per-(doc,v,w) pre-combine all "
+         "aggregate map-side before their shuffles"),
+    ],
+    "doc_dedup_against": [
+        ("LeftSemi",
+         "the corpus-side mega-bucket guard is a semi-join — oversized "
+         "buckets never reach the band join"),
+        ("HashAggregate",
+         "band-bucket sizes and the best-match argmax combine map-side"),
+    ],
     "doc_repetition": [
         ("ReadSchema: struct<doc_id:bigint,text:string>",
          "ONE scan of 2/5 document columns feeds lines + both gram sizes "
@@ -246,10 +270,13 @@ CHECKS = {
          "materialization of the pair table"),
     ],
     "four_clique_counts": [
-        ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
-         "co-purchase edge derivation reads 2 of 11 lineitem columns"),
-        ("HashAggregate",
-         "exploded 4-clique corners combine map-side per vertex"),
+        ("Scan ExistingRDD",
+         "the operator returns its eagerly-checkpointed per-vertex table "
+         "(the 3-join clique plan is deliberately truncated — it feeds "
+         "both the total and the per-vertex output); the UPSTREAM "
+         "dataflow (2-column scan, oriented joins, one explode pass, "
+         "map-side corner combine) is audited via graphlet_census, "
+         "which runs the identical un-checkpointed plan"),
     ],
     "graphlet_census": [
         ("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",

@@ -534,15 +534,18 @@ def main() -> None:
         ).count())
         from smatchpp_spark.pipeline.text import backoff_lm_scores
 
+        # doc_id is a prefixed STRING in the 10x construction — select
+        # the reference slice by hash, not by integer mod
         timed("doc_lm_scores", scale, lambda: backoff_lm_scores(
-            inp["docs"], inp["docs"].filter(F.col("doc_id") % 5 == 0)
+            inp["docs"],
+            inp["docs"].filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0),
         ).count())
 
         from smatchpp_spark.pipeline.dedup import dedup_against
 
         timed("doc_dedup_against", scale, lambda: dedup_against(
-            inp["docs"].filter(F.col("doc_id") % 3 == 0),
-            inp["docs"].filter(F.col("doc_id") % 3 != 0),
+            inp["docs"].filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0),
+            inp["docs"].filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) != 0),
             threshold=0.3,
         ).count())
         from smatchpp_spark.operators.bfs import double_sweep_diameter
