@@ -5342,6 +5342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dedup_against"] = _dedup_against
 
+    q["doc_collocations"] = lambda spark, sf: text.collocations(
+        _docs(spark, sf), k=100, min_count=5
+    )
+
     q["doc_simhash"] = lambda spark, sf: dedup.simhash(
         _docs(spark, sf), bits=16, portable=True
     )
@@ -5731,7 +5735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # graph_label_assortativity, simrank_scores, config_model_edges,
 # transitivity_sampled, partition_agreement, vertex_encode,
 # pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
-# doc_dedup_against, spectral_bisection — put
+# doc_dedup_against, spectral_bisection, doc_collocations — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -6136,6 +6140,32 @@ FROM fin
         "dedup_clusters": _dedup_clusters_sql(),
         "doc_jaccard_verify": _jaccard_verify_sql(),
         "doc_dedup_against": _dedup_against_sql(0.3),
+        # PMI collocations replay (pipeline/text.py collocations):
+        # same token convention, min_count guard, (pmi desc, w1, w2)
+        # total order, TakeOrdered-k
+        "doc_collocations": f"""
+WITH tl AS (SELECT doc_id,
+        list_filter({SQL_TOKS_LOWER}, w -> length(w) > 0) AS tk
+      FROM documents),
+uni AS (SELECT w, COUNT(*) AS cw
+        FROM (SELECT unnest(tk) AS w FROM tl) GROUP BY w),
+nn AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM uni),
+pp AS (SELECT CAST(SUM(greatest(len(tk) - 1, 0)) AS DOUBLE) AS p FROM tl),
+bi AS (SELECT u.v AS w1, u.w AS w2, COUNT(*) AS cnt FROM
+   (SELECT unnest(list_transform(range(1, len(tk)),
+        i -> {{'v': tk[i], 'w': tk[i+1]}})) AS u FROM tl)
+   GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+scored AS (SELECT w1, w2, cnt,
+        ln((cnt / (SELECT p FROM pp))
+           / ((u1.cw / (SELECT n FROM nn)) * (u2.cw / (SELECT n FROM nn))))
+        AS pmi
+      FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2),
+topk AS (SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS "rank",
+       w1, w2, cnt, ROUND(pmi, 6) AS pmi
+FROM topk
+""",
+
         "strongly_connected_components": """
 WITH sup AS (SELECT 's' || s_suppkey AS sv, 'n' || s_nationkey AS nv,
                     s_suppkey % 2 = 0 AS even

@@ -770,3 +770,85 @@ def backoff_lm_scores(
             ).alias("ppl"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    k: int = 200,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` corpus collocations by PMI — adjacent word pairs that
+    co-occur far more than their unigram frequencies predict (Church &
+    Hanks 1990), the standard multi-word-expression miner ("new york",
+    "machine learning") for vocabulary augmentation and tokenizer merge
+    seeding.
+
+      PMI(v,w) = ln( (c(v,w)/P) / ((c(v)/N)·(c(w)/N)) )
+
+    with N total unigrams, P total bigrams, both over the lowercased
+    empty-dropped token convention of ``backoff_lm_scores``.  The
+    ``min_count`` guard removes the classic PMI pathology (a pair of
+    two hapaxes scores the maximum).
+
+    Scale shape: one explode each for unigram and bigram counts, both
+    map-side combined; the two scalar totals broadcast as plan
+    literals; ranking is orderBy+limit = per-partition TakeOrdered
+    (k rows per partition cross the wire, never the full pair table).
+    Output (rank, w1, w2, cnt, pmi rounded 6), rank 1..k by
+    (pmi desc, w1 asc, w2 asc).
+    """
+    toks = F.filter(
+        F.transform(tokens(text_col), lambda w: F.lower(w)),
+        lambda w: F.length(w) > 0,
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    pr = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("v"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w"),
+    )
+    bi = (
+        docs.select(F.explode(pr).alias("p"))
+        .select(F.col("p.v").alias("w1"), F.col("p.w").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    row = uni.agg(F.sum("cw").alias("n")).collect()[0]
+    n_uni = float(row["n"] or 0)
+    p_row = docs.select(
+        F.coalesce(
+            F.sum(F.greatest(F.size(toks) - 1, F.lit(0))), F.lit(0)
+        ).alias("p")
+    ).collect()[0]
+    n_bi = float(p_row["p"] or 0)
+    if n_uni == 0 or n_bi == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, w1 string, w2 string, cnt long, pmi double"
+        )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.log(
+                (F.col("cnt") / F.lit(n_bi))
+                / ((F.col("c1") / F.lit(n_uni)) * (F.col("c2") / F.lit(n_uni)))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+    w_rank = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w_rank).cast("int")
+    ).select("rank", "w1", "w2", "cnt", F.round("pmi", 6).alias("pmi"))

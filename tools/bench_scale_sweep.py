@@ -541,6 +541,12 @@ def main() -> None:
             inp["docs"].filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0),
         ).count())
 
+        from smatchpp_spark.pipeline.text import collocations
+
+        timed("doc_collocations", scale, lambda: collocations(
+            inp["docs"], k=100, min_count=5
+        ).count())
+
         from smatchpp_spark.pipeline.dedup import dedup_against
 
         timed("doc_dedup_against", scale, lambda: dedup_against(
