@@ -4398,6 +4398,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spectral_bisection"] = _spectral
 
+    def _embeddedness(spark, sf):
+        from smatchpp_spark.operators.sparsify import edge_embeddedness
+
+        return edge_embeddedness(_e_co(spark, sf))
+
+    q["edge_embeddedness"] = _embeddedness
+
+    def _sparsify(spark, sf):
+        from smatchpp_spark.operators.sparsify import local_sparsify
+
+        return local_sparsify(_e_co(spark, sf), exponent=0.5)
+
+    q["graph_sparsify"] = _sparsify
+
     def _label_assort(spark, sf):
         from smatchpp_spark.operators.graphstats import label_assortativity
 
@@ -5735,7 +5749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # graph_label_assortativity, simrank_scores, config_model_edges,
 # transitivity_sampled, partition_agreement, vertex_encode,
 # pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
-# doc_dedup_against, spectral_bisection, doc_collocations — put
+# doc_dedup_against, spectral_bisection, doc_collocations,
+# edge_embeddedness, graph_sparsify — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -6054,6 +6069,63 @@ FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
         # truncated hitting time replay (operators/hitting.py):
         # K=6 value-iteration steps, targets = parts with key % 97 = 0
         "spectral_bisection": _spectral_sql(10, 7),
+        # edge embeddedness / local sparsification replays
+        # (operators/sparsify.py): common-neighbor support over the
+        # canonical simple co-purchase graph, ratios rounded 9
+        "edge_embeddedness": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        greatest(src, dst) AS b FROM raw WHERE src <> dst),
+und AS MATERIALIZED (SELECT a AS v, b AS n FROM c
+        UNION ALL SELECT b, a FROM c),
+deg AS (SELECT v, COUNT(*) AS d FROM und GROUP BY v),
+cn AS (SELECT c.a, c.b, COUNT(*) AS support
+       FROM c JOIN und n1 ON n1.v = c.a
+              JOIN und n2 ON n2.v = c.b AND n2.n = n1.n
+       GROUP BY c.a, c.b)
+SELECT c.a, c.b, COALESCE(cn.support, 0) AS support,
+  CASE WHEN least(da.d, db.d) - 1 <= 0 THEN 0.0
+       ELSE ROUND(CAST(COALESCE(cn.support, 0) AS DOUBLE)
+                  / (least(da.d, db.d) - 1), 9) END AS embeddedness,
+  CASE WHEN da.d + db.d - 2 - COALESCE(cn.support, 0) <= 0 THEN 0.0
+       ELSE ROUND(CAST(COALESCE(cn.support, 0) AS DOUBLE)
+                  / (da.d + db.d - 2 - COALESCE(cn.support, 0)), 9)
+  END AS nbr_jaccard
+FROM c LEFT JOIN cn ON cn.a = c.a AND cn.b = c.b
+JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b
+""",
+        "graph_sparsify": f"""
+WITH raw AS ({SQL_E_CO}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        greatest(src, dst) AS b FROM raw WHERE src <> dst),
+und AS MATERIALIZED (SELECT a AS v, b AS n FROM c
+        UNION ALL SELECT b, a FROM c),
+deg AS (SELECT v, COUNT(*) AS d FROM und GROUP BY v),
+cn AS (SELECT c.a, c.b, COUNT(*) AS support
+       FROM c JOIN und n1 ON n1.v = c.a
+              JOIN und n2 ON n2.v = c.b AND n2.n = n1.n
+       GROUP BY c.a, c.b),
+emb AS MATERIALIZED (
+  SELECT c.a, c.b, COALESCE(cn.support, 0) AS support,
+    CASE WHEN da.d + db.d - 2 - COALESCE(cn.support, 0) <= 0 THEN 0.0
+         ELSE ROUND(CAST(COALESCE(cn.support, 0) AS DOUBLE)
+                    / (da.d + db.d - 2 - COALESCE(cn.support, 0)), 9)
+    END AS s
+  FROM c LEFT JOIN cn ON cn.a = c.a AND cn.b = c.b
+  JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b),
+inc AS (SELECT a AS v, b AS nbr, s FROM emb
+        UNION ALL SELECT b, a, s FROM emb),
+ranked AS (SELECT v, nbr, s,
+        row_number() OVER (PARTITION BY v ORDER BY s DESC, nbr) AS r,
+        CAST(ceil(pow(CAST(COUNT(*) OVER (PARTITION BY v) AS DOUBLE),
+                      0.5)) AS INT) AS k
+      FROM inc),
+kept AS (SELECT DISTINCT least(v, nbr) AS a, greatest(v, nbr) AS b
+         FROM ranked WHERE r <= k)
+SELECT emb.a, emb.b, emb.support, emb.s AS nbr_jaccard
+FROM kept JOIN emb ON emb.a = kept.a AND emb.b = kept.b
+""",
+
         "hitting_times": f"""
 WITH e AS ({SQL_E_OP}),
 v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),

@@ -1077,6 +1077,12 @@ def main() -> None:
             inp["e_op"], supersteps=6
         ).coords.count())
 
+        from smatchpp_spark.operators.sparsify import local_sparsify
+
+        timed("graph_sparsify", scale, lambda: local_sparsify(
+            inp["e_co19"], exponent=0.5
+        ).count())
+
         from smatchpp_spark.operators.quantiles import quantiles_exact
 
         qe_deg = (
