@@ -2197,6 +2197,48 @@ def _spectral_sql(iters: int = 10, seed: int = 7) -> str:
     return "\n".join(parts)
 
 
+def _containment_sql(
+    threshold: float = 0.5, num_hashes: int = 8, band_size: int = 2
+) -> str:
+    """containment_pairs replay (pipeline/dedup.py): the minhash-band
+    candidates of _jaccard_verify_sql scored with Broder's asymmetric
+    containment in both directions, either direction >= threshold."""
+    sig = _sig_cols(num_hashes)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b // band_size} AS band_idx, "
+        + _h(
+            "("
+            + " || ',' || ".join(
+                f"CAST(sig_{i} AS VARCHAR)" for i in range(b, b + band_size)
+            )
+            + ")"
+        )
+        + " AS band_hash FROM sigs"
+        for b in range(0, num_hashes, band_size)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+s AS MATERIALIZED (SELECT doc_id, {SQL_SHINGLES} AS sh FROM t),
+sigs AS (SELECT doc_id, {sig} FROM s),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+sc AS (SELECT cand.doc_a, cand.doc_b,
+        CASE WHEN len(sa.sh) = 0 THEN 0.0
+             ELSE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                        / len(sa.sh), 9) END AS containment_ab,
+        CASE WHEN len(sb.sh) = 0 THEN 0.0
+             ELSE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                        / len(sb.sh), 9) END AS containment_ba
+      FROM cand JOIN s sa ON sa.doc_id = cand.doc_a
+      JOIN s sb ON sb.doc_id = cand.doc_b)
+SELECT * FROM sc
+WHERE containment_ab >= {threshold!r} OR containment_ba >= {threshold!r}
+"""
+
+
 def _dedup_against_sql(
     threshold: float = 0.3,
     num_hashes: int = 8,
@@ -5360,6 +5402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), k=100, min_count=5
     )
 
+    q["doc_containment"] = lambda spark, sf: dedup.containment_pairs(
+        _docs(spark, sf), threshold=0.5, num_hashes=8, band_size=2,
+        portable=True,
+    )
+
     q["doc_simhash"] = lambda spark, sf: dedup.simhash(
         _docs(spark, sf), bits=16, portable=True
     )
@@ -5750,7 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # transitivity_sampled, partition_agreement, vertex_encode,
 # pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
 # doc_dedup_against, spectral_bisection, doc_collocations,
-# edge_embeddedness, graph_sparsify — put
+# edge_embeddedness, graph_sparsify, doc_containment — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -6212,6 +6259,7 @@ FROM fin
         "dedup_clusters": _dedup_clusters_sql(),
         "doc_jaccard_verify": _jaccard_verify_sql(),
         "doc_dedup_against": _dedup_against_sql(0.3),
+        "doc_containment": _containment_sql(0.5),
         # PMI collocations replay (pipeline/text.py collocations):
         # same token convention, min_count guard, (pmi desc, w1, w2)
         # total order, TakeOrdered-k

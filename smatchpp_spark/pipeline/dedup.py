@@ -937,3 +937,74 @@ def dedup_against(
             .alias("match_jaccard"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs (Broder 1997): containment
+    c(A→B) = |S(A) ∩ S(B)| / |S(A)| — how much of A's shingle set lives
+    inside B.  Catches the duplicates symmetric Jaccard misses: a short
+    doc quoted wholesale inside a long one scores Jaccard ≈ |A|/|B|
+    (tiny) but containment ≈ 1.
+
+    Candidates come from the SAME MinHash LSH band join as
+    ``neardup_pairs_minhash`` (minhash still concentrates around
+    Jaccard, so pure-containment pairs with tiny Jaccard can be missed
+    by banding — the documented trade; lower ``band_size`` raises
+    recall).  Verification is exact on the shingle sets.  Output one
+    row per candidate pair with ``containment_ab``/``containment_ba``
+    where either direction clears ``threshold``, ``doc_a < doc_b``.
+    """
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_k, portable
+    ).localCheckpoint(eager=False)
+    bands = lsh_bands(sigs, num_hashes, id_col, band_size, portable)
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    bands = bands.join(
+        sizes.filter(F.col("sz") <= max_bucket).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+    a = bands.select("band_idx", "band_hash", F.col(id_col).alias("doc_a"))
+    b = bands.select("band_idx", "band_hash", F.col(id_col).alias("doc_b"))
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = docs.select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_ab = F.when(F.size("sh_a") == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / F.size("sh_a")
+    )
+    c_ba = F.when(F.size("sh_b") == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / F.size("sh_b")
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 9).alias("containment_ab"),
+            F.round(c_ba, 9).alias("containment_ba"),
+        )
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+    )

@@ -83,3 +83,29 @@ def test_corpus_bucket_guard_drops_megabuckets(spark):
     n = dedup_against(new, cor, threshold=0.3, band_size=1, max_bucket=100)
     got2 = {r.doc_id: r for r in n.collect()}
     assert got2[901].near_dup  # with room, the same match is found
+
+
+def test_containment_catches_subset_duplicates(spark):
+    from smatchpp_spark.pipeline.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    short = " ".join(f"w{i}" for i in range(20, 35))  # verbatim slice
+    docs = [(1, long_text), (2, short),
+            (3, "x y z entirely other words here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {(r.doc_a, r.doc_b): (r.containment_ab, r.containment_ba)
+            for r in containment_pairs(df, threshold=0.8, band_size=1).collect()}
+    # the short doc is fully contained: c(B->A) = 1.0 even though
+    # symmetric Jaccard is ~0.22 (below every dedup threshold)
+    assert rows[(1, 2)][1] == 1.0
+    assert rows[(1, 2)][0] < 0.3
+    assert all(p == (1, 2) for p in rows)  # unrelated doc produces nothing
+
+
+def test_containment_symmetric_for_identical_docs(spark):
+    from smatchpp_spark.pipeline.dedup import containment_pairs
+
+    t = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    r = containment_pairs(df, threshold=0.8, band_size=1).collect()[0]
+    assert r.containment_ab == 1.0 and r.containment_ba == 1.0

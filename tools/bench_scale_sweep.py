@@ -547,6 +547,12 @@ def main() -> None:
             inp["docs"], k=100, min_count=5
         ).count())
 
+        from smatchpp_spark.pipeline.dedup import containment_pairs
+
+        timed("doc_containment", scale, lambda: containment_pairs(
+            inp["docs"], threshold=0.5
+        ).count())
+
         from smatchpp_spark.pipeline.dedup import dedup_against
 
         timed("doc_dedup_against", scale, lambda: dedup_against(
