@@ -4447,6 +4447,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edge_embeddedness"] = _embeddedness
 
+    def _percolation(spark, sf):
+        from smatchpp_spark.operators.percolation import percolation_profile
+
+        return percolation_profile(
+            _read(spark, sf, "orders").select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+                    "dst"
+                ),
+            ),
+            ps=(0.3, 0.7),
+            seed=13,
+        )
+
+    q["graph_percolation"] = _percolation
+
     def _sparsify(spark, sf):
         from smatchpp_spark.operators.sparsify import local_sparsify
 
@@ -5797,7 +5815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # transitivity_sampled, partition_agreement, vertex_encode,
 # pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
 # doc_dedup_against, spectral_bisection, doc_collocations,
-# edge_embeddedness, graph_sparsify, doc_containment — put
+# edge_embeddedness, graph_sparsify, doc_containment,
+# graph_percolation — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -6119,6 +6138,36 @@ FROM curve, f WHERE nf_estimate >= 0.9 * final_nf
         # edge embeddedness / local sparsification replays
         # (operators/sparsify.py): common-neighbor support over the
         # canonical simple co-purchase graph, ratios rounded 9
+        # bond percolation replay (operators/percolation.py):
+        # hash-coin edge retention at p in (0.3, 0.7) + recursive CC,
+        # vertex set fixed by the original graph (singletons count)
+        "graph_percolation": f"""
+WITH RECURSIVE e AS ({SQL_E_CUST}),
+c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        greatest(src, dst) AS b FROM e WHERE src <> dst),
+v AS MATERIALIZED (SELECT DISTINCT x AS v FROM
+        (SELECT a AS x FROM c UNION ALL SELECT b FROM c)),
+k0 AS MATERIALIZED (SELECT a, b FROM c WHERE CAST(('0x' || substr(md5(a || '#' || b || '#13'), 1, 15)) AS BIGINT) % 1000000 < 300000),
+u0 AS (SELECT a AS s, b AS d FROM k0 UNION SELECT b, a FROM k0),
+r0(vv, l) AS (SELECT s, s FROM u0
+      UNION SELECT u.d, r.l FROM r0 r JOIN u0 u ON u.s = r.vv),
+cc0 AS (SELECT vv, MIN(l) AS comp FROM r0 GROUP BY vv),
+f0 AS (SELECT v.v, COALESCE(cc0.comp, v.v) AS comp
+       FROM v LEFT JOIN cc0 ON cc0.vv = v.v),
+sz0 AS (SELECT comp, COUNT(*) AS sz FROM f0 GROUP BY comp),
+k1 AS MATERIALIZED (SELECT a, b FROM c WHERE CAST(('0x' || substr(md5(a || '#' || b || '#13'), 1, 15)) AS BIGINT) % 1000000 < 700000),
+u1 AS (SELECT a AS s, b AS d FROM k1 UNION SELECT b, a FROM k1),
+r1(vv, l) AS (SELECT s, s FROM u1
+      UNION SELECT u.d, r.l FROM r1 r JOIN u1 u ON u.s = r.vv),
+cc1 AS (SELECT vv, MIN(l) AS comp FROM r1 GROUP BY vv),
+f1 AS (SELECT v.v, COALESCE(cc1.comp, v.v) AS comp
+       FROM v LEFT JOIN cc1 ON cc1.vv = v.v),
+sz1 AS (SELECT comp, COUNT(*) AS sz FROM f1 GROUP BY comp),
+fin AS (SELECT 1)
+SELECT CAST(0.3 AS DOUBLE) AS p, CAST(SUM(sz) AS BIGINT) AS n_vertices, (SELECT COUNT(*) FROM k0) AS n_edges_kept, CAST(COUNT(*) AS BIGINT) AS n_components, CAST(MAX(sz) AS BIGINT) AS largest_component, ROUND(CAST(MAX(sz) AS DOUBLE) / SUM(sz), 9) AS frac_largest FROM sz0
+UNION ALL
+SELECT CAST(0.7 AS DOUBLE) AS p, CAST(SUM(sz) AS BIGINT) AS n_vertices, (SELECT COUNT(*) FROM k1) AS n_edges_kept, CAST(COUNT(*) AS BIGINT) AS n_components, CAST(MAX(sz) AS BIGINT) AS largest_component, ROUND(CAST(MAX(sz) AS DOUBLE) / SUM(sz), 9) AS frac_largest FROM sz1
+""",
         "edge_embeddedness": f"""
 WITH raw AS ({SQL_E_CO}),
 c AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,

@@ -1083,6 +1083,12 @@ def main() -> None:
             inp["e_op"], supersteps=6
         ).coords.count())
 
+        from smatchpp_spark.operators.percolation import percolation_profile
+
+        timed("graph_percolation", scale, lambda: percolation_profile(
+            inp["e_cust"], ps=(0.5,)
+        ).count())
+
         from smatchpp_spark.operators.sparsify import local_sparsify
 
         timed("graph_sparsify", scale, lambda: local_sparsify(
