@@ -315,7 +315,12 @@ def pagerank_csr(
     )
     ranks = result.state.select("vertex", "rank")
     if dictionary is not None:
-        ranks = decode_vertices(ranks, dictionary)
+        # materialize the decode so the dictionary's cache can be
+        # released now instead of leaking past the operator's lifetime
+        ranks = decode_vertices(ranks, dictionary).localCheckpoint(
+            eager=True
+        )
+        dictionary.unpersist()
     blocks.unpersist()
     vertices.unpersist()
     return PageRankResult(
