@@ -5420,6 +5420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), k=100, min_count=5
     )
 
+    q["doc_entropy"] = lambda spark, sf: text.token_entropy(_docs(spark, sf))
+
     q["doc_containment"] = lambda spark, sf: dedup.containment_pairs(
         _docs(spark, sf), threshold=0.5, num_hashes=8, band_size=2,
         portable=True,
@@ -5816,7 +5818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
 # doc_dedup_against, spectral_bisection, doc_collocations,
 # edge_embeddedness, graph_sparsify, doc_containment,
-# graph_percolation — put
+# graph_percolation, doc_entropy — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -6309,6 +6311,32 @@ FROM fin
         "doc_jaccard_verify": _jaccard_verify_sql(),
         "doc_dedup_against": _dedup_against_sql(0.3),
         "doc_containment": _containment_sql(0.5),
+        # token entropy replay (pipeline/text.py token_entropy):
+        # H = ln n - (sum c*ln c)/n, +0.0 clears IEEE -0.0 on both sides
+        "doc_entropy": f"""
+WITH tl AS (SELECT doc_id,
+        list_filter({SQL_TOKS_LOWER}, w -> length(w) > 0) AS tk
+      FROM documents),
+cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM
+        (SELECT doc_id, unnest(tk) AS t FROM tl) GROUP BY doc_id, t),
+agg AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+               SUM(c * ln(CAST(c AS DOUBLE))) AS clc
+        FROM cnt GROUP BY doc_id),
+h AS (SELECT doc_id, n_tokens, n_types,
+             ln(CAST(n_tokens AS DOUBLE)) - clc / n_tokens AS h
+      FROM agg)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(h.n_types, 0) AS BIGINT) AS n_types,
+       ROUND(COALESCE(CAST(h.n_types AS DOUBLE) / h.n_tokens, 0.0), 6)
+         AS type_token_ratio,
+       ROUND(COALESCE(h.h, 0.0), 6) + 0.0 AS token_entropy,
+       ROUND(CASE WHEN COALESCE(h.n_types, 0) <= 1 THEN 0.0
+             ELSE h.h / ln(CAST(h.n_types AS DOUBLE)) END, 6) + 0.0
+         AS entropy_norm
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+""",
+
         # PMI collocations replay (pipeline/text.py collocations):
         # same token convention, min_count guard, (pmi desc, w1, w2)
         # total order, TakeOrdered-k

@@ -852,3 +852,73 @@ def collocations(
     return scored.withColumn(
         "rank", F.row_number().over(w_rank).cast("int")
     ).select("rank", "w1", "w2", "cnt", F.round("pmi", 6).alias("pmi"))
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical diversity: Shannon entropy of the token
+    distribution plus the type-token ratio — the cheap repetitiveness
+    signals that complement the Gopher dup-fraction features (a doc
+    that is one phrase looped scores near-zero entropy long before any
+    n-gram window sees it).
+
+      H = −Σ_t (c_t/n)·ln(c_t/n)    entropy_norm = H / ln(n_types)
+
+    (norm is 0 when n_types ≤ 1).  Tokens are the lowercased
+    empty-dropped corpus convention.  One explode + one
+    map-side-combined (doc, token) count + one doc-keyed aggregation;
+    empty docs keep a row with zeros.
+    """
+    toks = F.filter(
+        F.transform(tokens(text_col), lambda w: F.lower(w)),
+        lambda w: F.length(w) > 0,
+    )
+    counts = (
+        docs.select(F.col(id_col), F.explode(toks).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # H = ln n − (Σ c·ln c)/n : one aggregation, no per-doc window
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clc"),
+    ).withColumn(
+        "h",
+        F.log(F.col("n_tokens").cast("double"))
+        - F.col("clc") / F.col("n_tokens"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.round(
+                F.coalesce(
+                    F.col("n_types") / F.col("n_tokens"), F.lit(0.0)
+                ),
+                6,
+            ).alias("type_token_ratio"),
+            # + 0.0 canonicalizes the IEEE -0.0 an all-one-token doc's
+            # ln n − (n·ln n)/n float residue can round to
+            (F.round(F.coalesce("h", F.lit(0.0)), 6) + F.lit(0.0)).alias(
+                "token_entropy"
+            ),
+            (
+                F.round(
+                    F.when(
+                        F.coalesce("n_types", F.lit(0)) <= 1, F.lit(0.0)
+                    ).otherwise(
+                        F.col("h") / F.log(F.col("n_types").cast("double"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("entropy_norm"),
+        )
+    )

@@ -547,6 +547,12 @@ def main() -> None:
             inp["docs"], k=100, min_count=5
         ).count())
 
+        from smatchpp_spark.pipeline.text import token_entropy
+
+        timed("doc_entropy", scale, lambda: token_entropy(
+            inp["docs"]
+        ).count())
+
         from smatchpp_spark.pipeline.dedup import containment_pairs
 
         timed("doc_containment", scale, lambda: containment_pairs(
