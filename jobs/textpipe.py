@@ -24,6 +24,7 @@ OPS = [
     "fingerprints", "token_stats",
     "chunks", "pack", "split", "mix", "dsir", "unimax",
     "bpe_train", "bpe_segment", "pii",
+    "lm_score", "collocations", "entropy", "containment", "dedup_against",
 ]
 
 
@@ -68,6 +69,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--merges", default=None,
                    help="bpe_segment: merges parquet dir from bpe_train")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--ref-docs", default=None,
+                   help="lm_score / dedup_against: parquet dir of the "
+                        "trusted / existing corpus")
+    p.add_argument("--k", type=int, default=200,
+                   help="collocations: top-k pairs")
+    p.add_argument("--min-count", type=int, default=5,
+                   help="collocations: hapax guard")
     p.add_argument("-o", "--output", required=True, help="output parquet dir")
     p.add_argument("--master", default=None)
     return p
@@ -222,6 +230,43 @@ def main() -> None:
             raise SystemExit("bpe_segment requires --merges (bpe_train output)")
         out = bpe_segment(docs, spark.read.parquet(args.merges),
                           text_col=txc, id_col=idc)
+    elif args.op == "lm_score":
+        from smatchpp_spark.pipeline.text import backoff_lm_scores
+
+        if not args.ref_docs:
+            raise SystemExit("lm_score requires --ref-docs (trusted corpus)")
+        out = backoff_lm_scores(
+            docs, spark.read.parquet(args.ref_docs),
+            text_col=txc, id_col=idc,
+        )
+    elif args.op == "collocations":
+        from smatchpp_spark.pipeline.text import collocations
+
+        out = collocations(docs, k=args.k, min_count=args.min_count,
+                           text_col=txc, id_col=idc)
+    elif args.op == "entropy":
+        from smatchpp_spark.pipeline.text import token_entropy
+
+        out = token_entropy(docs, text_col=txc, id_col=idc)
+    elif args.op == "containment":
+        from smatchpp_spark.pipeline.dedup import containment_pairs
+
+        out = containment_pairs(docs, threshold=args.threshold,
+                                text_col=txc, id_col=idc)
+    elif args.op == "dedup_against":
+        from smatchpp_spark.pipeline.dedup import dedup_against
+
+        if not args.ref_docs:
+            raise SystemExit(
+                "dedup_against requires --ref-docs (the existing corpus)"
+            )
+        out = dedup_against(
+            docs, spark.read.parquet(args.ref_docs),
+            threshold=args.threshold, text_col=txc, id_col=idc,
+        )
+        summary["n_flagged"] = out.filter(
+            "exact_dup OR near_dup"
+        ).count()
     else:  # pii
         from smatchpp_spark.pipeline.pii import pii_scrub
 

@@ -122,3 +122,49 @@ def test_textpipe_unimax(spark, tmp_path, monkeypatch, capsys):
     # src0 binds (12*2 <= 30); theta = (30-12)/1 = 18 for src1
     assert rows["src0"].allocation == 12.0 and rows["src0"].epochs == 2.0
     assert rows["src1"].allocation == 18.0
+
+
+def test_textpipe_round7_late_ops(spark, tmp_path, monkeypatch, capsys):
+    texts = [
+        "machine learning is fun and machine learning is useful",
+        "machine learning is fun and machine learning is useful",
+        "the quick brown fox jumps over the lazy dog",
+        "a a a a a a a a",
+    ]
+    dpath = _write_docs(spark, tmp_path, texts)
+    ref = _write_docs(spark, tmp_path, texts[:2], name="ref")
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "entropy", "--docs", dpath,
+                  "-o", str(tmp_path / "ent")])
+    assert s["rows"] == 4
+    ent = {r.doc_id: r.token_entropy
+           for r in spark.read.parquet(str(tmp_path / "ent")).collect()}
+    assert ent[3] == 0.0 and ent[2] > ent[0]
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "collocations", "--docs", dpath,
+                  "--k", "5", "--min-count", "2",
+                  "-o", str(tmp_path / "coll")])
+    assert 0 < s["rows"] <= 5
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "lm_score", "--docs", dpath, "--ref-docs", ref,
+                  "-o", str(tmp_path / "lm")])
+    assert s["rows"] == 4
+    lm = {r.doc_id: r.ppl
+          for r in spark.read.parquet(str(tmp_path / "lm")).collect()}
+    assert lm[0] < lm[2]  # in-reference text beats out-of-domain
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "dedup_against", "--docs", dpath,
+                  "--ref-docs", ref, "--threshold", "0.8",
+                  "-o", str(tmp_path / "da")])
+    assert s["rows"] == 4 and s["n_flagged"] >= 2  # docs 0,1 exact-match ref
+
+    s = _run_job(monkeypatch, capsys,
+                 ["--op", "containment", "--docs", dpath,
+                  "--threshold", "0.8", "-o", str(tmp_path / "cont")])
+    pairs = {(r.doc_a, r.doc_b)
+             for r in spark.read.parquet(str(tmp_path / "cont")).collect()}
+    assert (0, 1) in pairs  # identical docs contain each other
