@@ -39,7 +39,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "fastrp", "widest_path", "reliable_path",
                             "graph_diff", "cc_incremental",
                             "pagerank_csr", "hitting", "spectral",
-                            "encode", "degree_quantiles"])
+                            "encode", "degree_quantiles",
+                            "percolation", "sparsify", "embeddedness"])
+    p.add_argument("--ps", default="0.2,0.5,0.8",
+                   help="percolation: comma-separated retention probs")
+    p.add_argument("--exponent", type=float, default=0.5,
+                   help="sparsify: keep top-ceil(d^exponent) per vertex")
     p.add_argument("--quantiles", default="0.1,0.5,0.9,0.99",
                    help="degree_quantiles: comma-separated q values")
     p.add_argument("--edges-old", default=None,
@@ -661,6 +666,22 @@ def main() -> None:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         qs = [float(x) for x in args.quantiles.split(",")]
         out = quantiles_exact(deg, "d", qs)
+    elif args.op == "percolation":
+        from smatchpp_spark.operators.percolation import percolation_profile
+
+        out = percolation_profile(
+            edges, ps=tuple(float(x) for x in args.ps.split(",")),
+            seed=args.seed,
+        )
+    elif args.op == "sparsify":
+        from smatchpp_spark.operators.sparsify import local_sparsify
+
+        out = local_sparsify(edges, exponent=args.exponent,
+                             max_fanout=args.max_fanout)
+    elif args.op == "embeddedness":
+        from smatchpp_spark.operators.sparsify import edge_embeddedness
+
+        out = edge_embeddedness(edges)
     elif args.op == "egonet":
         from smatchpp_spark.operators.egonet import egonet_features
 

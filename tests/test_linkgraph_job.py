@@ -633,3 +633,31 @@ def test_linkgraph_job_round7_late_ops(spark, tmp_path, monkeypatch, capsys):
          "--quantiles", "0.5,1.0", "-o", o_q],
     )
     assert s["rows"] == 2
+
+
+def test_linkgraph_job_percolation_sparsify(spark, tmp_path, monkeypatch, capsys):
+    tri2 = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    epath = _write_edges(spark, tmp_path, tri2)
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "percolation", "--edges", epath, "--ps", "1.0",
+         "-o", str(tmp_path / "perc")],
+    )
+    assert s["rows"] == 1
+    r = spark.read.parquet(str(tmp_path / "perc")).collect()[0]
+    assert r.n_components == 1 and r.n_vertices == 6
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "sparsify", "--edges", epath, "--exponent", "0.5",
+         "-o", str(tmp_path / "sp")],
+    )
+    kept = {(r.a, r.b) for r in spark.read.parquet(str(tmp_path / "sp")).collect()}
+    assert ("3", "4") not in kept  # the zero-support bridge drops
+
+    s = _run_job(
+        monkeypatch, capsys,
+        ["--op", "embeddedness", "--edges", epath,
+         "-o", str(tmp_path / "emb")],
+    )
+    assert s["rows"] == len(tri2)
