@@ -5659,6 +5659,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_cosine_topk"] = _topk
 
+    def _sq_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        return similarity.sq_topk(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
+        )
+
+    q["emb_sq_topk"] = _sq_topk
+
     q["emb_lsh_buckets"] = lambda spark, sf: similarity.bucket_histogram(
         _read(spark, sf, "embeddings"), bits=8
     )
@@ -5818,7 +5826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
 # doc_dedup_against, spectral_bisection, doc_collocations,
 # edge_embeddedness, graph_sparsify, doc_containment,
-# graph_percolation, doc_entropy — put
+# graph_percolation, doc_entropy, emb_sq_topk — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -7243,6 +7251,44 @@ s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
 r AS (SELECT query_id, neighbor_id, sim,
       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rk <= 5
+""",
+        # scalar-quantization ADC replay (pipeline/similarity.py
+        # sq_train/sq_encode/sq_topk): per-dim (min,max) bounds,
+        # floor(t*255+0.5) codes with clamp, affine decode inside the
+        # cosine — codes are exact integers so decode doubles match
+        "emb_sq_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT u.d AS d, MIN(u.x) AS lo, MAX(u.x) AS hi FROM
+   (SELECT unnest(list_transform(range(1, len(v) + 1),
+        i -> {'d': i, 'x': v[i]})) AS u FROM e) GROUP BY u.d),
+b AS (SELECT list(lo ORDER BY d) AS lo,
+             list(CASE WHEN hi <= lo THEN 0.0
+                  ELSE 255.0 / (hi - lo) END ORDER BY d) AS inv,
+             list(CASE WHEN hi <= lo THEN 0.0
+                  ELSE (hi - lo) / 255.0 END ORDER BY d) AS sc
+      FROM dims),
+enc AS (SELECT e.vec_id,
+        list_transform(range(1, len(e.v) + 1),
+          i -> greatest(0, least(255,
+               CAST(floor((e.v[i] - b.lo[i]) * b.inv[i] + 0.5) AS INT))))
+          AS codes
+        FROM e, b),
+dec AS (SELECT enc.vec_id,
+        list_transform(range(1, len(enc.codes) + 1),
+          i -> b.lo[i] + CAST(enc.codes[i] AS DOUBLE) * b.sc[i]) AS cv
+        FROM enc, b),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+s AS (SELECT q.query_id, dec.vec_id AS neighbor_id,
+  CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+            * sqrt(list_dot_product(dec.cv, dec.cv)) = 0 THEN 0.0
+       ELSE list_dot_product(q.qv, dec.cv)
+            / (sqrt(list_dot_product(q.qv, q.qv))
+               * sqrt(list_dot_product(dec.cv, dec.cv))) END AS sim
+  FROM q CROSS JOIN dec WHERE dec.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sq_sim FROM r WHERE rk <= 5
 """,
         "emb_lsh_buckets": _lsh_bucket_sql(8),
         "emb_bucketed_topk": _bucketed_topk_sql(4, 5),

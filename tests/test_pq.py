@@ -121,3 +121,52 @@ def test_pq_kmeans_refinement_improves_quantization(spark):
 
     # Lloyd iterations never increase total quantization error
     assert total_err(ref_books) <= total_err(seed_books) + 1e-9
+
+
+def test_sq_codes_bounds_and_recall(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from smatchpp_spark.pipeline.similarity import (
+        cosine_topk,
+        sq_encode,
+        sq_topk,
+        sq_train,
+    )
+
+    random.seed(9)
+    vecs = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    b = sq_train(df)
+    assert len(b) == 16 and all(lo <= hi for lo, hi in b)
+    enc = sq_encode(df, b)
+    r = enc.select(F.explode("codes").alias("c")).agg(
+        F.min("c"), F.max("c")
+    ).collect()[0]
+    assert 0 <= r[0] and r[1] <= 255
+    # the corpus extremes hit both ends of the code range
+    assert r[0] == 0 and r[1] == 255
+    q = df.filter(F.col("vec_id") % 50 == 0)
+    exact = {(x.query_id, x.neighbor_id) for x in cosine_topk(df, q, k=5).collect()}
+    sq = {(x.query_id, x.neighbor_id) for x in sq_topk(df, q, k=5).collect()}
+    assert len(exact & sq) / len(exact) >= 0.8  # 8-bit ADC recall
+
+
+def test_sq_degenerate_dimension_and_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from smatchpp_spark.pipeline.similarity import sq_encode, sq_topk, sq_train
+
+    # a constant dimension has zero width: codes to 0, never NaN
+    df = spark.createDataFrame(
+        [(1, [1.0, 7.0]), (2, [2.0, 7.0]), (3, [3.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b = sq_train(df)
+    codes = {r.vec_id: r.codes for r in sq_encode(df, b).collect()}
+    assert [c[1] for c in codes.values()] == [0, 0, 0]
+    assert codes[1][0] == 0 and codes[3][0] == 255
+    with pytest.raises(ValueError):
+        sq_topk(df, df, k=1, max_queries=2)

@@ -357,6 +357,9 @@ def main() -> None:
         timed("emb_topk", scale, lambda: similarity.cosine_topk(
             inp["emb"], emb_queries, k=5
         ).count())
+        timed("emb_sq_topk", scale, lambda: similarity.sq_topk(
+            inp["emb"], emb_queries, k=5
+        ).count())
         timed("emb_ivf_topk", scale, lambda: similarity.ivf_topk(
             inp["emb"],
             emb_queries,
