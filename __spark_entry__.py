@@ -5422,6 +5422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_entropy"] = lambda spark, sf: text.token_entropy(_docs(spark, sf))
 
+    q["doc_clone_pairs"] = lambda spark, sf: dedup.clone_pairs(
+        _docs(spark, sf), threshold=0.3, k=5, window=4, portable=True
+    )
+
     q["doc_containment"] = lambda spark, sf: dedup.containment_pairs(
         _docs(spark, sf), threshold=0.5, num_hashes=8, band_size=2,
         portable=True,
@@ -5826,7 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
 # doc_dedup_against, spectral_bisection, doc_collocations,
 # edge_embeddedness, graph_sparsify, doc_containment,
-# graph_percolation, doc_entropy, emb_sq_topk — put
+# graph_percolation, doc_entropy, emb_sq_topk, doc_clone_pairs — put
 # them FIRST in the round-8 front, then the r6-verified rows that sat
 # out round 7.
 _DRIVER_WINDOW_FRONT = [
@@ -6319,6 +6323,38 @@ FROM fin
         "doc_jaccard_verify": _jaccard_verify_sql(),
         "doc_dedup_against": _dedup_against_sql(0.3),
         "doc_containment": _containment_sql(0.5),
+        # winnowing clone-pairs replay (pipeline/dedup.py
+        # winnow_fingerprints + clone_pairs): k=5 positional grams,
+        # window-4 min by (hash, pos DESC) = rightmost-minimal, distinct
+        # fps, bucket guard, overlap = shared / min(nfp)
+        "doc_clone_pairs": f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS_LOWER} AS toks FROM documents),
+gl AS (SELECT doc_id, list_transform(range(0, greatest(len(toks) - 4, 0)),
+         i -> {{'pos': i, 'g': array_to_string(toks[i+1:i+5], ' ')}}) AS gs
+       FROM t),
+g AS MATERIALIZED (SELECT doc_id, u.pos AS pos,
+        CAST(('0x' || substr(md5(u.g), 1, 15)) AS BIGINT) AS gh
+       FROM (SELECT doc_id, unnest(gs) AS u FROM gl)),
+n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+wins AS (SELECT doc_id, unnest(range(0, greatest(ng - 3, 0))) AS i FROM n),
+j AS (SELECT w.doc_id, w.i, g.gh, g.pos FROM wins w
+      JOIN g ON g.doc_id = w.doc_id AND g.pos >= w.i AND g.pos < w.i + 4),
+fp0 AS (SELECT doc_id, i, gh, row_number() OVER
+          (PARTITION BY doc_id, i ORDER BY gh, pos DESC) AS rn FROM j),
+fps AS MATERIALIZED (SELECT DISTINCT doc_id, gh AS fp FROM fp0 WHERE rn = 1),
+counts AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000),
+pr AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
+sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+       FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT sh.doc_a, sh.doc_b, sh.shared_fps,
+  ROUND(CAST(sh.shared_fps AS DOUBLE) / least(ca.nfp, cb.nfp), 9) AS overlap
+FROM sh JOIN counts ca ON ca.doc_id = sh.doc_a
+JOIN counts cb ON cb.doc_id = sh.doc_b
+WHERE CAST(sh.shared_fps AS DOUBLE) / least(ca.nfp, cb.nfp) >= 0.3
+""",
+
         # token entropy replay (pipeline/text.py token_entropy):
         # H = ln n - (sum c*ln c)/n, +0.0 clears IEEE -0.0 on both sides
         "doc_entropy": f"""

@@ -550,6 +550,12 @@ def main() -> None:
             inp["docs"], k=100, min_count=5
         ).count())
 
+        from smatchpp_spark.pipeline.dedup import clone_pairs
+
+        timed("doc_clone_pairs", scale, lambda: clone_pairs(
+            inp["docs"], threshold=0.3
+        ).count())
+
         from smatchpp_spark.pipeline.text import token_entropy
 
         timed("doc_entropy", scale, lambda: token_entropy(
