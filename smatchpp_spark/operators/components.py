@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from smatchpp_spark.operators.supersteps import SuperstepRunner, changed_count_delta
@@ -44,13 +44,22 @@ def connected_components(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # one exchange builds the message table in its final layout: the
+    # repartition hash-clusters by ``nbr``, and because hashpartitioning
+    # on a SUBSET of the grouping keys satisfies the dedup aggregation's
+    # clustering requirement, the per-(vertex, nbr) dedup runs in the
+    # same stage with no second exchange (the previous distinct-then-
+    # repartition shape shuffled the table twice).  Partitions are
+    # pre-sorted by the join key so the cached side never re-sorts under
+    # a per-superstep sort-merge join.
     undirected = (
         edges.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
         .unionByName(
             edges.select(F.col("dst").alias("vertex"), F.col("src").alias("nbr"))
         )
-        .distinct()
         .repartition(num_partitions, "nbr")
+        .dropDuplicates(["vertex", "nbr"])
+        .sortWithinPartitions("nbr")
         .persist()
     )
     n_msgs = undirected.count()
@@ -58,18 +67,34 @@ def connected_components(
     vertices = undirected.select("vertex").distinct()
     init = vertices.select("vertex", F.col("vertex").alias("component"))
 
-    def step(state: DataFrame, k: int) -> DataFrame:
-        # neighbor messages: nbr's current component flows to vertex
+    def step(state: DataFrame, k: int):
+        # neighbor messages: nbr's current component flows to vertex.
+        # State rows ride the same union tagged _own=true, so the
+        # aggregation emits BOTH the new component (min over self +
+        # neighbors) and the previous one (min over the single own row)
+        # — the changed-vertex convergence count is then a free
+        # Observation on the materialization job instead of a separate
+        # old⋈new join + count job per superstep.
         msgs = (
             state.withColumnRenamed("vertex", "nbr")
             .join(undirected, "nbr")
-            .select("vertex", "component")
+            .select("vertex", "component", F.lit(False).alias("_own"))
         )
-        return (
-            msgs.unionByName(state.select("vertex", "component"))
-            .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+        tagged = msgs.unionByName(
+            state.select("vertex", "component", F.lit(True).alias("_own"))
         )
+        new_state = tagged.groupBy("vertex").agg(
+            F.min("component").alias("component"),
+            F.min(F.when(F.col("_own"), F.col("component"))).alias("_prev"),
+        )
+        obs = Observation()
+        new_state = new_state.observe(
+            obs,
+            F.sum(
+                (F.col("component") != F.col("_prev")).cast("long")
+            ).alias("delta"),
+        )
+        return new_state, obs, lambda m: float(m["delta"] or 0)
 
     runner = SuperstepRunner(
         spark,
@@ -82,13 +107,13 @@ def connected_components(
     result = runner.run(
         init,
         step,
-        changed_count_delta("component"),
+        None,
         edges_processed_per_step=n_msgs,
         resume=resume,
     )
     undirected.unpersist()
     return ComponentsResult(
-        components=result.state,
+        components=result.state.select("vertex", "component"),
         supersteps=result.supersteps,
         converged=result.converged,
         metrics=result.metrics,

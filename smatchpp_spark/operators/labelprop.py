@@ -20,10 +20,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from smatchpp_spark.operators.supersteps import SuperstepRunner, changed_count_delta
+from smatchpp_spark.operators.supersteps import SuperstepRunner
 
 
 @dataclass
@@ -53,14 +53,21 @@ def label_propagation(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # one exchange builds the message table in its final layout (see
+    # connected_components: hashpartitioning on the subset key ``nbr``
+    # satisfies the dedup/weight-sum aggregation's clustering, so the
+    # old distinct/groupBy-then-repartition double shuffle collapses to
+    # one), pre-sorted by the join key so the cached side never re-sorts
+    # under a per-superstep sort-merge join.
     if weight_col is None:
         undirected = (
             edges.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
             .unionByName(
                 edges.select(F.col("dst").alias("vertex"), F.col("src").alias("nbr"))
             )
-            .distinct()
             .repartition(num_partitions, "nbr")
+            .dropDuplicates(["vertex", "nbr"])
+            .sortWithinPartitions("nbr")
             .persist()
         )
     else:
@@ -77,17 +84,20 @@ def label_propagation(
                     F.col(weight_col).cast("double").alias("w"),
                 )
             )
+            .repartition(num_partitions, "nbr")
             .groupBy("vertex", "nbr")
             .agg(F.sum("w").alias("w"))
-            .repartition(num_partitions, "nbr")
+            .sortWithinPartitions("nbr")
             .persist()
         )
     n_msgs = undirected.count()
     vertices = undirected.select("vertex").distinct()
     init = vertices.select("vertex", F.col("vertex").alias("label"))
 
-    def step(state: DataFrame, k: int) -> DataFrame:
-        msgs = state.withColumnRenamed("vertex", "nbr").join(undirected, "nbr")
+    def step(state: DataFrame, k: int):
+        msgs = state.select(
+            F.col("vertex").alias("nbr"), "label"
+        ).join(undirected, "nbr")
         if weight_col is None:
             counted = msgs.select("vertex", "label").groupBy(
                 "vertex", "label"
@@ -113,11 +123,23 @@ def label_propagation(
             )
             .select("vertex", F.col("best.label").alias("label"))
         )
-        # isolated vertices (no messages) keep their label
-        return state.join(picked, "vertex", "left").select(
+        # isolated vertices (no messages) keep their label; the previous
+        # label rides along so the changed-label convergence count is a
+        # free Observation on the materialization job instead of a
+        # separate old⋈new join + count job per superstep
+        new_state = state.select("vertex", "label").join(
+            picked.withColumnRenamed("label", "_new"), "vertex", "left"
+        ).select(
             "vertex",
-            F.coalesce(picked["label"], state["label"]).alias("label"),
+            F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            F.col("label").alias("_prev"),
         )
+        obs = Observation()
+        new_state = new_state.observe(
+            obs,
+            F.sum((F.col("label") != F.col("_prev")).cast("long")).alias("delta"),
+        )
+        return new_state, obs, lambda m: float(m["delta"] or 0)
 
     runner = SuperstepRunner(
         spark,
@@ -130,13 +152,13 @@ def label_propagation(
     result = runner.run(
         init,
         step,
-        changed_count_delta("label"),
+        None,
         edges_processed_per_step=n_msgs,
         resume=resume,
     )
     undirected.unpersist()
     return LabelPropResult(
-        labels=result.state,
+        labels=result.state.select("vertex", "label"),
         supersteps=result.supersteps,
         converged=result.converged,
         metrics=result.metrics,

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from smatchpp_spark.operators.supersteps import SuperstepRunner
@@ -96,24 +96,39 @@ def pagerank(
     if weight_col is not None and adjacency:
         raise ValueError("weight_col does not compose with adjacency=True")
 
-    if weight_col is None:
-        out_deg = edges.groupBy(F.col("src").alias("vertex")).agg(
-            F.count(F.lit(1)).alias("out_deg")
-        )
-    else:
-        out_deg = edges.groupBy(F.col("src").alias("vertex")).agg(
-            F.sum(F.col(weight_col).cast("double")).alias("out_w")
-        )
-    # vertex table carries the dangling flag so the per-step dangling
-    # mass is a plain column aggregation over the state — a semi-join
-    # against a dangling table would rebuild its broadcast hash table on
-    # the driver EVERY superstep, a serial cost that caps scaling
+    # vertex set, out-degree and the dangling flag all come out of ONE
+    # union-aggregation over the endpoint projections (dst rows
+    # contribute 0 so every endpoint appears; dangling ⇔ out-mass 0) —
+    # this replaces the previous distinct-endpoints + out-degree groupBy
+    # + left join (three exchanges over E rows) with a single exchange.
+    # The vertex table also carries the dangling flag so the per-step
+    # dangling mass is a plain column aggregation over the state — a
+    # semi-join against a dangling table would rebuild its broadcast
+    # hash table on the driver EVERY superstep, a serial cost that caps
+    # scaling.
     deg_col = "out_deg" if weight_col is None else "out_w"
-    vertices = (
-        _vertices(edges)
-        .join(out_deg, "vertex", "left")
-        .select("vertex", F.col(deg_col).isNull().alias("dangling"))
-    )
+    if weight_col is None:
+        ends = edges.select(
+            F.col("src").alias("vertex"), F.lit(1).alias("_o")
+        ).unionByName(edges.select(F.col("dst").alias("vertex"), F.lit(0).alias("_o")))
+        vdeg = ends.groupBy("vertex").agg(F.sum("_o").alias(deg_col))
+        dangling = F.col(deg_col) == 0
+    else:
+        ends = edges.select(
+            F.col("src").alias("vertex"),
+            F.col(weight_col).cast("double").alias("_o"),
+        ).unionByName(
+            edges.select(F.col("dst").alias("vertex"), F.lit(0.0).alias("_o"))
+        )
+        vdeg = ends.groupBy("vertex").agg(F.sum("_o").alias(deg_col))
+        # weights are positive (callers filter), so zero out-mass ⇔ no
+        # outgoing edge — identical to the old isNull-after-left-join flag
+        dangling = F.col(deg_col) == 0.0
+    # the agg output is already hash-partitioned by vertex at the session
+    # shuffle parallelism, so no extra repartition pass is needed
+    vdeg = vdeg.persist()
+    out_deg = vdeg.filter(~dangling)
+    vertices = vdeg.select("vertex", dangling.alias("dangling"))
     if personalized:
         if isinstance(sources, DataFrame):
             s = (
@@ -128,7 +143,6 @@ def pagerank(
             vertices = vertices.withColumn(
                 "is_src", F.col("vertex").isin(list(sources))
             )
-    vertices = vertices.repartition(num_partitions, "vertex").persist()
     if personalized:
         row = vertices.agg(
             F.count(F.lit(1)).alias("n"),
@@ -167,6 +181,7 @@ def pagerank(
             .agg(F.collect_list("dst").alias("dsts"))
             .drop("bkt")
             .repartition(num_partitions, "src")
+            .sortWithinPartitions("src")
             .persist()
         )
         n_edges = (
@@ -180,6 +195,7 @@ def pagerank(
             .join(out_deg.withColumnRenamed("vertex", "src"), "src")
             .select("src", "dst", (F.col("ew") / F.col("out_w")).alias("w"))
             .repartition(num_partitions, "src")
+            .sortWithinPartitions("src")
             .persist()
         )
         n_edges = contrib_edges.count()
@@ -189,6 +205,7 @@ def pagerank(
             .join(out_deg.withColumnRenamed("vertex", "src"), "src")
             .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
             .repartition(num_partitions, "src")
+            .sortWithinPartitions("src")
             .persist()
         )
         n_edges = contrib_edges.count()
@@ -205,26 +222,38 @@ def pagerank(
             F.lit(float("nan")).alias("prev_rank"),
         )
 
-    def step(state: DataFrame, k: int) -> DataFrame:
-        # one action per superstep: dangling mass is a scan-aggregation
-        # of the (checkpointed) state broadcast as a 1-row scalar, and
-        # the previous rank rides along in the output so convergence is
-        # a scan of the new state, not a separate old⋈new join job
-        dm_df = state.filter("dangling").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
+    # the dangling mass of state k-1 and the convergence delta of state k
+    # are both collected FOR FREE via an Observation attached to each
+    # superstep's materialization job (zero extra scans): dm rides into
+    # the next step as a plan literal.  The previous design computed dm
+    # with a per-step scan + BroadcastNestedLoopJoin of a 1-row subquery
+    # and the delta with a separate whole-state aggregation job — two
+    # extra passes over V rows per superstep, and the BNLJ erased the
+    # state's output partitioning (guide §2.4/§1: fewer passes, fewer
+    # plan nodes per superstep).
+    dm_memo: dict = {"dm": None}
+    dm_expr = F.sum(
+        F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))
+    ).alias("dm")
+
+    def _observed_delta(metrics: dict) -> float:
+        dm_memo["dm"] = float(metrics["dm"] or 0.0)
+        d = metrics["delta"]
+        return float(d) if d is not None else float("inf")
+
+    def step(state: DataFrame, k: int):
+        dm = dm_memo["dm"]
+        if dm is None:
+            # first step (or resume): one tiny scan of the current state
+            row = state.agg(dm_expr).collect()[0]
+            dm = float(row["dm"] or 0.0)
         if personalized:
             # per-vertex restart mass is (1-α + α·dm) · tp — the scalar
-            # factor broadcasts, the teleport column rides the state
-            base_df = dm_df.select(
-                (F.lit(1.0 - alpha) + F.lit(alpha) * F.col("dm")).alias("base")
-            )
+            # is a plan literal, the teleport column rides the state.
+            # Same IEEE op order as the old in-plan expression.
+            base = (1.0 - alpha) + alpha * dm
         else:
-            base_df = dm_df.select(
-                (
-                    F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.col("dm") / F.lit(float(n))
-                ).alias("base")
-            )
+            base = (1.0 - alpha) / n + alpha * dm / float(n)
         if adjacency:
             contribs = (
                 state.select(F.col("vertex").alias("src"), "rank")
@@ -249,40 +278,42 @@ def pagerank(
                 .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
             )
         if personalized:
-            return (
+            new_state = (
                 state.select(
                     "vertex", "dangling", "tp", F.col("rank").alias("old_rank")
                 )
                 .join(contribs, "vertex", "left")
-                .crossJoin(F.broadcast(base_df))
                 .select(
                     "vertex",
                     "dangling",
                     "tp",
                     (
-                        F.col("base") * F.col("tp")
+                        F.lit(base) * F.col("tp")
                         + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))
                     ).alias("rank"),
                     F.col("old_rank").alias("prev_rank"),
                 )
             )
-        return (
-            state.select("vertex", "dangling", F.col("rank").alias("old_rank"))
-            .join(contribs, "vertex", "left")
-            .crossJoin(F.broadcast(base_df))
-            .select(
-                "vertex",
-                "dangling",
-                (
-                    F.col("base") + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))
-                ).alias("rank"),
-                F.col("old_rank").alias("prev_rank"),
+        else:
+            new_state = (
+                state.select("vertex", "dangling", F.col("rank").alias("old_rank"))
+                .join(contribs, "vertex", "left")
+                .select(
+                    "vertex",
+                    "dangling",
+                    (
+                        F.lit(base) + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))
+                    ).alias("rank"),
+                    F.col("old_rank").alias("prev_rank"),
+                )
             )
+        obs = Observation()
+        new_state = new_state.observe(
+            obs,
+            F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+            dm_expr,
         )
-
-    def delta_fn(old: DataFrame, new: DataFrame) -> float:
-        row = new.agg(F.max(F.abs(F.col("rank") - F.col("prev_rank")))).collect()[0]
-        return row[0] if row[0] is not None else float("inf")
+        return new_state, obs, _observed_delta
 
     runner = SuperstepRunner(
         spark,
@@ -295,11 +326,11 @@ def pagerank(
     result = runner.run(
         init,
         step,
-        delta_fn,
+        None,
         edges_processed_per_step=n_edges,
         resume=resume,
     )
-    vertices.unpersist()
+    vdeg.unpersist()
     contrib_edges.unpersist()
     return PageRankResult(
         ranks=result.state.select("vertex", "rank"),

@@ -97,7 +97,28 @@ class SuperstepRunner:
     def _metrics_path(self) -> str:
         return f"{self.checkpoint_dir}/{self.op}/metrics.jsonl"
 
+    def _maybe_dump_plan(self, df: DataFrame, k: int) -> None:
+        """Measurement hook: when $SMATCHPP_PLAN_DUMP names a directory,
+        write the FIRST superstep's physical plan there (the final-state
+        explain is a bare LogicalRDD after materialization, so the
+        per-superstep plan shape is otherwise invisible to audits)."""
+        dump_dir = os.environ.get("SMATCHPP_PLAN_DUMP")
+        if not dump_dir or k != 1:
+            return
+        tag = os.environ.get("SMATCHPP_PLAN_TAG", "probe")
+        try:
+            txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            os.makedirs(dump_dir, exist_ok=True)
+            path = os.path.join(dump_dir, f"{self.op}_superstep_{tag}.txt")
+            with open(path, "w") as fh:
+                fh.write(txt)
+        except Exception:
+            pass  # best-effort: a debug dump must never fail the run
+
     def _materialize(self, df: DataFrame, k: int) -> DataFrame:
+        self._maybe_dump_plan(df, k)
         if self.checkpoint_dir:
             path = self._state_path(k)
             df.write.mode("overwrite").parquet(path)
@@ -149,8 +170,8 @@ class SuperstepRunner:
     def run(
         self,
         init_state: DataFrame,
-        step_fn: Callable[[DataFrame, int], DataFrame],
-        delta_fn: Callable[[DataFrame, DataFrame], float],
+        step_fn: Callable,
+        delta_fn: Callable[[DataFrame, DataFrame], float] | None,
         edges_processed_per_step: int = 0,
         resume: bool = False,
     ) -> SuperstepResult:
@@ -160,6 +181,18 @@ class SuperstepRunner:
         The step plan is computed exactly once per superstep (at
         materialization); ``delta_fn`` then compares two *materialized*
         states, so convergence checking never re-runs the step.
+
+        OBSERVED-DELTA PROTOCOL: ``step_fn`` may instead return a tuple
+        ``(new_state, Observation, metrics_to_delta)``.  The Observation
+        must be attached to ``new_state`` (``df.observe(obs, ...)``); its
+        metrics are then computed inside the SAME job that materializes
+        the state (verified to fire on both localCheckpoint and the
+        parquet-write checkpoint path), and
+        ``metrics_to_delta(obs.get) -> float`` yields the convergence
+        delta — zero extra jobs or scans per superstep, where the
+        ``delta_fn`` path costs one more whole-state pass (and for
+        join-based deltas, an old⋈new shuffle) per superstep.
+        ``delta_fn`` may be None when every step uses the protocol.
         """
         start_k = 0
         state = init_state
@@ -176,8 +209,15 @@ class SuperstepRunner:
         k = start_k - 1
         for k in range(start_k, self.max_supersteps + 1):
             t0 = time.monotonic()
-            new_state = self._materialize(step_fn(state, k), k)
-            delta = float(delta_fn(state, new_state))
+            ret = step_fn(state, k)
+            obs = metrics_to_delta = None
+            if isinstance(ret, tuple):
+                ret, obs, metrics_to_delta = ret
+            new_state = self._materialize(ret, k)
+            if obs is not None:
+                delta = float(metrics_to_delta(obs.get))
+            else:
+                delta = float(delta_fn(state, new_state))
             wall_ms = int((time.monotonic() - t0) * 1000)
             record = {
                 "superstep": k,
