@@ -29,6 +29,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def dump_plan_if_enabled(df: DataFrame, name: str) -> None:
+    """Measurement hook shared by operators that materialize internally
+    (their user-visible plan is a bare LogicalRDD): when
+    $SMATCHPP_PLAN_DUMP names a directory, write the pre-materialization
+    physical plan there.  Best-effort, no-op in production."""
+    dump_dir = os.environ.get("SMATCHPP_PLAN_DUMP")
+    if not dump_dir:
+        return
+    tag = os.environ.get("SMATCHPP_PLAN_TAG", "probe")
+    try:
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        os.makedirs(dump_dir, exist_ok=True)
+        with open(os.path.join(dump_dir, f"{name}_{tag}.txt"), "w") as fh:
+            fh.write(txt)
+    except Exception:
+        pass
+
+
 def free_local_checkpoint(df: DataFrame) -> None:
     """Release a localCheckpoint's storage blocks NOW.
 
@@ -102,20 +122,8 @@ class SuperstepRunner:
         write the FIRST superstep's physical plan there (the final-state
         explain is a bare LogicalRDD after materialization, so the
         per-superstep plan shape is otherwise invisible to audits)."""
-        dump_dir = os.environ.get("SMATCHPP_PLAN_DUMP")
-        if not dump_dir or k != 1:
-            return
-        tag = os.environ.get("SMATCHPP_PLAN_TAG", "probe")
-        try:
-            txt = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-            os.makedirs(dump_dir, exist_ok=True)
-            path = os.path.join(dump_dir, f"{self.op}_superstep_{tag}.txt")
-            with open(path, "w") as fh:
-                fh.write(txt)
-        except Exception:
-            pass  # best-effort: a debug dump must never fail the run
+        if k == 1:
+            dump_plan_if_enabled(df, f"{self.op}_superstep")
 
     def _materialize(self, df: DataFrame, k: int) -> DataFrame:
         self._maybe_dump_plan(df, k)

@@ -53,12 +53,27 @@ def _canonical_undirected(edges: DataFrame) -> DataFrame:
 def oriented_edges(edges: DataFrame) -> DataFrame:
     """Orient canonical pairs from low (degree, id) to high (degree, id)."""
     und = _canonical_undirected(edges)
-    deg = (
+    # lazy checkpoint: the degree table is referenced by BOTH attach
+    # joins below; without the barrier its whole union+agg subtree is
+    # duplicated per reference (two extra passes over the edge table,
+    # seen in the r08 before-plan audit)
+    deg = _undirected_degrees(und).localCheckpoint(eager=False)
+    return _orient(und, deg)
+
+
+def _undirected_degrees(und: DataFrame) -> DataFrame:
+    return (
         und.select(F.col("a").alias("v"))
         .unionByName(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _orient(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orientation given a caller-prepared canonical table and its
+    degree table (lets ``triangle_count`` feed both from persisted
+    inputs so nothing is computed twice)."""
     with_deg = (
         und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
         .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
@@ -77,12 +92,32 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> Trian
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    canonical = _canonical_undirected(edges).persist()
-    oriented = (
-        oriented_edges(edges).repartition(num_partitions, "lo").persist()
+    # both caches are laid out and pre-sorted for their joins: canonical
+    # keeps the (a, b) hash layout its distinct already produced (the
+    # closing-edge join key), oriented is clustered+sorted by the wedge
+    # pivot — with cached-plan partitioning pinned (session.py), the
+    # wedge self-join and the closing join then reuse these layouts
+    # instead of re-exchanging/re-sorting per use
+    canonical = (
+        _canonical_undirected(edges).sortWithinPartitions("a", "b").persist()
     )
+    deg = _undirected_degrees(canonical).persist()
+    oriented = (
+        _orient(canonical, deg)
+        .repartition(num_partitions, "lo")
+        .sortWithinPartitions("lo", "hi")
+        .persist()
+    )
+    # materialize the caches BEFORE composing the wedge join: a cold
+    # cache's adaptive plan reports Unknown partitioning at compile
+    # time, so the self-join would re-exchange + re-sort both sides of a
+    # table already laid out by the pivot key; once built, the cached
+    # layout is visible and the wedge join plans exchange-free (same
+    # total work — the count only forces what the join would compute)
+    oriented.count()
     per_vertex = _count_wedges(oriented, canonical)
     oriented.unpersist()
+    deg.unpersist()
     canonical.unpersist()
     return TriangleResult(per_vertex)
 
@@ -125,6 +160,9 @@ def _count_wedges(oriented: DataFrame, canonical: DataFrame) -> DataFrame:
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+    from smatchpp_spark.operators.supersteps import dump_plan_if_enabled
+
+    dump_plan_if_enabled(per_corner, "triangles_wedgejoin")
     return per_corner.localCheckpoint(eager=True)
 
 

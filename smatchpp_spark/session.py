@@ -42,6 +42,27 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep the layout of persisted tables visible to consumers: with
+        # the Spark 4 default (true) a cached plan runs under AQE and its
+        # output partitioning/ordering become Unknown, so every iterative
+        # operator's carefully repartition+sortWithinPartitions'd static
+        # join side was re-exchanged and re-sorted on EVERY use (measured
+        # in the r08 plan audit: both wedge-join sides of triangle_count
+        # re-shuffled a table already hash-partitioned by the join key).
+        # false = cached plans keep their partitioning, the superstep /
+        # wedge joins reuse the one exchange done at build time.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "false",
+        )
+        # joins pick broadcast by MEASURED size, not a magic local number:
+        # 10m default is tuned for small executors; this box (and the
+        # 100 TB design point's executors) comfortably holds a ~100 MB
+        # hash relation, and the decision stays size-adaptive — an
+        # E-sized side at web scale exceeds the threshold and falls back
+        # to a shuffle join (guide §3.1).
+        .config("spark.sql.autoBroadcastJoinThreshold", "96m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "96m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size balances Python-kernel latency vs memory; 10k
         # rows/batch keeps cogrouped alignment kernels well-amortized.
