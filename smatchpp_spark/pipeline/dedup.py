@@ -51,15 +51,21 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep exactly one row (the min-id one) per distinct text.
 
-    row_number over the hash partition (one shuffle) rather than a
-    groupBy+semi-join: the join would keep BOTH copies when duplicate
-    rows share the same id."""
-    w_hash = docs.withColumn("_h", hash64(F.col(text_col)))
-    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    One map-side-combinable aggregation: ``min_by(struct(all columns),
+    id)`` keeps the whole min-id row per content hash, so a text with
+    10^9 boilerplate copies costs one partial row per map partition —
+    the previous ``row_number`` window put EVERY copy of one text into a
+    single task (the classic hot-partition collapse at corpus scale).
+    A groupBy + semi-join would not do: it keeps both copies when
+    duplicate rows share the same id; ``min_by`` keeps exactly one.
+    Ties on ``id_col`` among identical texts resolve to one arbitrary
+    full row — same contract as the old window (row_number ties were
+    partition-order-dependent too)."""
+    cols = docs.columns
     return (
-        w_hash.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_h", "_rn")
+        docs.groupBy(hash64(F.col(text_col)).alias("_h"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+        .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
     )
 
 

@@ -93,6 +93,26 @@ def test_exact_dedup(docs):
     assert dedup.exact_dedup(doubled).count() == len(DOCS) - 1
 
 
+def test_exact_dedup_hot_hash_plan_shape(spark):
+    """A planted 10^6-ish duplicate group must NOT funnel through a
+    single-partition window task: the keep-one path is a map-side
+    combinable min_by aggregation (plan has an Aggregate and no Window),
+    and the min-id row survives."""
+    n = 100_000
+    hot = spark.range(n).select(
+        (F.col("id") + 10).alias("doc_id"), F.lit("same boilerplate text").alias("text")
+    )
+    uniq = spark.createDataFrame(
+        [(0, "first unique"), (1, "second unique")], "doc_id long, text string"
+    )
+    kept = dedup.exact_dedup(uniq.unionByName(hot))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+    rows = sorted(kept.collect())
+    assert [r["doc_id"] for r in rows] == [0, 1, 10]
+
+
 def test_minhash_oracle_and_neardups(docs):
     k = 8
     sigs = {r["doc_id"]: list(r["sig"]) for r in
