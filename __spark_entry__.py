@@ -5800,96 +5800,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # queries()-dict keys to place inside the driver's first-50 oracle
 # window this round (least-recently-verified first; see queries()).
-# Round-7 front: exactly the 40 entries whose last green driver row is
-# round 5 (they sat beyond round 6's first-50 window).  Everything else
-# was verified green by the round-6 driver run (CORRECTNESS_r06: 50/50)
-# and by the local full-contract run (tools/check_contract.py), so with
-# this rotation no query's newest driver row is ever >1 round old.
-# Round-8 rotation: put the entries beyond this round's window back in
-# front (plus anything new or touched this round).  Queries ADDED later
-# in round 7 after the 50 slots filled overflow the window this round
-# (their correctness evidence is the local full-contract run,
-# BENCH/CONTRACT_LOCAL_r07.txt): doc_simhash_neardup,
-# doc_simhash_clusters, butterfly_census, butterflies_per_part,
-# maximal_matching, salsa_scores, graph_bipartite, doc_bloom_membership,
-# doc_hll_distinct, doc_cms_wordcounts, doc_weighted_sample,
-# doc_c4_filter, doc_ccnet_pipeline, graph_one_mode, katz_centrality,
-# triad_census, doc_pii_scrub, doc_dsir_weights, temporal_reachability,
-# harmonic_spread, rmat_edges, graph_powerlaw, trustrank_spam,
-# cocitation_topk, dag_layers, graph_richclub, bowtie_components,
-# closeness_centrality, doc_chunks, doc_bpe_merges, wl_fingerprints,
-# ppr_push, egonet_features, densest_subgraph, local_community,
-# balanced_partition, single_linkage_clusters, pagerank_incremental,
+# Round-8 rotation, executing the plan written at the end of round 7:
+# 76 queries have never had a DRIVER correctness row (added after the
+# round-7 window filled; their evidence so far is the local
+# full-contract run BENCH/CONTRACT_LOCAL_r07.txt and the round-7
+# judge's own checker replay).  This round's front = the 14 queries
+# that had NO contract evidence until the judge ran them (slots 1-14),
+# then 36 more of the never-driver-checked set, filling the window.
+# ROUND-9 PLAN: front-load the remaining 26 never-driver-checked
+# queries — single_linkage_clusters, pagerank_incremental,
 # fastrp_embeddings, widest_path, reliable_path, graph_snapshot_diff,
 # cc_incremental, doc_unimax, egonet_anomalies, neighbor_features,
-# four_clique_counts, clique_percolation, events_props_rollup,
-# centrality_rank_correlation, doc_span_self_dedup, emb_pq_topk,
-# graphlet_census, temporal_triangles, graph_label_mixing,
-# graph_label_assortativity, simrank_scores, config_model_edges,
-# transitivity_sampled, partition_agreement, vertex_encode,
-# pagerank_csr, doc_lm_scores, degree_quantiles, hitting_times,
-# doc_dedup_against, spectral_bisection, doc_collocations,
-# edge_embeddedness, graph_sparsify, doc_containment,
-# graph_percolation, doc_entropy, emb_sq_topk, doc_clone_pairs — put
-# them FIRST in the round-8 front, then the r6-verified rows that sat
-# out round 7.
+# vertex_encode, pagerank_csr, doc_lm_scores, degree_quantiles,
+# hitting_times, doc_dedup_against, spectral_bisection,
+# doc_collocations, edge_embeddedness, graph_sparsify, doc_containment,
+# graph_percolation, doc_entropy, emb_sq_topk, doc_clone_pairs — plus
+# the two rows-only queries (amr_standardize_sizes, smatch_micro_macro)
+# rotating back in; after that every query has a driver row at most two
+# rounds old and the normal staleness rotation resumes.
 _DRIVER_WINDOW_FRONT = [
-    # round-5-stale rows (green in CORRECTNESS_r05, out of window in r6)
-    "graph_modularity",
-    "degree_histogram",
-    "graph_contraction",
-    "linkpred_common_neighbors",
-    "strongly_connected_components",
-    "hyperball_nf",
-    "random_walks",
-    "node2vec_walks",
-    "doc_jaccard_verify",
-    "dedup_clusters",
-    "hits_scores",
-    "eigenvector_centrality",
-    "louvain_communities",
-    "linkpred_ppr",
-    "kcore_membership",
-    "bfs_distances",
-    "connected_components_twophase",
-    "label_propagation",
-    "doc_langid",
-    "doc_fingerprints",
-    "doc_exact_dedup",
-    "doc_minhash",
-    "doc_neardup_pairs",
-    "doc_simhash",
-    "doc_bpe_tokens",
-    "doc_substring_dedup",
-    "doc_pack_sequences",
-    "doc_decontaminate",
-    "emb_neardup_pairs",
-    "multimodal_features",
-    "emb_cosine_topk",
-    "emb_lsh_buckets",
-    "emb_bucketed_topk",
-    "emb_hyperplane_topk",
-    "emb_ivf_topk",
-    "events_sessionize",
-    "events_minute_rollup",
-    "events_trending_topk",
-    # amr_standardize_sizes / smatch_micro_macro (the two rows-only
-    # queries — no oracle, so the driver check is weak anyway and both
-    # are heavily pytest-covered) yield their slots to the 12 new or
-    # re-planned oracled queries below; rotate them back in round 8.
-    # operators new or re-planned this round — verify same-round
-    "ktruss_4",
-    "core_decomposition",
-    "landmark_distances_packed",
-    "doc_tfidf_topk",
-    "doc_bm25_search",
-    "doc_lm_score",
-    "doc_gopher_filter",
-    "linkpred_jaccard",
-    "harmonic_centrality",
-    "core_histogram",
-    "community_conductance",
-    "graph_transitivity",
+    # slots 1-14: the late round-7 additions whose only evidence was the
+    # judge's own checker run
+    "centrality_rank_correlation",
+    "clique_percolation",
+    "config_model_edges",
+    "doc_span_self_dedup",
+    "emb_pq_topk",
+    "events_props_rollup",
+    "four_clique_counts",
+    "graph_label_assortativity",
+    "graph_label_mixing",
+    "graphlet_census",
+    "partition_agreement",
+    "simrank_scores",
+    "temporal_triangles",
+    "transitivity_sampled",
+    # slots 15-50: never-driver-checked round-7 queries (local-r7 green)
+    "doc_simhash_neardup",
+    "doc_simhash_clusters",
+    "butterfly_census",
+    "butterflies_per_part",
+    "maximal_matching",
+    "salsa_scores",
+    "graph_bipartite",
+    "doc_bloom_membership",
+    "doc_hll_distinct",
+    "doc_cms_wordcounts",
+    "doc_weighted_sample",
+    "doc_c4_filter",
+    "doc_ccnet_pipeline",
+    "graph_one_mode",
+    "katz_centrality",
+    "triad_census",
+    "doc_pii_scrub",
+    "doc_dsir_weights",
+    "temporal_reachability",
+    "harmonic_spread",
+    "rmat_edges",
+    "graph_powerlaw",
+    "trustrank_spam",
+    "cocitation_topk",
+    "dag_layers",
+    "graph_richclub",
+    "bowtie_components",
+    "closeness_centrality",
+    "doc_chunks",
+    "doc_bpe_merges",
+    "wl_fingerprints",
+    "ppr_push",
+    "egonet_features",
+    "densest_subgraph",
+    "local_community",
+    "balanced_partition",
 ]
 
 
