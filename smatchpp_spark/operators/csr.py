@@ -161,10 +161,19 @@ def _scatter(key, state_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame):
         indptr = np.asarray(indptr, dtype=np.int64)
         dst_vids = np.asarray(dst_vids, dtype=np.int64)
         # rank * (1/deg) per CSR row, repeated across the row's edges
-        r = (
-            ranks[np.searchsorted(vids, src_vids)]
-            * np.asarray(inv_deg, dtype=np.float64)
-        )
+        idx = np.searchsorted(vids, src_vids)
+        # membership check: a block src absent from this cogroup's state
+        # slice would make searchsorted silently gather a neighbor's
+        # rank (corrupt output, no error) — e.g. after a resume whose
+        # state was partitioned under a different partition count
+        if len(vids) == 0 or (idx >= len(vids)).any() or (
+            vids[np.minimum(idx, len(vids) - 1)] != src_vids
+        ).any():
+            raise RuntimeError(
+                "pagerank_csr: block sources missing from cogrouped rank "
+                "state (partitioning mismatch between state and blocks)"
+            )
+        r = ranks[idx] * np.asarray(inv_deg, dtype=np.float64)
         per_edge = np.repeat(r, np.diff(indptr))
         partial = np.bincount(
             np.asarray(dst_local, dtype=np.int64),
@@ -247,7 +256,14 @@ def pagerank_csr(
         if dictionary is not None:
             dictionary.unpersist()
         return PageRankResult(
-            ranks=spark.createDataFrame([], "vertex long, rank double"),
+            # mirror the non-empty path's vertex type (decoded string ids
+            # for string inputs) so downstream unions/joins line up
+            ranks=spark.createDataFrame(
+                [],
+                "vertex string, rank double"
+                if is_string
+                else "vertex long, rank double",
+            ),
             supersteps=0,
             converged=True,
             metrics=[],
@@ -257,6 +273,13 @@ def pagerank_csr(
         "vertex", "part", "dangling", F.lit(1.0 / n).alias("rank"),
         F.lit(float("nan")).alias("prev_rank"),
     )
+
+    # 'part' is DERIVED (pmod(vertex, num_partitions)), so never trust a
+    # value that rode in through a resumed checkpoint — a run resumed
+    # under a different spark.sql.shuffle.partitions would cogroup state
+    # rows into the wrong block partition; recompute it from the vertex
+    # id each step instead
+    fresh_part = F.pmod(F.col("vertex"), F.lit(num_partitions)).cast("int")
 
     def step(state: DataFrame, k: int) -> DataFrame:
         dm_df = state.filter("dangling").agg(
@@ -269,7 +292,7 @@ def pagerank_csr(
             ).alias("base")
         )
         contribs = (
-            state.select("part", "vertex", "rank")
+            state.select(fresh_part.alias("part"), "vertex", "rank")
             .groupBy("part")
             .cogroup(blocks.groupBy("part"))
             .applyInPandas(_scatter, "vertex long, in_sum double")
@@ -278,7 +301,10 @@ def pagerank_csr(
         )
         return (
             state.select(
-                "vertex", "part", "dangling", F.col("rank").alias("old_rank")
+                "vertex",
+                fresh_part.alias("part"),
+                "dangling",
+                F.col("rank").alias("old_rank"),
             )
             .join(contribs, "vertex", "left")
             .crossJoin(F.broadcast(base_df))

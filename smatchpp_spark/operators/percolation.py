@@ -62,10 +62,22 @@ def percolation_profile(
     for p in ps:
         kept = c.filter(coin < F.lit(int(p * _M)))
         n_kept = kept.count()
-        cc = connected_components(
+        cc_res = connected_components(
             kept.select(F.col("a").alias("src"), F.col("b").alias("dst")),
             max_supersteps=max_supersteps,
-        ).components
+        )
+        if not cc_res.converged:
+            # subcritical retention produces exactly the long-chain
+            # subgraphs whose diameter can exceed the superstep cap; a
+            # truncated hash-min fixpoint silently inflates n_components
+            # and deflates largest_component, so fail loudly (same
+            # contract as duplicate_clusters)
+            raise RuntimeError(
+                f"percolation_profile: connected_components did not "
+                f"converge within {max_supersteps} supersteps at p={p}; "
+                f"raise max_supersteps"
+            )
+        cc = cc_res.components
         labeled = verts.join(cc, "vertex", "left").select(
             "vertex", F.coalesce("component", F.col("vertex")).alias("comp")
         )

@@ -63,6 +63,14 @@ def kth_smallest(
     n = row["n"]
     if n == 0:
         raise ValueError("kth_smallest on an empty column")
+    import math
+
+    if math.isinf(row["lo"]) or math.isinf(row["hi"]):
+        # same contract as NaN (module docstring): non-finite values have
+        # no usable bucket bounds — repr-formatting ±inf into the
+        # width_bucket SQL below would fail at analysis anyway, so
+        # reject them up front with a clear error
+        raise ValueError("kth_smallest: column contains +/-infinity")
     bad = [k for k in ks if not (1 <= k <= n)]
     if bad:
         raise ValueError(f"ranks out of [1, {n}]: {bad}")
