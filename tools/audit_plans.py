@@ -300,7 +300,49 @@ CHECKS = {
         ("HashAggregate",
          "per-(doc, gram) first-position agg combines map-side"),
     ],
+    "centrality_rank_correlation": [
+        ("Window",
+         "the only Window operators are the Spearman rank-from-histogram "
+         "cumulative sums; they run over the distinct-VALUE histograms, "
+         "never the per-vertex rows (bound measured below)"),
+        ("HashAggregate",
+         "the value histograms groupBy(value).count() combine map-side "
+         "before the single-task window ever sees a row"),
+    ],
 }
+
+
+def _windowed_relation_bound(spark, em) -> list[str]:
+    """VERDICT r7 #4: prove the Spearman no-partition windows benign by
+    MEASURING the windowed relations.  The two windows run over the
+    distinct-degree and distinct-triangle-count histograms; both are
+    O(sqrt) of the edge/wedge count (graphstats.py spearman docstring),
+    so state the measured rows next to the per-vertex row count they
+    replace."""
+    from pyspark.sql import functions as F
+
+    from smatchpp_spark.operators.graphstats import undirected_simple
+    from smatchpp_spark.operators.triangles import triangle_count
+
+    e = em._e_co(spark, SF)
+    und = undirected_simple(e)
+    deg = und.groupBy(F.col("a").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    n_vertices = deg.count()
+    dx = deg.select("degree").distinct().count()
+    tri = triangle_count(e).per_vertex
+    dy = tri.select("triangles").distinct().count() + 1  # +1 for the 0 bucket
+    m = und.count() // 2
+    bound = int(2 * (2 * m) ** 0.5) + 16
+    ok_x, ok_y = dx <= bound, dy <= bound
+    return [
+        f"- {'✓' if ok_x else '✗'} degree-window input: {dx} distinct "
+        f"degree values (≤ 2·sqrt(2m)+16 = {bound}) vs {n_vertices} "
+        "per-vertex rows — the window task is histogram-sized",
+        f"- {'✓' if ok_y else '✗'} triangle-window input: {dy} distinct "
+        f"triangle counts (≤ {bound}) vs {n_vertices} per-vertex rows",
+    ]
 
 
 def main() -> None:
@@ -343,6 +385,8 @@ def main() -> None:
         for needle, why in checks:
             status = "✓" if needle in plan else "✗"
             out.append(f"- {status} `{needle}` — {why}")
+        if name == "centrality_rank_correlation":
+            out.extend(_windowed_relation_bound(spark, em))
         out.append("")
         out.append("```")
         out.append(tree.strip())
