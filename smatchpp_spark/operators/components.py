@@ -75,8 +75,14 @@ def connected_components(
         # — the changed-vertex convergence count is then a free
         # Observation on the materialization job instead of a separate
         # old⋈new join + count job per superstep.
+        # MERGE hint: the label side is V rows — broadcasting it every
+        # superstep re-collects and re-ships the whole state; the
+        # sort-merge join only exchanges+sorts the state side against
+        # the cached pre-sorted message table, which is also the only
+        # shape possible at web scale
         msgs = (
-            state.withColumnRenamed("vertex", "nbr")
+            state.select(F.col("vertex").alias("nbr"), "component")
+            .hint("merge")
             .join(undirected, "nbr")
             .select("vertex", "component", F.lit(False).alias("_own"))
         )

@@ -95,9 +95,16 @@ def label_propagation(
     init = vertices.select("vertex", F.col("vertex").alias("label"))
 
     def step(state: DataFrame, k: int):
+        # MERGE hint: the label side is V rows — broadcasting it every
+        # superstep (what size-based planning picks at bench scale)
+        # re-serializes and re-ships the whole state per step and loses
+        # to a sort-merge join against the cached, pre-sorted message
+        # table (measured 9.8s -> 7.8s on the 600k-edge bench; at web
+        # scale a V-row broadcast is impossible anyway, so the hint
+        # makes local behavior match the scale shape)
         msgs = state.select(
             F.col("vertex").alias("nbr"), "label"
-        ).join(undirected, "nbr")
+        ).hint("merge").join(undirected, "nbr")
         if weight_col is None:
             counted = msgs.select("vertex", "label").groupBy(
                 "vertex", "label"
@@ -128,7 +135,9 @@ def label_propagation(
         # free Observation on the materialization job instead of a
         # separate old⋈new join + count job per superstep
         new_state = state.select("vertex", "label").join(
-            picked.withColumnRenamed("label", "_new"), "vertex", "left"
+            picked.withColumnRenamed("label", "_new").hint("merge"),
+            "vertex",
+            "left",
         ).select(
             "vertex",
             F.coalesce(F.col("_new"), F.col("label")).alias("label"),
