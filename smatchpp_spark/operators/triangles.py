@@ -92,33 +92,79 @@ def triangle_count(edges: DataFrame, num_partitions: int | None = None) -> Trian
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # both caches are laid out and pre-sorted for their joins: canonical
-    # keeps the (a, b) hash layout its distinct already produced (the
-    # closing-edge join key), oriented is clustered+sorted by the wedge
-    # pivot — with cached-plan partitioning pinned (session.py), the
-    # wedge self-join and the closing join then reuse these layouts
-    # instead of re-exchanging/re-sorting per use
-    canonical = (
-        _canonical_undirected(edges).sortWithinPartitions("a", "b").persist()
+    canonical = _canonical_undirected(edges).persist()
+    # INTEGER-ENCODED wedge pipeline: the Σd²-sized wedge join probes
+    # its hash relations once per wedge, and hashing/comparing two
+    # string ids per probe dominated the closing join (measured ~6s for
+    # 41M wedges at bench scale).  The id dictionary RIDES the degree
+    # table, so encoding costs zero extra joins — the orientation pass
+    # already joins degrees onto both endpoints; the dictionary is
+    # materialized eagerly so the monotonically-increasing ids are fixed
+    # for every consumer.  Per-vertex counts are orientation-invariant
+    # (any total order generates each triangle exactly once), so the
+    # decoded output is identical to the string pipeline's.
+    dict_df = (
+        _undirected_degrees(canonical)
+        .select("v", "deg", F.monotonically_increasing_id().alias("vid"))
+        .localCheckpoint(eager=True)
     )
-    deg = _undirected_degrees(canonical).persist()
+    wd = (
+        canonical.join(
+            dict_df.select(
+                F.col("v").alias("a"),
+                F.col("deg").alias("da"),
+                F.col("vid").alias("ia"),
+            ),
+            "a",
+        )
+        .join(
+            dict_df.select(
+                F.col("v").alias("b"),
+                F.col("deg").alias("db"),
+                F.col("vid").alias("ib"),
+            ),
+            "b",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ia") < F.col("ib"))
+    )
     oriented = (
-        _orient(canonical, deg)
+        wd.select(
+            F.when(a_first, F.col("ia")).otherwise(F.col("ib")).alias("lo"),
+            F.when(a_first, F.col("ib")).otherwise(F.col("ia")).alias("hi"),
+        )
         .repartition(num_partitions, "lo")
         .sortWithinPartitions("lo", "hi")
         .persist()
     )
+    canon_int = wd.select(
+        F.least("ia", "ib").alias("a"), F.greatest("ia", "ib").alias("b")
+    ).persist()
     # materialize the caches BEFORE composing the wedge join: a cold
-    # cache's adaptive plan reports Unknown partitioning at compile
+    # cache's adaptive plan reports Unknown partitioning/size at compile
     # time, so the self-join would re-exchange + re-sort both sides of a
     # table already laid out by the pivot key; once built, the cached
     # layout is visible and the wedge join plans exchange-free (same
     # total work — the count only forces what the join would compute)
     oriented.count()
-    per_vertex = _count_wedges(oriented, canonical)
+    canon_int.count()
+    per_vertex_int = _count_wedges(oriented, canon_int, materialize=False)
+    per_vertex = (
+        per_vertex_int.join(
+            dict_df.select(F.col("vid").alias("vertex"), F.col("v")), "vertex"
+        )
+        .select(F.col("v").alias("vertex"), "triangles")
+        .localCheckpoint(eager=True)
+    )
     oriented.unpersist()
-    deg.unpersist()
+    canon_int.unpersist()
     canonical.unpersist()
+    from smatchpp_spark.operators.supersteps import free_local_checkpoint
+
+    free_local_checkpoint(dict_df)
+    free_local_checkpoint(wd)
     return TriangleResult(per_vertex)
 
 
@@ -137,7 +183,9 @@ def triangle_count_prepared(
     return TriangleResult(_count_wedges(oriented, canonical))
 
 
-def _count_wedges(oriented: DataFrame, canonical: DataFrame) -> DataFrame:
+def _count_wedges(
+    oriented: DataFrame, canonical: DataFrame, materialize: bool = True
+) -> DataFrame:
     e1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("v"))
     e2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("w"))
     # each unordered wedge exactly once via strict id order on the endpoints
@@ -163,6 +211,8 @@ def _count_wedges(oriented: DataFrame, canonical: DataFrame) -> DataFrame:
     from smatchpp_spark.operators.supersteps import dump_plan_if_enabled
 
     dump_plan_if_enabled(per_corner, "triangles_wedgejoin")
+    if not materialize:
+        return per_corner
     return per_corner.localCheckpoint(eager=True)
 
 
