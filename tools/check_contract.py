@@ -38,9 +38,27 @@ def normalize(rows, cols):
     return sorted(out, key=repr)
 
 
+GOLDEN_PATH = __file__.rsplit("/", 1)[0] + "/golden_hashes.json"
+
+
+def _rows_hash(rows, cols) -> str:
+    import hashlib
+
+    return hashlib.sha256(repr(normalize(rows, cols)).encode()).hexdigest()
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    args = [a for a in sys.argv[1:] if a != "--write-golden"]
+    write_golden = "--write-golden" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    try:
+        with open(GOLDEN_PATH) as fh:
+            golden = json.load(fh)
+    except (OSError, ValueError):
+        golden = {}
 
     import __spark_entry__ as entrymod
     from smatchpp_spark import get_spark
@@ -74,8 +92,27 @@ def main():
             continue
         spark_s = time.monotonic() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s)")
-            n_pass += 1
+            # the two Python-parser full-pipeline queries cannot be
+            # SQL-oracled, but their outputs are deterministic: compare
+            # against the archived golden hash so drift is caught
+            # mechanically instead of "rows-only" (regenerate with
+            # --write-golden after an INTENDED semantic change)
+            h = _rows_hash(srows, scols)
+            sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+            gold = golden.get(name, {}).get(sf_key)
+            if write_golden:
+                golden.setdefault(name, {})[sf_key] = h
+                print(f"GOLD {name}: wrote {sf_key} hash {h[:16]}…")
+                n_pass += 1
+            elif gold is None:
+                print(f"ok   {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s)")
+                n_pass += 1
+            elif gold == h:
+                print(f"PASS {name} (golden hash, {len(srows)} rows, {spark_s:.1f}s)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: golden hash mismatch ({h[:16]}… != {gold[:16]}…)")
+                n_fail += 1
             continue
         try:
             res = con.execute(oracles[name])
@@ -104,6 +141,14 @@ def main():
             continue
         print(f"PASS {name} ({len(srows)} rows, {spark_s:.1f}s)")
         n_pass += 1
+
+    if write_golden:
+        import json
+
+        with open(GOLDEN_PATH, "w") as fh:
+            json.dump(golden, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {GOLDEN_PATH}")
 
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
