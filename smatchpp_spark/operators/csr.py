@@ -43,6 +43,18 @@ the Arrow round-trip here, because the join's static side also never
 reshuffles, so BOTH dataflows move only O(V) rows per superstep and the
 difference is pure compute, where whole-stage codegen holds its own
 against numpy once Arrow (de)serialization of the rank state is paid.
+
+DECISION (r8, closing the r7 verdict item): the join dataflow in
+:mod:`pagerank` is the PRODUCTION path — it is the measured winner above
+AND received the r8 per-superstep optimizations (observation-fused
+dangling mass/delta, merge-pinned join strategy, fixed-step dataflow),
+widening the gap further.  This module is kept as the north-star-shaped
+reference implementation of the "freeze the adjacency, shuffle only
+ranks" dataflow: it documents the block layout a custom-kernel engine
+would use, it is the only exerciser of the cogrouped-Arrow superstep
+surface, and it is held to the identical unrolled oracle
+(``pagerank_csr``) so the two dataflows cross-check each other.  Do not
+pick it for throughput on this engine.
 The join dataflow therefore stays the default (same verdict as the
 ``adjacency=True`` note in pagerank.py).  What the CSR variant buys at
 100 TB: a ~30% smaller pinned static side (measured 235 vs 328 MB
