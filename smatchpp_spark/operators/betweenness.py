@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from smatchpp_spark.operators.supersteps import (
     SuperstepRunner,
     free_local_checkpoint,
-    row_count_delta,
+    observed_row_count_delta,
 )
 
 
@@ -142,7 +142,11 @@ def betweenness_approx(
                 "s", "vertex", F.lit(r).cast("long").alias("dist"), "sigma"
             )
         )
-        return state.unionByName(nxt)
+        return fattach(state, state.unionByName(nxt))
+
+    # frontier rows only grow; the new state's count is observed inside
+    # the materialization job (zero extra jobs per depth)
+    fattach = observed_row_count_delta(sign=-1)
 
     fwd = SuperstepRunner(
         spark,
@@ -151,7 +155,7 @@ def betweenness_approx(
         max_supersteps=max_depth,
         tol=0.0,
     )
-    fres = fwd.run(init, fstep, row_count_delta(sign=-1), resume=resume)
+    fres = fwd.run(init, fstep, None, resume=resume)
     fw = fres.state
 
     # -- shortest-path DAG: built once, reused every backward round -------

@@ -21,7 +21,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smatchpp_spark.operators.supersteps import SuperstepRunner, row_count_delta
+from smatchpp_spark.operators.supersteps import (
+    SuperstepRunner,
+    observed_row_count_delta,
+)
 
 
 @dataclass
@@ -79,13 +82,18 @@ def bfs_distances(
             .distinct()
             .join(state, "vertex", "left_anti")
         )
-        return state.unionByName(
-            nxt.withColumn("distance", F.lit(r).cast("long"))
+        return attach(
+            state,
+            state.unionByName(
+                nxt.withColumn("distance", F.lit(r).cast("long"))
+            ),
         )
 
-    # reached rows only grow; row_count_delta carries last round's count
-    # forward so each depth runs one count job, not two
-    delta = row_count_delta(sign=-1)
+    # reached rows only grow; the count of the new state is observed
+    # inside the materialization job, so each depth runs ZERO extra jobs
+    # (previously one memoized count job per depth)
+    attach = observed_row_count_delta(sign=-1)
+    delta = None
 
     runner = SuperstepRunner(
         spark,

@@ -290,8 +290,9 @@ def cc_incremental(
                 F.col("dst").alias("vertex"), F.col("src").alias("nbr")
             )
         )
-        .distinct()
         .repartition(num_partitions, "nbr")
+        .dropDuplicates(["vertex", "nbr"])
+        .sortWithinPartitions("nbr")
         .persist()
     )
     n_msgs = undirected.count()
@@ -308,19 +309,35 @@ def cc_incremental(
         )
     )
 
-    def step(state: DataFrame, k: int) -> DataFrame:
-        msgs = (
-            state.withColumnRenamed("vertex", "nbr")
-            .join(undirected, "nbr")
-            .select("vertex", "component")
-        )
-        return (
-            msgs.unionByName(state.select("vertex", "component"))
-            .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
-        )
+    def step(state: DataFrame, k: int):
+        # tagged-union prev + observed changed-count, same shape as
+        # components.connected_components: the aggregation emits both
+        # the new component and the previous one, so convergence is a
+        # free Observation on the materialization job instead of an
+        # old⋈new join + count job per superstep
+        from pyspark.sql import Observation
 
-    from smatchpp_spark.operators.supersteps import changed_count_delta
+        msgs = (
+            state.select(F.col("vertex").alias("nbr"), "component")
+            .hint("merge")
+            .join(undirected, "nbr")
+            .select("vertex", "component", F.lit(False).alias("_own"))
+        )
+        tagged = msgs.unionByName(
+            state.select("vertex", "component", F.lit(True).alias("_own"))
+        )
+        new_state = tagged.groupBy("vertex").agg(
+            F.min("component").alias("component"),
+            F.min(F.when(F.col("_own"), F.col("component"))).alias("_prev"),
+        )
+        obs = Observation()
+        new_state = new_state.observe(
+            obs,
+            F.sum(
+                (F.col("component") != F.col("_prev")).cast("long")
+            ).alias("delta"),
+        )
+        return new_state, obs, (lambda m: float(m["delta"] or 0))
 
     runner = SuperstepRunner(
         spark,
@@ -332,13 +349,13 @@ def cc_incremental(
     res = runner.run(
         init,
         step,
-        changed_count_delta("component"),
+        None,
         edges_processed_per_step=n_msgs,
         resume=resume,
     )
     undirected.unpersist()
     return IncrementalCCResult(
-        components=res.state,
+        components=res.state.select("vertex", "component"),
         supersteps=res.supersteps,
         converged=res.converged,
         metrics=res.metrics,

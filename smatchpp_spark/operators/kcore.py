@@ -28,7 +28,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smatchpp_spark.operators.supersteps import SuperstepRunner, row_count_delta
+from smatchpp_spark.operators.supersteps import (
+    SuperstepRunner,
+    observed_row_count_delta,
+)
 
 
 @dataclass
@@ -73,15 +76,18 @@ def k_core(
     def step(state: DataFrame, _round: int) -> DataFrame:
         deg = state.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("v"))
-        return (
+        return attach(
+            state,
             state.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-            .select("a", "b")
+            .select("a", "b"),
         )
 
-    # edge rows only shrink; row_count_delta carries last round's count
-    # forward so each round runs one count job, not two
-    delta = row_count_delta(sign=1)
+    # edge rows only shrink; the count of the new state is observed
+    # inside the materialization job, so each round runs ZERO extra jobs
+    # (previously one memoized count job per round)
+    attach = observed_row_count_delta(sign=1)
+    delta = None
 
     runner = SuperstepRunner(
         spark,
@@ -183,7 +189,9 @@ def coreness(
             .groupBy("vertex")
             .agg(F.max(F.least(F.col("nbr_h"), F.col("cum"))).alias("new_h"))
         )
-        return (
+        from pyspark.sql import Observation
+
+        new_state = (
             state.join(hidx, "vertex", "left")
             .select(
                 "vertex",
@@ -191,6 +199,19 @@ def coreness(
                 F.col("h").alias("prev_h"),
             )
         )
+        # changed-h count observed inside the materialization job (the
+        # previous inline delta re-scanned the state in a separate job)
+        obs = Observation()
+        new_state = new_state.observe(
+            obs,
+            F.sum(
+                (
+                    F.col("prev_h").isNull()
+                    | (F.col("h") != F.col("prev_h"))
+                ).cast("long")
+            ).alias("delta"),
+        )
+        return new_state, obs, (lambda m: float(m["delta"] or 0))
 
     runner = SuperstepRunner(
         spark,
@@ -202,11 +223,7 @@ def coreness(
     res = runner.run(
         init,
         step,
-        lambda old, new: float(
-            new.filter(
-                F.col("prev_h").isNull() | (F.col("h") != F.col("prev_h"))
-            ).count()
-        ),
+        None,
         resume=resume,
     )
     ue.unpersist()

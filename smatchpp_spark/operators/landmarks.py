@@ -23,7 +23,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smatchpp_spark.operators.supersteps import SuperstepRunner, row_count_delta
+from smatchpp_spark.operators.supersteps import (
+    SuperstepRunner,
+    observed_row_count_delta,
+)
 
 
 @dataclass
@@ -105,9 +108,16 @@ def landmark_distances(
             .distinct()
             .join(state, ["landmark", "vertex"], "left_anti")
         )
-        return state.unionByName(
-            nxt.withColumn("distance", F.lit(r).cast("long"))
+        return attach(
+            state,
+            state.unionByName(
+                nxt.withColumn("distance", F.lit(r).cast("long"))
+            ),
         )
+
+    # reached rows only grow; the new state's count is observed inside
+    # the materialization job (zero extra jobs per depth)
+    attach = observed_row_count_delta(sign=-1)
 
     runner = SuperstepRunner(
         spark,
@@ -116,7 +126,7 @@ def landmark_distances(
         max_supersteps=max_depth,
         tol=0.0,
     )
-    res = runner.run(init, step, row_count_delta(sign=-1), resume=resume)
+    res = runner.run(init, step, None, resume=resume)
     step_edges.unpersist()
     return LandmarkResult(
         distances=res.state, rounds=res.supersteps, converged=res.converged

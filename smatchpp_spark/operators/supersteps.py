@@ -280,6 +280,43 @@ def changed_count_delta(col: str) -> Callable[[DataFrame, DataFrame], float]:
     return fn
 
 
+def observed_row_count_delta(sign: int = 1) -> Callable:
+    """Observation-protocol replacement for ``row_count_delta``: the new
+    state's row count is collected by an Observation inside the SAME job
+    that materializes it, so monotone-state operators (BFS frontier,
+    k-core peeling, landmark growth) stop paying a separate count job
+    per superstep.  Usage in a step function::
+
+        attach = observed_row_count_delta(sign=-1)
+        def step(state, k):
+            new = ...
+            return attach(state, new)   # (df, Observation, callback)
+
+    The first call counts the prior state once (there is no previous
+    round to reuse); resume behaves identically."""
+    memo: dict = {"prev": None}
+
+    def attach(state: DataFrame, new_state: DataFrame):
+        from pyspark.sql import Observation
+
+        if memo["prev"] is None:
+            memo["prev"] = state.count()
+        obs = Observation()
+        observed = new_state.observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
+
+        def cb(metrics: dict) -> float:
+            cur = int(metrics["rows"] or 0)
+            prev = memo["prev"]
+            memo["prev"] = cur
+            return float(sign * (prev - cur))
+
+        return observed, obs, cb
+
+    return attach
+
+
 def row_count_delta(sign: int = 1) -> Callable[[DataFrame, DataFrame], float]:
     """Row-count difference between consecutive superstep states,
     carrying each round's materialized count forward so every superstep

@@ -137,6 +137,19 @@ def main() -> None:
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         ).unionByName(hub)
 
+    # planted hub EDGE-graph twins (VERDICT r7 item 5): one star center
+    # whose degree grows WITH scale (2000·scale distinct neighbors), so
+    # the 10x graph is genuinely hub-skewed — the rows below then show
+    # the wedge guards (max_pivot_degree / max_center_degree) and the
+    # degree orientation absorbing the hub instead of the candidate join
+    # going Σd²-quadratic on it
+    def hub_edges(base: DataFrame, scale: int) -> DataFrame:
+        star = spark.range(2000 * scale).select(
+            F.lit("HUBv").alias("src"),
+            F.concat(F.lit("hp"), F.col("id").cast("string")).alias("dst"),
+        )
+        return base.unionByName(star)
+
     # sign-decorrelated embedding copies for the cluster-dedup sweep:
     # multiplying every copy-i vector by one fixed ±1 pattern preserves
     # all WITHIN-copy inner products exactly (orthogonal map) while
@@ -220,6 +233,8 @@ def main() -> None:
             "e_cust": em._e_cust(spark, sf_dir),
             "e_co": em._e_co(spark, sf_dir),
             "e_co19": co19,
+            "e_op_hub": hub_edges(em._e_op(spark, sf_dir), 1),
+            "e_co_hub": hub_edges(co19, 1),
             "events": ev1,
             "docs": docs1,
             "docs_hub": hub_docs(docs1, 1),
@@ -233,6 +248,8 @@ def main() -> None:
             "e_cust": replicate_edges(em._e_cust(spark, sf_dir), SCALE),
             "e_co": replicate_edges(em._e_co(spark, sf_dir), SCALE),
             "e_co19": replicate_edges(co19, SCALE),
+            "e_op_hub": hub_edges(replicate_edges(em._e_op(spark, sf_dir), SCALE), SCALE),
+            "e_co_hub": hub_edges(replicate_edges(co19, SCALE), SCALE),
             "events": ev10,
             "docs": docs10,
             "docs_hub": hub_docs(docs10, SCALE),
@@ -758,6 +775,35 @@ def main() -> None:
         timed("cocitation_cap64", scale, lambda: cocitation_scores(
             e_op, mode="cocitation", normalize="cosine",
             min_score=2.0, max_pivot_degree=64,
+        ).count())
+
+        # ---- round-8 hub-skew twins (VERDICT r7 item 5): identical
+        # operators on the planted-hub graphs; the guards cap the hub's
+        # wedge contribution, so the 1x->10x exponent should track the
+        # unhubbed rows instead of the hub's quadratic growth ----
+        from smatchpp_spark.operators.sparsify import edge_embeddedness
+
+        timed("butterfly_census_hubbed", scale, lambda: butterfly_count(
+            inp["e_op_hub"], left_col="src", right_col="dst",
+            max_pivot_degree=64,
+        ).collect())
+        timed("graph_one_mode_hubbed", scale, lambda: one_mode_projection(
+            inp["e_op_hub"], side="right", left_col="src", right_col="dst",
+            weighting="newman", min_common=2, max_pivot_degree=64,
+        ).count())
+        timed("triad_census_hubbed", scale, lambda: triad_census(
+            inp["e_co_hub"], max_center_degree=64,
+        ).count())
+        timed("cocitation_hubbed", scale, lambda: cocitation_scores(
+            inp["e_op_hub"], mode="cocitation", normalize="cosine",
+            min_score=2.0, max_pivot_degree=64,
+        ).count())
+        # embeddedness has no cap parameter: its wedge join is
+        # degree-ORIENTED (pivot degree <= sqrt(2m) by construction), so
+        # the hubbed row demonstrates the orientation itself absorbing
+        # the star
+        timed("embeddedness_hubbed", scale, lambda: edge_embeddedness(
+            inp["e_co_hub"]
         ).count())
         # fixed 6 Kahn peels over the key-oriented DAG; per-round work
         # is one semi-join + one anti-join over the shrinking active set
