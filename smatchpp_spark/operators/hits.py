@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from smatchpp_spark.operators.supersteps import (
+    observe_scan_delta,
     SuperstepRunner,
     free_local_checkpoint,
 )
@@ -155,30 +156,26 @@ def hits(
         free_local_checkpoint(half_ckpt)
         step_ckpts.append(full)
         hn = _l2(full, "h_raw")
-        return full.select(
-            "vertex",
-            (F.col("h_raw") / F.lit(hn if hn > 0 else 1.0)).alias("hub"),
-            "authority",
-            "prev_hub",
-            "prev_authority",
-        )
-
-    def delta(old: DataFrame, new: DataFrame) -> float:
-        # superstep 1 sees NaN prev columns → NaN delta → never ≤ tol,
-        # exactly like PageRank's NaN-seeded prev_rank
-        row = new.agg(
+        # the convergence scan (max over both score deltas; superstep 1
+        # sees NaN prev columns → NaN delta → never ≤ tol, exactly like
+        # PageRank's NaN-seeded prev_rank; NULL max ⇔ empty graph ⇔
+        # converged) rides the materialization job as an Observation —
+        # no separate per-superstep aggregation job
+        return observe_scan_delta(
+            full.select(
+                "vertex",
+                (F.col("h_raw") / F.lit(hn if hn > 0 else 1.0)).alias("hub"),
+                "authority",
+                "prev_hub",
+                "prev_authority",
+            ),
             F.max(
                 F.greatest(
                     F.abs(F.col("hub") - F.col("prev_hub")),
                     F.abs(F.col("authority") - F.col("prev_authority")),
                 )
-            ).alias("d")
-        ).collect()[0]
-        # NULL max ⇔ empty state ⇔ empty graph: converged (0.0).  The
-        # NaN seeding above already guarantees step 1 can never satisfy
-        # tol on a NON-empty graph, so 0.0 here is only reachable when
-        # converging immediately is correct.
-        return float(row["d"]) if row["d"] is not None else 0.0
+            ),
+        )
 
     runner = SuperstepRunner(
         spark,
@@ -187,7 +184,7 @@ def hits(
         max_supersteps=max_supersteps,
         tol=tol,
     )
-    res = runner.run(init, step, delta, resume=resume)
+    res = runner.run(init, step, None, resume=resume)
     # the runner materialized the final state (parquet or its own
     # localCheckpoint), so the last step's intra-step checkpoints are dead
     _free_step_ckpts()
@@ -273,18 +270,16 @@ def eigenvector_centrality(
             F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n")
         ).collect()[0]
         n = float(row["n"] or 0.0)
-        return half.select(
-            "vertex",
-            (F.col("raw") / F.lit(n if n > 0 else 1.0)).alias("score"),
-            "prev_score",
+        # convergence scan observed in the materialization job (NULL max
+        # ⇔ empty state: converged — see hits() above)
+        return observe_scan_delta(
+            half.select(
+                "vertex",
+                (F.col("raw") / F.lit(n if n > 0 else 1.0)).alias("score"),
+                "prev_score",
+            ),
+            F.max(F.abs(F.col("score") - F.col("prev_score"))),
         )
-
-    def delta(old: DataFrame, new: DataFrame) -> float:
-        row = new.agg(
-            F.max(F.abs(F.col("score") - F.col("prev_score"))).alias("d")
-        ).collect()[0]
-        # NULL max ⇔ empty state: converged — see hits() delta above
-        return float(row["d"]) if row["d"] is not None else 0.0
 
     runner = SuperstepRunner(
         spark,
@@ -293,7 +288,7 @@ def eigenvector_centrality(
         max_supersteps=max_supersteps,
         tol=tol,
     )
-    res = runner.run(init, step, delta, resume=resume)
+    res = runner.run(init, step, None, resume=resume)
     _free_step_ckpts()
     und.unpersist()
     return HITSResult(
@@ -440,24 +435,22 @@ def salsa(
         free_local_checkpoint(half_ckpt)
         step_ckpts.append(full)
         hn = _l1(full, "h_raw")
-        return full.select(
-            "vertex",
-            (F.col("h_raw") / F.lit(hn if hn > 0 else 1.0)).alias("hub"),
-            "authority",
-            "prev_hub",
-            "prev_authority",
-        )
-
-    def delta(old: DataFrame, new: DataFrame) -> float:
-        row = new.agg(
+        # convergence scan observed in the materialization job (see hits)
+        return observe_scan_delta(
+            full.select(
+                "vertex",
+                (F.col("h_raw") / F.lit(hn if hn > 0 else 1.0)).alias("hub"),
+                "authority",
+                "prev_hub",
+                "prev_authority",
+            ),
             F.max(
                 F.greatest(
                     F.abs(F.col("hub") - F.col("prev_hub")),
                     F.abs(F.col("authority") - F.col("prev_authority")),
                 )
-            ).alias("d")
-        ).collect()[0]
-        return float(row["d"]) if row["d"] is not None else 0.0
+            ),
+        )
 
     runner = SuperstepRunner(
         spark,
@@ -466,7 +459,7 @@ def salsa(
         max_supersteps=max_supersteps,
         tol=tol,
     )
-    res = runner.run(init, step, delta, resume=resume)
+    res = runner.run(init, step, None, resume=resume)
     _free_step_ckpts()
     ew.unpersist()
     return HITSResult(
@@ -548,7 +541,8 @@ def katz_centrality(
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("score").alias("raw"))
         )
-        return (
+        # convergence scan observed in the materialization job (see hits)
+        return observe_scan_delta(
             state.select("vertex", F.col("score").alias("prev_score"))
             .join(contrib, "vertex", "left")
             .select(
@@ -558,14 +552,9 @@ def katz_centrality(
                     + F.lit(float(beta))
                 ).alias("score"),
                 "prev_score",
-            )
+            ),
+            F.max(F.abs(F.col("score") - F.col("prev_score"))),
         )
-
-    def delta(old: DataFrame, new: DataFrame) -> float:
-        row = new.agg(
-            F.max(F.abs(F.col("score") - F.col("prev_score"))).alias("d")
-        ).collect()[0]
-        return float(row["d"]) if row["d"] is not None else 0.0
 
     runner = SuperstepRunner(
         spark,
@@ -574,7 +563,7 @@ def katz_centrality(
         max_supersteps=max_supersteps,
         tol=tol,
     )
-    res = runner.run(init, step, delta, resume=resume)
+    res = runner.run(init, step, None, resume=resume)
     _free_step_ckpts()
     e.unpersist()
     return KatzResult(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from smatchpp_spark.operators.supersteps import (
     SuperstepRunner,
     free_local_checkpoint,
+    observe_scan_delta,
 )
 
 
@@ -144,13 +145,10 @@ def harmonic_label_spread(
                 "prev_score",
             )
         )
-        return nxt
-
-    def delta(old: DataFrame, new: DataFrame) -> float:
-        row = new.agg(
-            F.max(F.abs(F.col("score") - F.col("prev_score"))).alias("d")
-        ).collect()[0]
-        return float(row["d"]) if row["d"] is not None else 0.0
+        # convergence scan observed in the materialization job
+        return observe_scan_delta(
+            nxt, F.max(F.abs(F.col("score") - F.col("prev_score")))
+        )
 
     runner = SuperstepRunner(
         spark,
@@ -159,7 +157,7 @@ def harmonic_label_spread(
         max_supersteps=max_supersteps,
         tol=tol,
     )
-    res = runner.run(init, step, delta, resume=resume)
+    res = runner.run(init, step, None, resume=resume)
     _free()
     out = res.state.join(seeds, "vertex", "left").select(
         "vertex",

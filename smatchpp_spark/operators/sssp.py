@@ -29,7 +29,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smatchpp_spark.operators.supersteps import SuperstepRunner
+from smatchpp_spark.operators.supersteps import (
+    SuperstepRunner,
+    observe_scan_delta,
+)
 
 
 @dataclass
@@ -127,6 +130,13 @@ def sssp(
             ).alias("changed"),
         )
 
+    def _step_observed(state, k):
+        # changed-count observed in the materialization job instead of a
+        # separate per-superstep filter+count job
+        return observe_scan_delta(
+            step(state, k), F.sum(F.col("changed").cast("long"))
+        )
+
     runner = SuperstepRunner(
         spark,
         op="sssp",
@@ -136,8 +146,8 @@ def sssp(
     )
     res = runner.run(
         init,
-        step,
-        lambda old, new: float(new.filter(F.col("changed")).count()),
+        _step_observed,
+        None,
         resume=resume,
     )
     e.unpersist()

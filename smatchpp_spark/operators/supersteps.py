@@ -280,6 +280,26 @@ def changed_count_delta(col: str) -> Callable[[DataFrame, DataFrame], float]:
     return fn
 
 
+def observe_scan_delta(new_state: DataFrame, delta_expr, empty_delta: float = 0.0):
+    """Observation-protocol replacement for the carry-prev scan deltas:
+    ``delta_expr`` (an aggregate Column over the new state, e.g.
+    ``F.max(F.abs(col - prev_col))``) is evaluated inside the SAME job
+    that materializes the state instead of a separate per-superstep
+    aggregation job.  Returns the ``(df, Observation, callback)`` tuple
+    the runner understands; a NULL aggregate (empty state) yields
+    ``empty_delta``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = new_state.observe(obs, delta_expr.alias("delta"))
+
+    def cb(metrics: dict) -> float:
+        d = metrics["delta"]
+        return float(d) if d is not None else float(empty_delta)
+
+    return observed, obs, cb
+
+
 def observed_row_count_delta(sign: int = 1) -> Callable:
     """Observation-protocol replacement for ``row_count_delta``: the new
     state's row count is collected by an Observation inside the SAME job
