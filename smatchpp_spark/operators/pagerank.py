@@ -145,26 +145,11 @@ def pagerank(
             vertices = vertices.withColumn(
                 "is_src", F.col("vertex").isin(list(sources))
             )
-    if personalized:
-        row = vertices.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("is_src").cast("long")).alias("ns"),
-        ).collect()[0]
-        n, n_src = row["n"], row["ns"] or 0
-        if n > 0 and n_src == 0:
-            raise ValueError("personalized pagerank: no source vertex in graph")
-    else:
-        n = vertices.count()
-    if n == 0:
-        return PageRankResult(
-            ranks=spark.createDataFrame([], "vertex long, rank double"),
-            supersteps=0,
-            converged=True,
-            metrics=[],
-        )
-
     # static per-superstep join side, hash-partitioned by src once and
-    # persisted for reuse across steps
+    # persisted for reuse across steps.  Built and counted FIRST: its
+    # forcing count also materializes the vdeg cache it joins, so the
+    # vertex count below is a cached scan instead of a second
+    # cache-building job.
     if adjacency:
         contrib_edges = (
             edges.select("src", "dst")
@@ -211,6 +196,26 @@ def pagerank(
             .persist()
         )
         n_edges = contrib_edges.count()
+
+    if personalized:
+        row = vertices.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_src").cast("long")).alias("ns"),
+        ).collect()[0]
+        n, n_src = row["n"], row["ns"] or 0
+        if n > 0 and n_src == 0:
+            raise ValueError("personalized pagerank: no source vertex in graph")
+    else:
+        n = vertices.count()
+    if n == 0:
+        contrib_edges.unpersist()
+        vdeg.unpersist()
+        return PageRankResult(
+            ranks=spark.createDataFrame([], "vertex long, rank double"),
+            supersteps=0,
+            converged=True,
+            metrics=[],
+        )
 
     # FIXED-STEP MODE (tol < 0, the bench + fixed-K contract shape): no
     # convergence delta is ever consulted, so the state carries only
